@@ -1,0 +1,29 @@
+"""de_polars_spark — a PySpark-native analytics engine.
+
+A from-scratch rebuild of the query and data-processing capabilities of
+``jasonwu001t/de-polars`` (a DuckDB/Polars FinOps engine), re-expressed
+Spark-first: Spark SQL replaces DuckDB, Spark DataFrames replace Polars,
+``spark.read.parquet`` + catalog temp views replace eager ``read_parquet``
+table materialization, and Catalyst/AQE supply the optimizer the reference
+delegated to DuckDB (reference: de_polars/engine/duckdb_engine.py:138-313).
+
+Layout
+------
+- ``engine``     — SparkSession factory, SparkEngine (register + query),
+                   DuckDB→Spark SQL dialect shim.
+- ``sources``    — parquet discovery, hive-partition pruning, S3A routing.
+- ``functions``  — reusable column expressions (cost normalization ladders,
+                   text stats, vector math).
+- ``operators``  — composed operators: dedup (exact/MinHash/SimHash/Jaccard/
+                   embedding), similarity search, top-k, sessionization.
+- ``analytics``  — the reference's 7 analytics modules re-expressed on Spark.
+- ``streaming``  — Structured Streaming extensions (beyond-parity).
+"""
+
+from de_polars_spark.config import DataConfig, DataExportType
+from de_polars_spark.engine.core import SparkEngine
+from de_polars_spark.engine.session import get_spark
+
+__all__ = ["DataConfig", "DataExportType", "SparkEngine", "get_spark"]
+
+__version__ = "0.1.0"

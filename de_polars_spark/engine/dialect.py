@@ -1,0 +1,103 @@
+"""DuckDB → Spark SQL dialect translation shim.
+
+The reference stores all query assets as DuckDB-dialect SQL and accepts
+arbitrary DuckDB SQL at its API edge. Spark SQL is close but not identical;
+this module rewrites the known deltas (SURVEY.md §4) so stored assets and
+user queries run unchanged:
+
+- ``expr::type`` postfix casts      → ``CAST(expr AS type)``
+  (reference usage: cur2_query_library/analytics/amazon_athena.sql:9)
+- ``SUBSTRING(x FROM 'pattern')``   → ``regexp_extract(x, 'pattern', 1)``
+  (reference usage: de_polars/analytics/allocation.py:265)
+- ``read_parquet('p')`` table refs  → `` parquet.`p` ``
+  (reference usage: de_polars/engine/duckdb_engine.py:151-157)
+- ``FROM 'path.parquet'`` literals  → `` FROM parquet.`path.parquet` ``
+  (reference usage: README.md:343-367)
+- double-quoted identifiers         → backtick identifiers
+
+This is string rewriting at the API edge — no Catalyst extension is needed
+for parity (SURVEY.md §4). Rewrites skip single-quoted string literals.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Tokenizer: string literals | double-quoted identifiers | rest.
+_TOKEN = re.compile(
+    r"""
+    (?P<str>'(?:[^']|'')*')            # single-quoted literal ('' = escaped quote)
+    | (?P<dq>"(?:[^"]|"")*")           # double-quoted identifier
+    | (?P<rest>[^'"]+)
+    """,
+    re.VERBOSE,
+)
+
+_PG_CAST = re.compile(
+    r"""(?P<expr>
+            \((?:[^()]|\([^()]*\))*\)          # parenthesized expr
+          | [A-Za-z_][\w.]*(?:\[[^\]]+\])?     # identifier / dotted / map access
+          | \d+(?:\.\d+)?                      # numeric literal
+        )
+        ::\s*(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)
+    """,
+    re.VERBOSE,
+)
+
+_SUBSTR_FROM = re.compile(
+    r"SUBSTRING\s*\(\s*(?P<col>[A-Za-z_][\w.]*)\s+FROM\s+(?P<pat>'(?:[^']|'')*')\s*\)",
+    re.IGNORECASE,
+)
+
+_READ_PARQUET_ONE = re.compile(
+    r"read_parquet\s*\(\s*'(?P<path>[^']+)'\s*\)", re.IGNORECASE
+)
+_READ_PARQUET_LIST = re.compile(
+    r"read_parquet\s*\(\s*\[(?P<paths>[^\]]+)\]\s*\)", re.IGNORECASE
+)
+_FROM_PARQUET_LITERAL = re.compile(
+    r"(?P<kw>\bFROM\b|\bJOIN\b)\s+'(?P<path>[^']+\.parquet)'", re.IGNORECASE
+)
+
+
+def _rewrite_segment(seg: str) -> str:
+    """Apply rewrites to a segment known to contain no string literals,
+    except the FROM-'path' / regex patterns which this runs before
+    literal splitting (handled in translate_duckdb_sql)."""
+    prev = None
+    while prev != seg:  # nested :: casts resolve innermost-out
+        prev = seg
+        seg = _PG_CAST.sub(lambda m: f"CAST({m.group('expr')} AS {m.group('type')})", seg)
+    return seg
+
+
+def translate_duckdb_sql(sql: str) -> str:
+    """Rewrite DuckDB-dialect SQL into Spark SQL."""
+    # Path-literal table refs first (they involve quoted strings on purpose).
+    sql = _SUBSTR_FROM.sub(lambda m: f"regexp_extract({m.group('col')}, {m.group('pat')}, 1)", sql)
+    sql = _READ_PARQUET_ONE.sub(lambda m: f"parquet.`{m.group('path')}`", sql)
+
+    def _list_repl(m: re.Match) -> str:
+        paths = [p.strip().strip("'") for p in m.group("paths").split(",") if p.strip()]
+        if len(paths) == 1:
+            return f"parquet.`{paths[0]}`"
+        # Multi-file read_parquet([..]) is an implicit UNION ALL
+        # (duckdb_engine.py:157); Spark path: the engine registers a
+        # multi-path view instead — emit a UNION ALL subquery for ad-hoc SQL.
+        union = " UNION ALL ".join(f"SELECT * FROM parquet.`{p}`" for p in paths)
+        return f"({union})"
+
+    sql = _READ_PARQUET_LIST.sub(_list_repl, sql)
+    sql = _FROM_PARQUET_LITERAL.sub(lambda m: f"{m.group('kw')} parquet.`{m.group('path')}`", sql)
+
+    # Tokenize so :: casts and "identifier" quoting never touch literals.
+    out: list[str] = []
+    for m in _TOKEN.finditer(sql):
+        if m.group("str") is not None:
+            out.append(m.group("str"))
+        elif m.group("dq") is not None:
+            inner = m.group("dq")[1:-1].replace('""', '"')
+            out.append(f"`{inner}`")
+        else:
+            out.append(_rewrite_segment(m.group("rest")))
+    return "".join(out)

@@ -1,0 +1,33 @@
+"""Operator inventory — the driver-checked query surface.
+
+Each entry couples a Spark implementation (DataFrame API or Spark SQL)
+with a DuckDB oracle SQL string over the same testdata views
+(TESTDATA.md tables). Keys are stable names consumed by
+``__spark_entry__.queries()`` / ``oracle_sql()``.
+
+Determinism rules (FIXTURES.md "Determinism notes"):
+- float SUMs go through ``CAST(x AS DECIMAL(38,6))`` so partial-agg order
+  cannot change the result; final values cast back to DOUBLE;
+- AVG/STDDEV are derived from exact decimal sums with the final division
+  in double (identical inputs → identical IEEE results in both engines);
+- month keys are formatted strings (``yyyy-MM``) — DuckDB's date_trunc
+  returns DATE while Spark's returns TIMESTAMP;
+- every top-k has a total-order tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from de_polars_spark.inventory import core_sql, finops, llm_ops
+
+#: name -> callable(spark, sf_dir) -> DataFrame
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+#: name -> DuckDB oracle SQL (absent => driver does rows-only check)
+ORACLES: dict[str, str] = {}
+
+for mod in (core_sql, llm_ops, finops):
+    QUERIES.update(mod.QUERIES)
+    ORACLES.update(mod.ORACLES)
