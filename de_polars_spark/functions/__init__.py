@@ -1,0 +1,3 @@
+from de_polars_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

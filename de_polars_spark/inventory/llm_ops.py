@@ -1,9 +1,396 @@
-"""LLM-pipeline operator inventory (dedup, similarity, text, multimodal).
+"""LLM-pipeline operator inventory: dedup, similarity search, text
+analysis, multimodal plumbing — the beyond-reference operators a
+100 TB training-data pipeline needs (BASELINE.json north star).
 
-Populated incrementally; see operators/ for the implementations.
+Spark implementations live in ``operators/`` and ``functions/``; this
+module binds them to the testdata tables and generates the equivalent
+DuckDB oracle SQL (md5-hex hashing makes signatures engine-reproducible).
 """
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_polars_spark.functions import text as TX
+from de_polars_spark.operators import dedup, multimodal, similarity
+from de_polars_spark.sources.registry import register_testdata
+
 QUERIES: dict = {}
 ORACLES: dict = {}
+
+# ---------------------------------------------------------------- #
+# DuckDB oracle building blocks                                     #
+# ---------------------------------------------------------------- #
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _shingles(n: int = 2) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len(toks) - {n - 1}), "
+        f"i -> {gram})) ELSE []::VARCHAR[] END"
+    )
+
+
+_HASH60_T = "CAST('0x' || substring(md5(t), 1, 15) AS BIGINT)"
+_COS = (
+    "ROUND(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+# ---------------------------------------------------------------- #
+# dedup: exact                                                      #
+# ---------------------------------------------------------------- #
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.exact_dup_groups(t["documents"], "doc_id", F.col("text"))
+
+
+QUERIES["dedup_exact"] = q_dedup_exact
+ORACLES["dedup_exact"] = """
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS group_size
+    FROM documents GROUP BY 1
+"""
+
+
+# dedup: normalized sorted-word fingerprint
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.exact_dup_groups(
+        t["documents"], "doc_id", TX.sorted_word_fingerprint(F.col("text"))
+    )
+
+
+QUERIES["dedup_fingerprint"] = q_dedup_fingerprint
+ORACLES["dedup_fingerprint"] = f"""
+    SELECT md5(md5(array_to_string(list_sort(list_distinct(toks)), ' '))) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS group_size
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    GROUP BY 1
+"""
+
+
+# dedup: MinHash + LSH candidate pairs
+_N_HASHES, _BAND_SIZE = 8, 2
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+    )
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ", ".join(
+        "list_aggregate(list_transform(shingles, s -> md5(s || '#%d')), 'min') AS mh%d"
+        % (i, i)
+        for i in range(_N_HASHES)
+    )
+    bands = "\n      UNION ALL ".join(
+        "SELECT doc_id, %d AS band_id, md5(mh%d || mh%d) AS band_key FROM sigs"
+        % (b, b * _BAND_SIZE, b * _BAND_SIZE + 1)
+        for b in range(_N_HASHES // _BAND_SIZE)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, {_shingles(2)} AS shingles
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    sigs AS (SELECT doc_id, {sig_cols} FROM docs),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    WHERE a.band_key IS NOT NULL
+    """
+
+
+QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh
+ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
+
+
+# dedup: SimHash fingerprints
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.simhash_groups(t["documents"], "doc_id", "text")
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        "list_aggregate(list_transform(toks, t -> CASE WHEN ({h} >> {j}) & 1 = 1 "
+        "THEN 1 ELSE -1 END), 'sum') AS v{j}".format(h=_HASH60_T, j=j)
+        for j in range(16)
+    )
+    combine = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    return f"""
+    WITH toksrc AS (
+        SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
+    ),
+    votes AS (SELECT doc_id, {votes} FROM toksrc)
+    SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM votes
+    """
+
+
+QUERIES["dedup_simhash"] = q_dedup_simhash
+ORACLES["dedup_simhash"] = _simhash_oracle()
+
+
+# dedup: n-gram Jaccard pairs (blocked by lang)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], "doc_id", "text", "lang", threshold=0.3, shingle_n=2
+    )
+
+
+QUERIES["dedup_ngram_jaccard"] = q_dedup_ngram_jaccard
+ORACLES["dedup_ngram_jaccard"] = f"""
+    WITH d AS (
+        SELECT doc_id, lang AS block, {_shingles(2)} AS shingles
+        FROM (SELECT doc_id, lang, {_TOKS} AS toks FROM documents)
+    ),
+    ex AS (SELECT doc_id, block, unnest(shingles) AS shingle FROM d),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM d),
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        FROM ex a
+        JOIN ex b ON a.block = b.block AND a.shingle = b.shingle
+                 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common,
+           ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE ROUND(n_common / CAST(sa.n + sb.n - n_common AS DOUBLE), 6) >= 0.3
+"""
+
+
+# dedup: embedding cosine near-dup pairs (blocked by label)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.embedding_neardup_pairs(
+        t["embeddings"], "vec_id", "embedding", "label", threshold=0.4
+    )
+
+
+_PAIR_COS = _COS.format(a="a.v", b="b.v")
+QUERIES["dedup_embedding_cosine"] = q_dedup_embedding_cosine
+ORACLES["dedup_embedding_cosine"] = f"""
+    WITH e AS (SELECT vec_id, label AS block, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS} AS cosine
+    FROM e a JOIN e b ON a.block = b.block AND a.vec_id < b.vec_id
+    WHERE {_PAIR_COS} >= 0.4
+"""
+
+
+# ---------------------------------------------------------------- #
+# similarity search                                                 #
+# ---------------------------------------------------------------- #
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.cosine_topk(corpus, queries, "vec_id", "embedding", k=5)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_QE_COS = _COS.format(a="q.v", b="e.v")
+QUERIES["ann_cosine_topk"] = q_ann_cosine_topk
+ORACLES["ann_cosine_topk"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_QE_COS} AS cosine
+        FROM q JOIN e ON q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) ranked
+    WHERE rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.lsh_bucketed_topk(
+        corpus, queries, "vec_id", "embedding", k=3, bucket_dims=(1, 17, 33, 49)
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+_BUCKET = (
+    "(CASE WHEN embedding[1] > 0 THEN '1' ELSE '0' END) || "
+    "(CASE WHEN embedding[17] > 0 THEN '1' ELSE '0' END) || "
+    "(CASE WHEN embedding[33] > 0 THEN '1' ELSE '0' END) || "
+    "(CASE WHEN embedding[49] > 0 THEN '1' ELSE '0' END)"
+)
+QUERIES["ann_lsh_topk"] = q_ann_lsh_topk
+ORACLES["ann_lsh_topk"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_BUCKET} AS bucket
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_QE_COS} AS cosine
+        FROM q JOIN e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) ranked
+    WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------- #
+# text analysis                                                     #
+# ---------------------------------------------------------------- #
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return (
+        t["documents"]
+        .select(F.col("lang"), TX.predict_lang(F.col("text")).alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _lang_id_oracle() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains([{words}], x))) AS sc_{lang}".format(
+            words=", ".join(f"'{w}'" for w in ws), lang=lang
+        )
+        for lang, ws in TX.STOPWORDS.items()
+    )
+    # mirror predict_lang's fold: sorted langs, strict > to displace
+    best_lang, best_score = "'und'", "0"
+    for lang in sorted(TX.STOPWORDS):
+        cond = f"sc_{lang} > {best_score}"
+        best_lang = f"CASE WHEN {cond} THEN '{lang}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN {cond} THEN sc_{lang} ELSE {best_score} END"
+    return f"""
+    WITH toksrc AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+    scores AS (SELECT doc_id, lang, {score_cols} FROM toksrc)
+    SELECT lang, {best_lang} AS predicted_lang, COUNT(*) AS n_docs
+    FROM scores GROUP BY 1, 2
+    """
+
+
+QUERIES["text_lang_id"] = q_text_lang_id
+ORACLES["text_lang_id"] = _lang_id_oracle()
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    feats = TX.quality_features(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        TX.quality_score(F.col("text")).alias("quality_score"),
+    )
+
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in TX.STOPWORDS["en"])
+QUERIES["text_quality"] = q_text_quality
+ORACLES["text_quality"] = f"""
+    WITH feat AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               ROUND(len(list_distinct(toks)) / NULLIF(CAST(len(toks) AS DOUBLE), 0), 6) AS distinct_ratio,
+               ROUND(list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+                     / NULLIF(CAST(len(toks) AS DOUBLE), 0), 6) AS avg_token_len,
+               ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                     / NULLIF(CAST(length(text) AS DOUBLE), 0), 6) AS punct_ratio,
+               ROUND(len(list_filter(toks, x -> list_contains([{_EN_WORDS}], x)))
+                     / NULLIF(CAST(len(toks) AS DOUBLE), 0), 6) AS stopword_ratio
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id, n_tokens, distinct_ratio, avg_token_len, punct_ratio, stopword_ratio,
+           ROUND(
+               (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4
+                     WHEN n_tokens >= 5 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN distinct_ratio >= 0.5 THEN 0.3
+                     ELSE ROUND(distinct_ratio * 0.6, 6) END)
+             + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.1 END), 6) AS quality_score
+    FROM feat
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    toks = TX.tokens(F.col("text"))
+    wordlike = TX.wordlike_token_count(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("ws_tokens"),
+        wordlike.alias("wordlike_tokens"),
+        F.round(
+            F.length("text") / F.nullif(wordlike.cast("double"), F.lit(0.0)), 6
+        ).alias("chars_per_token"),
+    )
+
+
+QUERIES["text_token_stats"] = q_text_token_stats
+ORACLES["text_token_stats"] = f"""
+    SELECT doc_id,
+           len({_TOKS}) AS ws_tokens,
+           len(regexp_extract_all(text, '{TX.WORDLIKE_PATTERN}')) AS wordlike_tokens,
+           ROUND(length(text) / NULLIF(CAST(len(regexp_extract_all(text,
+                 '{TX.WORDLIKE_PATTERN}')) AS DOUBLE), 0), 6) AS chars_per_token
+    FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return t["documents"].select(
+        "doc_id", TX.sorted_word_fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+QUERIES["text_fingerprint"] = q_text_fingerprint
+ORACLES["text_fingerprint"] = f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fingerprint
+    FROM documents
+"""
+
+
+# ---------------------------------------------------------------- #
+# multimodal plumbing (Arrow-batched decode stub)                   #
+# ---------------------------------------------------------------- #
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_fake_payload(t["documents"], "doc_id", "text")
+    return multimodal.decode_images(payload)
+
+
+QUERIES["multimodal_image_decode"] = q_multimodal_image_decode
+ORACLES["multimodal_image_decode"] = """
+    SELECT doc_id,
+           CAST('0x' || substring(md5(text), 1, 2) AS INT) AS width,
+           CAST('0x' || substring(md5(text), 3, 2) AS INT) AS height,
+           CASE CAST('0x' || substring(md5(text), 5, 2) AS INT) % 3
+                WHEN 0 THEN 'RGB' WHEN 1 THEN 'L' ELSE 'RGBA' END AS mode,
+           16 AS n_bytes
+    FROM documents
+"""
