@@ -35,10 +35,20 @@ _TOKEN = re.compile(
 
 _PG_CAST = re.compile(
     r"""(?P<expr>
-            \((?:[^()]|\([^()]*\))*\)          # parenthesized expr
-          | [A-Za-z_][\w.]*(?:\[[^\]]+\])?     # identifier / dotted / map access
-          | \d+(?:\.\d+)?                      # numeric literal
+            [A-Za-z_][\w.]*\((?:[^()]|\([^()]*\))*\)   # function call (e.g. a prior CAST)
+          | \((?:[^()]|\([^()]*\))*\)                  # parenthesized expr
+          | [A-Za-z_][\w.]*(?:\[[^\]]+\])?             # identifier / dotted / map access
+          | \d+(?:\.\d+)?                              # numeric literal
         )
+        ::\s*(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)
+    """,
+    re.VERBOSE,
+)
+
+# map access with a quoted key, e.g. product['region']::string — contains a
+# string literal on purpose, so it must be rewritten before tokenization.
+_MAP_ACCESS_CAST = re.compile(
+    r"""(?P<expr>[A-Za-z_][\w.]*\[\s*'(?:[^']|'')*'\s*\])
         ::\s*(?P<type>[A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)
     """,
     re.VERBOSE,
@@ -74,6 +84,9 @@ def _rewrite_segment(seg: str) -> str:
 def translate_duckdb_sql(sql: str) -> str:
     """Rewrite DuckDB-dialect SQL into Spark SQL."""
     # Path-literal table refs first (they involve quoted strings on purpose).
+    sql = _MAP_ACCESS_CAST.sub(
+        lambda m: f"CAST({m.group('expr')} AS {m.group('type')})", sql
+    )
     sql = _SUBSTR_FROM.sub(lambda m: f"regexp_extract({m.group('col')}, {m.group('pat')}, 1)", sql)
     sql = _READ_PARQUET_ONE.sub(lambda m: f"parquet.`{m.group('path')}`", sql)
 

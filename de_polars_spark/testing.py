@@ -1,0 +1,57 @@
+"""Result-comparison helpers shared by pytest and tools/check_correctness.
+
+Mirrors the driver's compare: columns sorted by name, rows sorted by all
+columns, exact match for non-floats, exact-or-reported-diff for floats
+(the inventory casts float SUMs through DECIMAL so exactness is expected;
+see de_polars_spark/inventory/__init__.py determinism rules).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+
+
+def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    """Return a list of mismatch descriptions (empty = results identical)."""
+    problems: list[str] = []
+    s, o = normalize(spark_df), normalize(oracle_df)
+    if list(s.columns) != list(o.columns):
+        return [f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}"]
+    if len(s) != len(o):
+        return [f"row count differs: spark={len(s)} oracle={len(o)}"]
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+            sv = pd.to_numeric(sv, errors="coerce").astype(float)
+            ov = pd.to_numeric(ov, errors="coerce").astype(float)
+            both_nan = sv.isna() & ov.isna()
+            diff = (sv - ov).abs()
+            bad = ~both_nan & ~(diff == 0)
+            if bad.any():
+                md = diff[bad].max()
+                problems.append(
+                    f"col {c}: {int(bad.sum())}/{len(sv)} rows differ, "
+                    f"max_abs_diff={md!r}"
+                    + (" (incl. NaN-vs-value)" if math.isnan(md) else "")
+                )
+        else:
+            eq = (sv == ov) | (sv.isna() & ov.isna())
+            if not eq.all():
+                i = (~eq).idxmax()
+                problems.append(
+                    f"col {c}: {int((~eq).sum())}/{len(sv)} rows differ "
+                    f"(e.g. row {i}: spark={sv[i]!r} oracle={ov[i]!r})"
+                )
+    return problems

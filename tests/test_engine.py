@@ -1,0 +1,100 @@
+"""SparkEngine behavior: registration, routing, querying, introspection."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from de_polars_spark.config import DataConfig, DataExportType
+from de_polars_spark.engine.core import SparkEngine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    cfg = DataConfig(
+        export_type=DataExportType.GENERIC,
+        table_name="orders_t",
+        local_data_path=os.path.join(sf_dir, "orders.parquet"),
+    )
+    return SparkEngine(spark, cfg)
+
+
+def test_register_and_query(engine):
+    n = engine.query("SELECT COUNT(*) AS n FROM orders_t").collect()[0]["n"]
+    assert n > 0
+
+
+def test_sql_file_dispatch(engine, tmp_path):
+    p = tmp_path / "q.sql"
+    p.write_text("SELECT COUNT(*) AS n FROM orders_t")
+    assert engine.query(str(p)).collect()[0]["n"] > 0
+
+
+def test_dialect_translation_in_query(engine):
+    # '::' cast is DuckDB dialect; the engine shim rewrites it.
+    row = engine.query(
+        "SELECT o_orderdate::date AS d FROM orders_t LIMIT 1"
+    ).collect()[0]
+    assert row["d"] is not None
+
+
+def test_register_dataframe_join(engine, spark):
+    # reference documented-but-stubbed pricing registration
+    # (duckdb_engine.py:184-196) — here it actually joins.
+    pricing = spark.createDataFrame(
+        [("1-URGENT", 1.0), ("2-HIGH", 2.0)], ["o_orderpriority", "rate"]
+    )
+    engine.register_dataframe("aws_pricing", pricing)
+    out = engine.query(
+        "SELECT COUNT(*) AS n FROM orders_t c JOIN aws_pricing p "
+        "ON c.o_orderpriority = p.o_orderpriority"
+    ).collect()[0]["n"]
+    assert out > 0
+
+
+def test_schema_and_sample_and_catalog(engine):
+    schema = engine.get_schema()
+    assert "o_orderkey" in schema
+    assert engine.sample(5).count() == 5
+    cat = engine.catalog()
+    assert "orders_t" in cat["tables"]
+
+
+def test_validate_select_only_rejects_ddl(engine):
+    with pytest.raises(PermissionError):
+        engine.validate_select_only("DROP TABLE orders_t")
+    with pytest.raises(PermissionError):
+        engine.validate_select_only("CREATE TABLE x AS SELECT 1")
+    engine.validate_select_only("SELECT 1")  # must not raise
+
+
+def test_date_range_pruning(spark, tmp_path):
+    # hive-partitioned root: BILLING_PERIOD=YYYY-MM (CUR2.0 convention)
+    src = spark.createDataFrame(
+        [(1, "2024-01"), (2, "2024-02"), (3, "2024-03")], ["v", "BILLING_PERIOD"]
+    )
+    root = str(tmp_path / "cur")
+    src.write.partitionBy("BILLING_PERIOD").parquet(root)
+    cfg = DataConfig(
+        export_type=DataExportType.CUR_2_0,
+        table_name="cur_pruned",
+        local_data_path=root,
+        date_start="2024-02",
+        date_end="2024-02",
+    )
+    eng = SparkEngine(spark, cfg)
+    rows = eng.query("SELECT v FROM cur_pruned").collect()
+    assert [r["v"] for r in rows] == [2]
+    # the filter must reach the scan as a partition filter
+    plan = spark.table("cur_pruned")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        DataConfig(local_data_path="/tmp", date_start="2024-13-99x")
+    with pytest.raises(ValueError):
+        DataConfig(local_data_path="/tmp", date_start="2024-05", date_end="2024-01")
+    with pytest.raises(ValueError):
+        DataConfig()  # no data root at all

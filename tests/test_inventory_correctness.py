@@ -1,0 +1,34 @@
+"""Every inventory query vs its DuckDB oracle at sf0.001.
+
+This is a fast local mirror of the driver's CORRECTNESS gate (the driver
+runs the same comparison at sf0.01). Each SURVEY.md §2 operator claimed
+as done has exactly one entry here via the inventory registry.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from de_polars_spark.inventory import ORACLES, QUERIES
+from de_polars_spark.testing import compare
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    spark_pdf = QUERIES[name](spark, sf_dir).toPandas()
+    if name not in ORACLES:
+        assert spark_pdf is not None  # rows-only check (non-SQL-expressible op)
+        return
+    oracle_pdf = duck.execute(ORACLES[name]).fetchdf()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_every_query_has_oracle_or_is_flagged():
+    # ORACLES ⊆ QUERIES, and the driver treats missing oracles as weaker
+    # rows-only checks — keep that set empty unless genuinely non-SQL.
+    assert set(ORACLES) <= set(QUERIES)
+    assert set(QUERIES) == set(ORACLES), (
+        "queries without oracle (should be non-SQL-expressible only): "
+        f"{sorted(set(QUERIES) - set(ORACLES))}"
+    )

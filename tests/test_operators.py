@@ -1,0 +1,137 @@
+"""Direct unit tests of the LLM-pipeline operators on tiny inline data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from de_polars_spark.functions import text as T
+from de_polars_spark.functions import vectors as V
+from de_polars_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "en", "the quick brown fox jumps over the lazy dog"),
+        (2, "en", "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "en", "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "en", "completely different text about spark engines"),
+        (5, "fr", "le renard brun rapide saute par dessus le chien"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+
+def test_exact_dup_groups(docs):
+    out = dedup.exact_dup_groups(docs, "doc_id", F.col("text")).collect()
+    by_keeper = {r["keep_id"]: r["group_size"] for r in out}
+    assert by_keeper[1] == 2  # docs 1 and 2 are byte-identical
+    assert by_keeper[4] == 1
+    assert len(out) == 4  # 5 docs, one merged pair
+
+
+def test_minhash_pairs_find_exact_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=8, band_size=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs collide in every band
+    assert all(a < b for a, b in got)  # canonical pair ordering
+
+
+def test_ngram_jaccard_exact_similarity(docs):
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5
+    )
+    sim = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert sim[(1, 2)] == 1.0
+    assert 0.5 <= sim[(1, 3)] < 1.0
+    assert not any(5 in p for p in sim)  # different block never compared
+
+
+def test_simhash_identical_docs_same_hash(docs):
+    out = dedup.simhash_groups(docs, "doc_id", "text").collect()
+    h = {r["doc_id"]: r["simhash"] for r in out}
+    assert h[1] == h[2]
+    assert 0 <= h[1] < 2**16
+
+
+def test_embedding_neardup_pairs(spark):
+    rows = [
+        (1, "b", [1.0, 0.0]),
+        (2, "b", [1.0, 0.0]),
+        (3, "b", [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["emb_id", "block", "vec"])
+    out = dedup.embedding_neardup_pairs(emb, "emb_id", "vec", "block", 0.99)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert got == {(1, 2)}
+
+
+def test_cosine_topk_self_most_similar(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["emb_id", "vec"])
+    out = similarity.cosine_topk(emb, emb, "emb_id", "vec", k=1)
+    best = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert best[1] == 2 and best[2] == 1
+
+
+def test_vector_functions(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [3.0, 4.0])], ["a", "b"])
+    row = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("dot"),
+        V.norm(F.col("a")).alias("norm"),
+        V.cosine(F.col("a"), F.col("b")).alias("cos"),
+    ).collect()[0]
+    assert row["dot"] == 25.0
+    assert row["norm"] == 5.0
+    assert abs(row["cos"] - 1.0) < 1e-12
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog!",)], ["t"]
+    )
+    row = df.select(
+        T.wordlike_token_count(F.col("t")).alias("n"),
+        T.predict_lang(F.col("t")).alias("lang"),
+        T.quality_score(F.col("t")).alias("q"),
+        T.sorted_word_fingerprint(F.col("t")).alias("fp"),
+    ).collect()[0]
+    assert row["n"] == 10  # 9 words + '!'
+    assert row["lang"] == "en"
+    assert 0.0 <= row["q"] <= 1.0
+    assert row["fp"] is not None
+
+
+def test_fingerprint_is_word_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [("alpha beta gamma", "gamma alpha beta")], ["t1", "t2"]
+    )
+    row = df.select(
+        T.sorted_word_fingerprint(F.col("t1")).alias("f1"),
+        T.sorted_word_fingerprint(F.col("t2")).alias("f2"),
+    ).collect()[0]
+    assert row["f1"] == row["f2"]
+
+
+def test_multimodal_decode_plumbing(docs):
+    # decode is a deterministic fake (no image libs in container) but the
+    # Spark plumbing — binary payload, mapInPandas schema, batching — is real.
+    with_payload = multimodal.attach_fake_payload(docs, "doc_id", "text")
+    out = multimodal.decode_images(with_payload)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    r = rows[0]
+    assert r["n_bytes"] == 16 and r["width"] >= 0 and r["mode"] in ("RGB", "L", "RGBA")
+
+
+def test_multimodal_real_decode_raises(spark):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"0123456789abcdef"), {"format": "jpeg", "n_bytes": 16})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        multimodal.decode_images(bad).collect()

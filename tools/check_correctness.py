@@ -10,7 +10,6 @@ Usage: python tools/check_correctness.py [name ...]
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -36,48 +35,11 @@ def duck_connection() -> duckdb.DuckDBPyConnection:
     return con
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime64"):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
-        elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
-    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+from de_polars_spark.testing import compare as _compare
 
 
-def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
-    problems: list[str] = []
-    s, o = normalize(spark_df), normalize(oracle_df)
-    if list(s.columns) != list(o.columns):
-        problems.append(f"columns differ: spark={list(s.columns)} oracle={list(o.columns)}")
-        return problems
-    if len(s) != len(o):
-        problems.append(f"row count differs: spark={len(s)} oracle={len(o)}")
-        return problems
-    for c in s.columns:
-        sv, ov = s[c], o[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
-            sv = pd.to_numeric(sv, errors="coerce").astype(float)
-            ov = pd.to_numeric(ov, errors="coerce").astype(float)
-            both_nan = sv.isna() & ov.isna()
-            diff = (sv - ov).abs()
-            bad = ~both_nan & ~(diff == 0)
-            if bad.any():
-                md = diff[bad].max()
-                exact = "EXACT-MISMATCH" if md > 0 or math.isnan(md) else ""
-                problems.append(
-                    f"col {c}: {int(bad.sum())}/{len(sv)} rows differ, max_abs_diff={md!r} {exact}"
-                )
-        else:
-            eq = (sv == ov) | (sv.isna() & ov.isna())
-            if not eq.all():
-                i = (~eq).idxmax()
-                problems.append(
-                    f"col {c}: {int((~eq).sum())}/{len(sv)} rows differ "
-                    f"(e.g. row {i}: spark={sv[i]!r} oracle={ov[i]!r})"
-                )
-    return problems
+def compare(name, spark_df, oracle_df):
+    return _compare(spark_df, oracle_df)
 
 
 def main() -> int:
