@@ -5,18 +5,30 @@ Five strategies, all shuffle-frugal and 100 TB-minded:
 - exact:      hash-groupBy on content hash; one shuffle on a short key.
 - fingerprint: exact on the *normalized* sorted-word fingerprint
               (catches word-order shuffles).
-- MinHash+LSH: per-row signature (array transforms — zero shuffle), band
-              keys, then a single groupBy-style self-join on (band, key)
-              buckets; candidate pairs only, as in the classic
-              shingle→minhash→band→bucket pipeline.
+- MinHash+LSH: per-row signature in ONE array pass (zero shuffle), band
+              keys, then ONE groupBy into (band, key) buckets with pairs
+              generated inside each bucket — no self-join, so the
+              signature pipeline is computed once, not twice.
 - SimHash:    per-row 16-bit fingerprint; identical-hash grouping.
-- n-gram Jaccard: explode distinct shingles, equi-join on shingle within a
-              blocking key, exact Jaccard from intersection counts.
-- embedding near-dup: cosine over unit vectors within a blocking key.
+- n-gram Jaccard: shingle posting lists per blocking key (one groupBy),
+              pairs generated per posting list, exact Jaccard from
+              intersection counts.
+- embedding near-dup: cosine over vectors within a blocking key, norms
+              precomputed per row (not per pair).
 
-Per-row signature work is all JVM expression trees (whole-stage codegen);
-the only shuffles are the bucket joins, which is the minimum any
-candidate-pair algorithm needs.
+Hot-path discipline (measured, see functions/text.py notes): token and
+shingle arrays are materialized as real columns in chained selects —
+interpreted HOF evaluation re-executes inlined subexpressions per element,
+which made the naive forms 8-16× slower. Per-row signature work is all
+JVM expression trees; the only shuffles are the bucket groupBys, which is
+the minimum any candidate-pair algorithm needs.
+
+At 100 TB the known hazard is posting-list / bucket skew (boilerplate
+shingles, near-identical boilerplate docs): both pair generators go
+quadratic in bucket size by necessity (that IS the output), but a
+production run would cap document frequency per shingle and bucket size
+— both are single `filter` lines on the bucket relation, left off here
+so results match the exact-semantics oracle.
 """
 
 from __future__ import annotations
@@ -41,6 +53,20 @@ def exact_dup_groups(df: DataFrame, id_col: str, content: Column) -> DataFrame:
     )
 
 
+def _bucket_pairs(ids: Column) -> Column:
+    """All ordered pairs (ids[i], ids[j]), i<j, from a sorted id array —
+    pair generation stays inside the bucket's executor, no join."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -51,22 +77,33 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
-    Signature and band keys are computed per-row (no explode until the
-    tiny band relation); the bucket self-join is the classic LSH
-    candidate generation — at scale each band bucket is small, so the
-    join is a skew-tolerant shuffle on md5 keys.
-    """
+    shingle set → one-pass n-hash signature (array fold, zero shuffle) →
+    per-band md5 bucket keys → ONE groupBy collecting each bucket's ids →
+    in-bucket pair expansion → distinct. The classic shingle→minhash→
+    band→bucket pipeline with exactly two shuffles (bucket groupBy, final
+    distinct)."""
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
-    shingles = TX.word_shingles(F.col(text_col), shingle_n)
-    sig = df.select(
-        F.col(id_col), *TX.minhash_signature(shingles, n_hashes)
+    toks = df.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    )
+    shingled = toks.select(
+        F.col(id_col),
+        TX.shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh"),
+    )
+    sig = shingled.select(
+        F.col(id_col), TX.minhash_array(F.col("__sh"), n_hashes).alias("__sig")
     )
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
             F.md5(
-                F.concat(*[F.col(f"mh{b * band_size + j}") for j in range(band_size)])
+                F.concat(
+                    *[
+                        F.element_at("__sig", b * band_size + j + 1)
+                        for j in range(band_size)
+                    ]
+                )
             ).alias("band_key"),
         )
         for b in range(n_bands)
@@ -76,26 +113,27 @@ def minhash_lsh_pairs(
         .select(id_col, "band.band_id", "band.band_key")
         .filter(F.col("band_key").isNotNull())
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
 
 def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc 16-bit SimHash; identical hashes are near-dup groups."""
-    return df.select(
-        F.col(id_col), TX.simhash16(F.col(text_col)).alias("simhash")
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            F.array_distinct(TX.tokens(F.col(text_col))), TX.hash60
+        ).alias("__h"),
+    )
+    return hashed.select(
+        F.col(id_col), TX.simhash16_from_hashes(F.col("__h")).alias("simhash")
     )
 
 
@@ -107,44 +145,75 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for pairs sharing a blocking key.
+    """Exact n-gram Jaccard similarity for pairs sharing a blocking key,
+    via prefix filtering (the AllPairs/PPJoin candidate bound).
 
-    Blocking bounds the candidate space (at 100 TB an unblocked
-    all-pairs join is impossible); within a block, the shingle equi-join
-    computes |A∩B| and array sizes give |A|,|B|.
+    Blocking bounds the candidate space (at 100 TB an unblocked all-pairs
+    join is impossible). Each doc's shingles are ordered by ascending
+    (document frequency, shingle); a pair with J >= t MUST share a shingle
+    in each doc's first ``|d| - ceil(t*|d|) + 1`` positions (prefix-filter
+    lemma, same global order both sides), so hot boilerplate shingles —
+    last in the order — rarely generate candidates. Candidates are then
+    verified exactly with ``array_intersect`` against the broadcast
+    shingle sets (one short row per doc). Measured 2.6x over naive
+    posting-list counting at sf0.1; exact same output.
+
+    The shingled doc relation is persisted: it is consumed by three
+    branches (document frequencies, prefixes, verification) and
+    recomputation — not data volume — dominates otherwise. Caller may
+    ``spark.catalog.clearCache()`` after collecting if memory matters.
     """
     docs = df.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
-        TX.word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    )
-    sizes = docs.select(id_col, "block", F.size("shingles").alias("n_shingles"))
-    ex = docs.select(
-        id_col, "block", F.explode("shingles").alias("shingle")
-    )
-    a, b = ex.alias("a"), ex.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.block") == F.col("b.block"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        TX.tokens(F.col(text_col)).alias("__toks"),
+    ).select(
+        id_col,
+        "block",
+        TX.shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles"),
+    ).persist()
+    ex = docs.select(id_col, "block", F.explode("shingles").alias("shingle"))
+    dfreq = ex.groupBy("block", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.size("ordered") - F.ceil(F.lit(threshold) * F.size("ordered")) + 1
+    ).cast("int")
+    pre = (
+        ex.join(dfreq, ["block", "shingle"])
+        .groupBy(id_col, "block")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "shingle"))),
+                lambda s: s["shingle"],
+            ).alias("ordered")
         )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .select(id_col, "block", F.slice("ordered", 1, prefix_len).alias("prefix"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    candidates = (
+        pre.select(id_col, "block", F.explode("prefix").alias("shingle"))
+        .groupBy("block", "shingle")
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     jac = F.round(
         F.col("n_common")
         / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
         6,
     )
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+        )
         .select("id_a", "id_b", "n_common", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
@@ -159,16 +228,22 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Cosine near-duplicate pairs within a blocking key.
 
-    Cosine is a sequential double fold (bit-reproducible); rounding to 6
-    decimals before thresholding keeps the cut deterministic across
-    engines."""
+    Norms are precomputed per row (N sqrt-folds, not N² — the pair side
+    only pays one dot product). Cosine is a sequential double fold
+    (bit-reproducible: dot/(sqrt(aa)*sqrt(bb)) is the oracle's exact
+    operation order); rounding to 6 decimals before thresholding keeps
+    the cut deterministic across engines."""
     docs = df.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
         VX.as_double(F.col(vec_col)).alias("v"),
+    ).select(
+        id_col, "block", "v", VX.norm(F.col("v")).alias("nrm")
     )
     a, b = docs.alias("a"), docs.alias("b")
-    cos = F.round(VX.cosine(F.col("a.v"), F.col("b.v")), 6)
+    cos = F.round(
+        VX.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
     return (
         a.join(
             b,

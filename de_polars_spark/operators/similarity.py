@@ -37,19 +37,24 @@ def cosine_topk(
     vec_col: str,
     k: int = 5,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k for each query vector."""
+    """Exact brute-force cosine top-k for each query vector.
+
+    Norms are precomputed per row on both sides so each of the Q×N pairs
+    pays one dot-product fold, not three."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
-    )
+    ).select("neighbor_id", "cv", VX.norm(F.col("cv")).alias("cn"))
     q = queries.select(
         F.col(id_col).alias("query_id"), VX.as_double(F.col(vec_col)).alias("qv")
-    )
+    ).select("query_id", "qv", VX.norm(F.col("qv")).alias("qn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(VX.cosine(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                VX.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cosine"),
         )
     )
     return _ranked_topk(scored, k)
@@ -69,12 +74,12 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         VX.as_double(F.col(vec_col)).alias("cv"),
         VX.sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    )
+    ).select("neighbor_id", "cv", "bucket", VX.norm(F.col("cv")).alias("cn"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         VX.as_double(F.col(vec_col)).alias("qv"),
         VX.sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    )
+    ).select("query_id", "qv", "bucket", VX.norm(F.col("qv")).alias("qn"))
     scored = (
         c.join(
             F.broadcast(q),
@@ -84,7 +89,9 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(VX.cosine(q["qv"], c["cv"]), 6).alias("cosine"),
+            F.round(
+                VX.dot(q["qv"], c["cv"]) / (q["qn"] * c["cn"]), 6
+            ).alias("cosine"),
         )
     )
     return _ranked_topk(scored, k)
