@@ -21,13 +21,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from de_polars_spark.inventory import core_sql, finops, llm_ops
+from de_polars_spark.inventory import core_sql, finops, kpi_views, llm_ops
 
 #: name -> callable(spark, sf_dir) -> DataFrame
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 #: name -> DuckDB oracle SQL (absent => driver does rows-only check)
 ORACLES: dict[str, str] = {}
 
-for mod in (core_sql, llm_ops, finops):
+for mod in (core_sql, llm_ops, finops, kpi_views):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

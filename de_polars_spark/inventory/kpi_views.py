@@ -1,0 +1,198 @@
+"""Oracle-checked bindings for the full KPI view chain (views/kpi.py).
+
+An extended deterministic lineitem→CUR mapping gives every branch of the
+chain real rows: all 7 line-item types, 8 product codes, Spot/SP/RI
+purchase options, Graviton/AMD/Intel instance families, EBS gp2/gp3/
+snapshot usage types, DynamoDB committed/on-demand throughput, Lambda
+ARM, Windows/Linux platforms, and the excluded AWSDataTransfer /
+DataXfer / Repl rows (FIXTURES.md §1 value-domain requirements).
+
+``NOW`` is pinned to 1998-10-01 so the trailing-3-month windows select
+the tail of the TPC-H shipdate range deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from de_polars_spark.inventory.dialect_macros import render
+from de_polars_spark.sources.registry import register_testdata
+from de_polars_spark.views.kpi import chained_oracle, chained_spark_sql
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+NOW = "DATE '1998-10-01'"
+
+#: every column kpi_instance_all.sql / the level-1 views read, derived
+#: deterministically from lineitem (same SQL text in both engines)
+CUR_EXT_CTE = """
+WITH base AS (
+    SELECT *,
+        CASE l_partkey % 8
+             WHEN 0 THEN 'AmazonEC2' WHEN 1 THEN 'AmazonRDS'
+             WHEN 2 THEN 'AmazonS3'  WHEN 3 THEN 'AWSLambda'
+             WHEN 4 THEN 'AmazonDynamoDB' WHEN 5 THEN 'AmazonElastiCache'
+             WHEN 6 THEN 'AmazonES' ELSE 'AmazonRedshift' END AS svc,
+        CASE WHEN l_returnflag = 'A' AND l_discount > 0.06 THEN 'SavingsPlanCoveredUsage'
+             WHEN l_returnflag = 'N' AND l_discount > 0.06 THEN 'DiscountedUsage'
+             WHEN l_returnflag = 'R' AND l_linenumber % 3 = 0 THEN 'RIFee'
+             WHEN l_returnflag = 'R' AND l_linenumber % 3 = 1 THEN 'SavingsPlanRecurringFee'
+             WHEN l_linenumber % 7 = 0 THEN 'Fee'
+             WHEN l_tax = 0 AND l_discount = 0 THEN 'Credit'
+             ELSE 'Usage' END AS li_type
+    FROM lineitem
+),
+shaped AS (
+    SELECT *,
+        CASE WHEN svc = 'AmazonEC2' THEN
+                  CASE l_partkey % 5 WHEN 0 THEN 'm5.xlarge' WHEN 1 THEN 'm6g.large'
+                       WHEN 2 THEN 'm5a.large' WHEN 3 THEN 'r5.xlarge'
+                       ELSE 'm4.large' END
+             WHEN svc = 'AmazonRDS' THEN
+                  CASE l_partkey % 3 WHEN 0 THEN 'db.r5.large'
+                       WHEN 1 THEN 'db.r6g.large' ELSE 'db.m5.xlarge' END
+             WHEN svc = 'AmazonElastiCache' THEN
+                  CASE l_partkey % 2 WHEN 0 THEN 'cache.r6g.large'
+                       ELSE 'cache.r5.large' END
+             WHEN svc = 'AmazonES' THEN
+                  CASE l_partkey % 2 WHEN 0 THEN 'r6g.large' ELSE 'm5.large' END
+             WHEN svc = 'AmazonRedshift' THEN 'dc2.large'
+             ELSE '' END AS itype,
+        (svc = 'AmazonEC2' AND l_orderkey % 13 = 0) AS is_ebs
+    FROM base
+),
+cur AS (
+    SELECT
+        MONTH_STR(l_shipdate) AS billing_period,
+        CAST(date_trunc('month', l_shipdate) AS TIMESTAMP)
+            AS bill_billing_period_start_date,
+        CAST(l_shipdate AS TIMESTAMP) AS line_item_usage_start_date,
+        concat('payer_', TO_STR(l_suppkey % 2)) AS bill_payer_account_id,
+        concat('acct_', TO_STR(l_suppkey % 7)) AS line_item_usage_account_id,
+        CASE WHEN l_orderkey % 97 = 0 THEN ''
+             ELSE concat('res-', TO_STR(l_orderkey % 500)) END AS line_item_resource_id,
+        li_type AS line_item_line_item_type,
+        svc AS line_item_product_code,
+        CASE WHEN l_partkey % 31 = 0 THEN 'AWSDataTransfer' ELSE svc END
+            AS product_servicecode,
+        CASE WHEN svc = 'AmazonEC2' AND NOT is_ebs THEN 'RunInstances'
+             WHEN svc = 'AmazonEC2' THEN 'CreateVolume'
+             WHEN svc = 'AmazonDynamoDB' THEN
+                  CASE l_orderkey % 2 WHEN 0 THEN 'CommittedThroughput'
+                       ELSE 'PayPerRequestThroughput' END
+             ELSE '' END AS line_item_operation,
+        CASE WHEN is_ebs THEN
+                  CASE l_linenumber % 3 WHEN 0 THEN 'EBS:VolumeUsage.gp2'
+                       WHEN 1 THEN 'EBS:VolumeUsage.gp3' ELSE 'EBS:SnapshotUsage' END
+             WHEN svc = 'AmazonEC2' AND l_suppkey % 5 = 0
+                  THEN concat('SpotUsage:', itype)
+             WHEN svc = 'AmazonEC2' THEN concat('BoxUsage:', itype)
+             WHEN svc = 'AmazonRDS' AND l_partkey % 29 = 0 THEN 'USE1-DataXfer-Out'
+             WHEN svc = 'AmazonRDS' THEN concat('InstanceUsage:', itype)
+             WHEN svc = 'AmazonS3' THEN
+                  CASE l_linenumber % 2 WHEN 0 THEN 'TimedStorage-ByteHrs'
+                       ELSE 'Requests-Tier1' END
+             WHEN svc = 'AWSLambda' THEN
+                  CASE l_linenumber % 3 WHEN 0 THEN 'Lambda-GB-Second'
+                       WHEN 1 THEN 'Lambda-Provisioned-GB-Second'
+                       ELSE 'ARM-Lambda-GB-Second' END
+             WHEN svc = 'AmazonDynamoDB' THEN
+                  CASE l_linenumber % 3 WHEN 0 THEN 'ReadCapacityUnit-Hrs'
+                       WHEN 1 THEN 'WriteCapacityUnit-Hrs'
+                       ELSE 'Repl-ReadCapacityUnit-Hrs' END
+             WHEN svc = 'AmazonElastiCache' THEN concat('NodeUsage:', itype)
+             ELSE concat('InstanceUsage:', itype) END AS line_item_usage_type,
+        CASE WHEN l_orderkey % 17 = 0 THEN '' ELSE itype END AS product_instance_type,
+        CASE l_suppkey % 3 WHEN 0 THEN 'us-east-1' WHEN 1 THEN 'us-west-2'
+             ELSE 'eu-west-1' END AS product_region,
+        CASE WHEN svc = 'AmazonEC2' AND l_orderkey % 11 = 0 THEN 'Windows'
+             WHEN svc = 'AmazonEC2' THEN 'Linux' ELSE '' END
+            AS product_operating_system,
+        CASE WHEN itype LIKE '%6g%' THEN 'AWS Graviton2'
+             WHEN itype LIKE '%5a%' THEN 'AMD EPYC 7571'
+             WHEN itype <> '' THEN 'Intel Xeon Platinum 8175'
+             ELSE '' END AS product_physical_processor,
+        CASE WHEN svc = 'AmazonRDS' THEN
+                  CASE l_linenumber % 5 WHEN 0 THEN 'PostgreSQL' WHEN 1 THEN 'MySQL'
+                       WHEN 2 THEN 'Oracle' WHEN 3 THEN 'SQL Server'
+                       ELSE 'Aurora MySQL' END
+             ELSE '' END AS product_database_engine,
+        CASE WHEN svc = 'AmazonRDS' THEN
+                  CASE l_orderkey % 3 WHEN 0 THEN 'License included'
+                       WHEN 1 THEN 'No license required'
+                       ELSE 'Bring your own license' END
+             ELSE '' END AS product_license_model,
+        CASE WHEN svc = 'AmazonElastiCache' THEN 'Redis' ELSE '' END
+            AS product_cache_engine,
+        CASE WHEN svc = 'AmazonRDS' THEN
+                  CASE l_orderkey % 2 WHEN 0 THEN 'Multi-AZ' ELSE 'Single-AZ' END
+             ELSE '' END AS product_deployment_option,
+        CASE WHEN svc = 'AmazonEC2' THEN 'Shared' ELSE '' END AS product_tenancy,
+        CASE WHEN li_type LIKE 'SavingsPlan%'
+             THEN concat('arn:sp/', TO_STR(l_suppkey % 5)) ELSE '' END
+            AS savings_plan_savings_plan_a_r_n,
+        CASE WHEN li_type LIKE 'SavingsPlan%' THEN
+                  CASE l_suppkey % 2 WHEN 0 THEN 'ComputeSavingsPlans'
+                       ELSE 'EC2InstanceSavingsPlans' END
+             ELSE '' END AS savings_plan_offering_type,
+        CASE WHEN li_type IN ('DiscountedUsage', 'RIFee')
+             THEN concat('arn:ri/', TO_STR(l_suppkey % 5)) ELSE '' END
+            AS reservation_reservation_a_r_n,
+        l_quantity AS line_item_usage_amount,
+        l_extendedprice * (1 - l_discount) AS line_item_unblended_cost,
+        l_extendedprice AS pricing_public_on_demand_cost,
+        l_extendedprice * (1 - l_discount) * 0.9
+            AS savings_plan_savings_plan_effective_cost,
+        l_extendedprice * 0.8 AS savings_plan_total_commitment_to_date,
+        l_extendedprice * 0.7 AS savings_plan_used_commitment,
+        l_extendedprice * (1 - l_discount) * 0.95 AS reservation_effective_cost,
+        l_extendedprice * l_tax * 0.3
+            AS reservation_unused_amortized_upfront_fee_for_billing_period,
+        l_extendedprice * l_tax * 0.2 AS reservation_unused_recurring_fee
+    FROM shaped
+)
+"""
+
+
+def _bind(name: str, final_select: str) -> None:
+    spark_sql = render(
+        chained_spark_sql(final_select, CUR_EXT_CTE, NOW), "spark"
+    )
+    oracle_sql = render(chained_oracle(final_select, CUR_EXT_CTE, NOW), "duckdb")
+
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        register_testdata(spark, sf_dir)
+        return spark.sql(_sql)
+
+    fn.__name__ = f"q_{name}"
+    QUERIES[name] = fn
+    ORACLES[name] = oracle_sql
+
+
+_bind("kpi_view_summary", "SELECT * FROM summary_view")
+_bind(
+    "kpi_view_instance_all",
+    """
+    SELECT billing_period, payer_account_id, linked_account_id, product_code,
+           purchase_option, adjusted_processor,
+           CAST(SUM(CAST(amortized_cost AS DECIMAL(38,6))) AS DOUBLE) AS amortized_cost,
+           CAST(SUM(CAST(adjusted_amortized_cost AS DECIMAL(38,6))) AS DOUBLE)
+               AS adjusted_amortized_cost,
+           CAST(SUM(CAST(ec2_all_cost AS DECIMAL(38,6))) AS DOUBLE) AS ec2_all_cost,
+           CAST(SUM(CAST(ec2_spot_cost AS DECIMAL(38,6))) AS DOUBLE) AS ec2_spot_cost,
+           CAST(SUM(CAST(ec2_graviton_cost AS DECIMAL(38,6))) AS DOUBLE) AS ec2_graviton_cost,
+           CAST(SUM(CAST(ec2_graviton_potential_savings AS DECIMAL(38,6))) AS DOUBLE)
+               AS ec2_graviton_potential_savings,
+           CAST(SUM(CAST(rds_all_cost AS DECIMAL(38,6))) AS DOUBLE) AS rds_all_cost,
+           CAST(SUM(CAST(rds_graviton_eligible_cost AS DECIMAL(38,6))) AS DOUBLE)
+               AS rds_graviton_eligible_cost,
+           CAST(SUM(CAST(lambda_graviton_cost AS DECIMAL(38,6))) AS DOUBLE)
+               AS lambda_graviton_cost,
+           CAST(SUM(CAST(dynamodb_committed_cost AS DECIMAL(38,6))) AS DOUBLE)
+               AS dynamodb_committed_cost
+    FROM kpi_instance_all
+    GROUP BY 1, 2, 3, 4, 5, 6
+    """,
+)
+_bind("kpi_view_tracker", "SELECT * FROM kpi_tracker")
