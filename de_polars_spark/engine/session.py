@@ -32,6 +32,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": "67108864",  # 64 MiB
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Split generated expression code into sub-methods earlier (default
+    # 1024 bytes): the KPI view chain's wide CASE-ladder projections fused
+    # into aggregate stages exceed the JVM's 64 KB method limit at the
+    # default, silently falling back to interpreted (non-codegen)
+    # evaluation — measured 2-5x slower on kpi_tracker. 256 keeps every
+    # generated method compilable (and under HotSpot's JIT inline limit).
+    "spark.sql.codegen.methodSplitThreshold": "256",
 }
 
 

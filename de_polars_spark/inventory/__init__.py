@@ -17,17 +17,25 @@ Determinism rules (FIXTURES.md "Determinism notes"):
 
 from __future__ import annotations
 
-from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+def _load() -> tuple[dict, dict]:
+    # deferred so that importing a submodule (e.g. views/kpi.py pulling in
+    # inventory.dialect_macros) does not recursively import the whole query
+    # inventory — kpi_views imports views.kpi, which would be circular.
+    from de_polars_spark.inventory import core_sql, finops, kpi_views, llm_ops
 
-from de_polars_spark.inventory import core_sql, finops, kpi_views, llm_ops
+    queries: dict = {}
+    oracles: dict = {}
+    for mod in (core_sql, llm_ops, finops, kpi_views):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles
 
-#: name -> callable(spark, sf_dir) -> DataFrame
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-#: name -> DuckDB oracle SQL (absent => driver does rows-only check)
-ORACLES: dict[str, str] = {}
 
-for mod in (core_sql, llm_ops, finops, kpi_views):
-    QUERIES.update(mod.QUERIES)
-    ORACLES.update(mod.ORACLES)
+def __getattr__(name: str):
+    # QUERIES: name -> callable(spark, sf_dir) -> DataFrame
+    # ORACLES: name -> DuckDB oracle SQL (absent => driver rows-only check)
+    if name in ("QUERIES", "ORACLES"):
+        globals()["QUERIES"], globals()["ORACLES"] = _load()
+        return globals()[name]
+    raise AttributeError(name)

@@ -22,10 +22,31 @@ MACROS: dict[str, dict[str, str]] = {
         "spark": "date_format({0}, 'yyyy-MM-dd')",
         "duckdb": "strftime({0}, '%Y-%m-%d')",
     },
-    # order-independent float SUM: exact decimal accumulation, double out
+    # order-independent float SUM: exact decimal accumulation, double out.
+    # Scale 6 is deliberate: raw cost doubles have long (16-17 digit)
+    # shortest decimal representations, so rounding at 1e-6 never lands on
+    # an exact decimal tie — where Spark (HALF_UP on the shortest repr) and
+    # DuckDB (round-down on ties) disagree. A higher scale (e.g. 38,12 per
+    # micro-line-item concerns) moves the rounding digit into the tail of
+    # the repr where ties become possible; the 1e-6 quantization is the
+    # accepted semantic difference from the reference's plain double SUM.
     "DSUM": {"*": "CAST(SUM(CAST({0} AS DECIMAL(38,6))) AS DOUBLE)"},
     # order-independent AVG derived from the exact sum
     "DAVG": {"*": "CAST(SUM(CAST({0} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({0})"},
+    # decimal-typed sum (no double round-trip): feeds exact decimal
+    # arithmetic downstream (see views/kpi.py potential-savings chain).
+    # (20,6) keeps multiply results well under precision 38 in both engines.
+    "DSUMQ": {"*": "CAST(SUM(CAST({0} AS DECIMAL(38,6))) AS DECIMAL(20,6))"},
+    # sum of already-decimal scale-8 money columns: cast is exact (no
+    # rounding), so Spark and DuckDB cannot diverge; double only at the end.
+    "DSUM8": {"*": "CAST(SUM(CAST({0} AS DECIMAL(38,8))) AS DOUBLE)"},
+    # exact decimal product of a scale-6 money value and a <=2-decimal
+    # factor literal: (20,6) x (p,2) -> scale-8 decimal, exact in both
+    # engines (no double intermediate, no rounding, hence no tie-breaking).
+    "DMUL": {"*": "(CAST({0} AS DECIMAL(20,6)) * {1})"},
+    # normalize a money expression to DECIMAL(24,8) (exact for values
+    # < 1e16; all branch types here are scale <= 8 so the cast never rounds)
+    "MONEY8": {"*": "CAST({0} AS DECIMAL(24,8))"},
     # hex-string (md5 prefix) -> BIGINT
     "HEX2INT": {
         "spark": "CAST(conv({0}, 16, 10) AS BIGINT)",
@@ -56,6 +77,13 @@ MACROS: dict[str, dict[str, str]] = {
     "SHIFTR": {"spark": "shiftright({0}, {1})", "duckdb": "(({0}) >> ({1}))"},
     # integer division (DuckDB '/' on ints is float division)
     "IDIV": {"spark": "CAST(({0}) / ({1}) AS BIGINT)", "duckdb": "(({0}) // ({1}))"},
+    # defined here (not injected by sibling modules) so rendering never
+    # depends on import order (ADVICE r1)
+    "TO_STR": {"spark": "CAST({0} AS STRING)", "duckdb": "CAST({0} AS VARCHAR)"},
+    "HOUR_STR": {
+        "spark": "date_format({0}, 'yyyy-MM-dd HH')",
+        "duckdb": "strftime({0}, '%Y-%m-%d %H')",
+    },
 }
 
 

@@ -155,14 +155,48 @@ cur AS (
 """
 
 
+#: On the Spark side the synthetic CUR is materialized ONCE per sf_dir as
+#: a snappy-parquet table instead of being embedded as a CTE in every
+#: query: the ~20-CASE synthesis projection otherwise fuses into each
+#: view's aggregate stage (re-derived 5x per kpi_tracker run — once per
+#: sub-aggregate) and pushed the generated hashAgg_doAggregateWithKeys
+#: method past the JVM 64 KB limit (interpreted fallback; a cached temp
+#: view did not survive the chained-CTE plan's cache lookup). The DuckDB
+#: oracle keeps the full CTE — results are identical, and this mirrors
+#: production, where CUR is a parquet table at rest, not a per-query
+#: expression. The synthesis is deterministic, so the artifact is safe to
+#: reuse across sessions.
+_CUR_READY: set[tuple[int, str]] = set()
+
+
+def _ensure_cur_ext(spark: SparkSession, sf_dir: str) -> None:
+    key = (id(spark), sf_dir)
+    if key in _CUR_READY:
+        return
+    import os
+
+    register_testdata(spark, sf_dir)
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".cache")
+    path = os.path.join(cache_dir, f"cur_ext_{os.path.basename(os.path.normpath(sf_dir))}.parquet")
+    if not os.path.exists(path):
+        df = spark.sql(render(CUR_EXT_CTE, "spark") + "\nSELECT * FROM cur")
+        df.write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("cur_ext")
+    _CUR_READY.add(key)
+
+
+_SPARK_CUR_PREFIX = "WITH cur AS (SELECT * FROM cur_ext)"
+
+
 def _bind(name: str, final_select: str) -> None:
     spark_sql = render(
-        chained_spark_sql(final_select, CUR_EXT_CTE, NOW), "spark"
+        chained_spark_sql(final_select, _SPARK_CUR_PREFIX, NOW), "spark"
     )
     oracle_sql = render(chained_oracle(final_select, CUR_EXT_CTE, NOW), "duckdb")
 
     def fn(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
-        register_testdata(spark, sf_dir)
+        _ensure_cur_ext(spark, sf_dir)
         return spark.sql(_sql)
 
     fn.__name__ = f"q_{name}"
@@ -176,20 +210,20 @@ _bind(
     """
     SELECT billing_period, payer_account_id, linked_account_id, product_code,
            purchase_option, adjusted_processor,
-           CAST(SUM(CAST(amortized_cost AS DECIMAL(38,6))) AS DOUBLE) AS amortized_cost,
-           CAST(SUM(CAST(adjusted_amortized_cost AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(amortized_cost AS DECIMAL(38,8))) AS DOUBLE) AS amortized_cost,
+           CAST(SUM(CAST(adjusted_amortized_cost AS DECIMAL(38,8))) AS DOUBLE)
                AS adjusted_amortized_cost,
-           CAST(SUM(CAST(ec2_all_cost AS DECIMAL(38,6))) AS DOUBLE) AS ec2_all_cost,
-           CAST(SUM(CAST(ec2_spot_cost AS DECIMAL(38,6))) AS DOUBLE) AS ec2_spot_cost,
-           CAST(SUM(CAST(ec2_graviton_cost AS DECIMAL(38,6))) AS DOUBLE) AS ec2_graviton_cost,
-           CAST(SUM(CAST(ec2_graviton_potential_savings AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(ec2_all_cost AS DECIMAL(38,8))) AS DOUBLE) AS ec2_all_cost,
+           CAST(SUM(CAST(ec2_spot_cost AS DECIMAL(38,8))) AS DOUBLE) AS ec2_spot_cost,
+           CAST(SUM(CAST(ec2_graviton_cost AS DECIMAL(38,8))) AS DOUBLE) AS ec2_graviton_cost,
+           CAST(SUM(CAST(ec2_graviton_potential_savings AS DECIMAL(38,8))) AS DOUBLE)
                AS ec2_graviton_potential_savings,
-           CAST(SUM(CAST(rds_all_cost AS DECIMAL(38,6))) AS DOUBLE) AS rds_all_cost,
-           CAST(SUM(CAST(rds_graviton_eligible_cost AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(rds_all_cost AS DECIMAL(38,8))) AS DOUBLE) AS rds_all_cost,
+           CAST(SUM(CAST(rds_graviton_eligible_cost AS DECIMAL(38,8))) AS DOUBLE)
                AS rds_graviton_eligible_cost,
-           CAST(SUM(CAST(lambda_graviton_cost AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(lambda_graviton_cost AS DECIMAL(38,8))) AS DOUBLE)
                AS lambda_graviton_cost,
-           CAST(SUM(CAST(dynamodb_committed_cost AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(CAST(dynamodb_committed_cost AS DECIMAL(38,8))) AS DOUBLE)
                AS dynamodb_committed_cost
     FROM kpi_instance_all
     GROUP BY 1, 2, 3, 4, 5, 6

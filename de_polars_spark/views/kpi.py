@@ -144,10 +144,35 @@ WHERE line_item_product_code = 'AmazonS3'
 GROUP BY 1, 2, 3, 4
 """
 
-#: level-2: cur_all — the 26-dim pre-aggregation
+#: level-2: cur_all — the 26-dim pre-aggregation. The reference heads
+#: every kpi view with SELECT DISTINCT on top of the GROUP BY
+#: (kpi_instance_all.sql:9); after grouping by every non-aggregate
+#: column that dedup is a no-op, and in Spark it planned an extra
+#: ~60-key HashAggregate + full shuffle per view (and blew the 64 KB
+#: codegen method limit). Dropped in BOTH dialect renderings —
+#: identical results, one less shuffle per view.
 #: (kpi_instance_all.sql:8-43, incl. the ~40-condition WHERE at :42)
+#: The 26 dimension columns are computed in an inner projection and the
+#: outer GROUP BY references them by name: as grouping *expressions* the
+#: CASE ladders were all inlined into the generated
+#: hashAgg_doAggregateWithKeys method, which exceeded the JVM's 64 KB
+#: method limit (Janino error, interpreted fallback). Computed once below
+#: the aggregate, the grouping keys are plain attributes and whole-stage
+#: codegen compiles. Same rows either way.
 _CUR_ALL = """
-SELECT DISTINCT
+SELECT
+    year, month, billing_period, usage_date, payer_account_id,
+    linked_account_id, resource_id, tags_json, charge_type, purchase_option,
+    product_code, commit_service_group, savings_plan_offering_type, region,
+    operation, usage_type, instance_type_family, instance_type, platform,
+    tenancy, processor, adjusted_processor, database_engine,
+    deployment_option, license_model, cache_engine,
+    DSUM(line_item_usage_amount) AS usage_quantity,
+    DSUMQ(amortized_row) AS amortized_cost,
+    DSUMQ(adjusted_amortized_row) AS adjusted_amortized_cost,
+    DSUM(pricing_public_on_demand_cost) AS public_cost
+FROM (
+SELECT
     split_part(billing_period, '-', 1) AS year,
     split_part(billing_period, '-', 2) AS month,
     bill_billing_period_start_date AS billing_period,
@@ -201,37 +226,37 @@ SELECT DISTINCT
     product_deployment_option AS deployment_option,
     product_license_model AS license_model,
     product_cache_engine AS cache_engine,
-    DSUM(line_item_usage_amount) AS usage_quantity,
-    DSUM(CASE WHEN line_item_line_item_type = 'SavingsPlanCoveredUsage'
-                   THEN savings_plan_savings_plan_effective_cost
-              WHEN line_item_line_item_type = 'SavingsPlanRecurringFee'
-                   THEN (savings_plan_total_commitment_to_date - savings_plan_used_commitment)
-              WHEN line_item_line_item_type = 'SavingsPlanNegation' THEN 0
-              WHEN line_item_line_item_type = 'SavingsPlanUpfrontFee' THEN 0
-              WHEN line_item_line_item_type = 'DiscountedUsage' THEN reservation_effective_cost
-              WHEN line_item_line_item_type = 'RIFee'
-                   THEN (reservation_unused_amortized_upfront_fee_for_billing_period
-                         + reservation_unused_recurring_fee)
-              WHEN line_item_line_item_type = 'Fee'
-                   AND COALESCE(reservation_reservation_a_r_n, '') <> '' THEN 0
-              ELSE line_item_unblended_cost END) AS amortized_cost,
-    DSUM(CASE WHEN line_item_usage_type LIKE '%Spot%' AND pricing_public_on_demand_cost > 0
-                   THEN pricing_public_on_demand_cost
-              WHEN line_item_line_item_type = 'SavingsPlanCoveredUsage'
-                   THEN pricing_public_on_demand_cost
-              WHEN line_item_line_item_type = 'SavingsPlanRecurringFee'
-                   THEN (savings_plan_total_commitment_to_date - savings_plan_used_commitment)
-              WHEN line_item_line_item_type = 'SavingsPlanNegation' THEN 0
-              WHEN line_item_line_item_type = 'SavingsPlanUpfrontFee' THEN 0
-              WHEN line_item_line_item_type = 'DiscountedUsage'
-                   THEN pricing_public_on_demand_cost
-              WHEN line_item_line_item_type = 'RIFee'
-                   THEN (reservation_unused_amortized_upfront_fee_for_billing_period
-                         + reservation_unused_recurring_fee)
-              WHEN line_item_line_item_type = 'Fee'
-                   AND COALESCE(reservation_reservation_a_r_n, '') <> '' THEN 0
-              ELSE line_item_unblended_cost END) AS adjusted_amortized_cost,
-    DSUM(pricing_public_on_demand_cost) AS public_cost
+    line_item_usage_amount,
+    pricing_public_on_demand_cost,
+    CASE WHEN line_item_line_item_type = 'SavingsPlanCoveredUsage'
+              THEN savings_plan_savings_plan_effective_cost
+         WHEN line_item_line_item_type = 'SavingsPlanRecurringFee'
+              THEN (savings_plan_total_commitment_to_date - savings_plan_used_commitment)
+         WHEN line_item_line_item_type = 'SavingsPlanNegation' THEN 0
+         WHEN line_item_line_item_type = 'SavingsPlanUpfrontFee' THEN 0
+         WHEN line_item_line_item_type = 'DiscountedUsage' THEN reservation_effective_cost
+         WHEN line_item_line_item_type = 'RIFee'
+              THEN (reservation_unused_amortized_upfront_fee_for_billing_period
+                    + reservation_unused_recurring_fee)
+         WHEN line_item_line_item_type = 'Fee'
+              AND COALESCE(reservation_reservation_a_r_n, '') <> '' THEN 0
+         ELSE line_item_unblended_cost END AS amortized_row,
+    CASE WHEN line_item_usage_type LIKE '%Spot%' AND pricing_public_on_demand_cost > 0
+              THEN pricing_public_on_demand_cost
+         WHEN line_item_line_item_type = 'SavingsPlanCoveredUsage'
+              THEN pricing_public_on_demand_cost
+         WHEN line_item_line_item_type = 'SavingsPlanRecurringFee'
+              THEN (savings_plan_total_commitment_to_date - savings_plan_used_commitment)
+         WHEN line_item_line_item_type = 'SavingsPlanNegation' THEN 0
+         WHEN line_item_line_item_type = 'SavingsPlanUpfrontFee' THEN 0
+         WHEN line_item_line_item_type = 'DiscountedUsage'
+              THEN pricing_public_on_demand_cost
+         WHEN line_item_line_item_type = 'RIFee'
+              THEN (reservation_unused_amortized_upfront_fee_for_billing_period
+                    + reservation_unused_recurring_fee)
+         WHEN line_item_line_item_type = 'Fee'
+              AND COALESCE(reservation_reservation_a_r_n, '') <> '' THEN 0
+         ELSE line_item_unblended_cost END AS adjusted_amortized_row
 FROM {CUR}
 WHERE CAST(concat(billing_period, '-01') AS date)
           >= date_trunc('month', {NOW}) - INTERVAL '3' MONTH
@@ -269,6 +294,7 @@ WHERE CAST(concat(billing_period, '-01') AS date)
             AND COALESCE(product_instance_type, '') <> '')
        OR line_item_product_code = 'ComputeSavingsPlans'
        OR line_item_product_code = 'MachineLearningSavingsPlans')
+) cur_rows
 GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
          19, 20, 21, 22, 23, 24, 25, 26
 """
@@ -288,254 +314,220 @@ FROM cur_all
 LEFT JOIN kpi_instance_mapping im ON cur_all.instance_type_family = im.family
 """
 
-_USAGE_EC2 = ("charge_type LIKE '%Usage%' AND product_code = 'AmazonEC2' "
-              "AND instance_type <> '' AND operation LIKE '%RunInstances%'")
-
-KPI_INSTANCE_ALL_BODY = f"""
+#: shared predicates + exact-decimal shared products, materialized once so
+#: (a) each ladder CASE below stays tiny — the round-1 single-projection
+#: form repeated every predicate inline and blew the JVM's 64 KB generated-
+#: method limit (Janino fallback to interpreted projection), and (b) every
+#: *_potential_savings product is computed ONCE in exact decimal
+#: arithmetic: amortized_cost is DECIMAL(20,6) out of cur_all (DSUMQ), the
+#: factors are <=2-decimal literals, so the products are exact scale-8
+#: decimals — no double intermediate, no re-quantization, and therefore no
+#: half-way rounding where Spark (HALF_UP) and DuckDB (ties-down) diverge
+#: (the round-1 kpi_view_tracker 1e-6 oracle failure).
+#: CollapseProject keeps this split because the aliases are non-trivial
+#: expressions referenced multiple times downstream.
+KPI_PREP_BODY = """
 SELECT j.*,
-  CASE WHEN product_code = 'AmazonEC2' AND NOT (lower(platform) LIKE '%window%')
-            THEN map_latest_graviton
-       WHEN product_code = 'AmazonRDS' AND database_engine IN
-            ('Aurora MySQL', 'Aurora PostgreSQL', 'MariaDB', 'PostgreSQL', 'MySQL')
-            THEN map_latest_graviton
+  (charge_type LIKE '%Usage%') AS f_usage,
+  (charge_type = 'Usage') AS f_usage_exact,
+  (charge_type LIKE '%Usage%' AND product_code = 'AmazonEC2'
+       AND instance_type <> '' AND operation LIKE '%RunInstances%') AS f_ec2run,
+  (lower(platform) LIKE '%window%') AS f_windows,
+  (purchase_option = 'OnDemand'
+       OR savings_plan_offering_type = 'ComputeSavingsPlans') AS f_odcsp,
+  (purchase_option IN ('Reserved', 'SavingsPlan')) AS f_commit,
+  (purchase_option <> 'Spot' AND purchase_option <> 'Reserved'
+       AND NOT (savings_plan_offering_type LIKE '%EC2%')) AS f_flexible,
+  (adjusted_processor = 'Graviton') AS f_grav,
+  (adjusted_processor = 'AMD') AS f_amd,
+  (database_engine IN ('Aurora MySQL', 'Aurora PostgreSQL', 'MariaDB',
+                       'PostgreSQL', 'MySQL')) AS f_rds_oss,
+  (instance_type <> '') AS f_itype,
+  (purchase_option = 'OnDemand') AS f_od,
+  (purchase_option = 'Spot') AS f_spot,
+  (map_latest_graviton <> '') AS f_grav_target,
+  (latest_amd <> '') AS f_amd_target,
+  MONEY8(adjusted_amortized_cost - amortized_cost) AS commit_gap,
+  DMUL(amortized_cost, 0.05) AS amort_x05,
+  DMUL(amortized_cost, 0.10) AS amort_x10,
+  DMUL(amortized_cost, 0.20) AS amort_x20,
+  DMUL(adjusted_amortized_cost, 0.55) AS adj_x55
+FROM joined j
+"""
+
+KPI_INSTANCE_ALL_BODY = """
+SELECT p.*,
+  CASE WHEN product_code = 'AmazonEC2' AND NOT f_windows THEN map_latest_graviton
+       WHEN product_code = 'AmazonRDS' AND f_rds_oss THEN map_latest_graviton
        WHEN product_code = 'AmazonES' THEN map_latest_graviton
        WHEN product_code = 'AmazonElastiCache' THEN map_latest_graviton
        END AS latest_graviton,
-  CASE WHEN commit_service_group = 'Machine Learning' THEN adjusted_amortized_cost
-       ELSE 0 END AS sagemaker_all_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'Machine Learning'
-            AND instance_type <> '' THEN amortized_cost ELSE 0 END AS sagemaker_usage_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'Machine Learning'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN adjusted_amortized_cost ELSE 0 END AS sagemaker_ondemand_cost,
-  CASE WHEN purchase_option IN ('Reserved', 'SavingsPlan')
-            AND commit_service_group = 'Machine Learning'
-            THEN (adjusted_amortized_cost - amortized_cost) ELSE 0 END
-      AS sagemaker_commit_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'Machine Learning'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN amortized_cost * 2E-1 ELSE 0 END AS sagemaker_commit_potential_savings,
-  CASE WHEN commit_service_group = 'Compute' THEN adjusted_amortized_cost ELSE 0 END
-      AS compute_all_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'Compute'
-            THEN adjusted_amortized_cost ELSE 0 END AS compute_usage_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'Compute'
-            AND purchase_option = 'OnDemand' THEN adjusted_amortized_cost ELSE 0 END
-      AS compute_ondemand_cost,
-  CASE WHEN purchase_option IN ('Reserved', 'SavingsPlan')
-            AND commit_service_group = 'Compute'
-            THEN (adjusted_amortized_cost - amortized_cost) ELSE 0 END
-      AS compute_commit_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'Compute'
-            AND purchase_option = 'OnDemand' THEN amortized_cost * 2E-1 ELSE 0 END
-      AS compute_commit_potential_savings,
-  CASE WHEN product_code = 'AmazonEC2' THEN adjusted_amortized_cost ELSE 0 END
-      AS ec2_all_cost,
-  CASE WHEN {_USAGE_EC2} THEN amortized_cost ELSE 0 END AS ec2_usage_cost,
-  CASE WHEN {_USAGE_EC2} AND purchase_option = 'Spot'
-            THEN adjusted_amortized_cost ELSE 0 END AS ec2_spot_cost,
-  CASE WHEN {_USAGE_EC2} AND generation IN ('Previous')
-            AND purchase_option <> 'Spot' AND purchase_option <> 'Reserved'
-            AND NOT (savings_plan_offering_type LIKE '%EC2%')
-            THEN amortized_cost ELSE 0 END AS ec2_previous_generation_cost,
-  CASE WHEN {_USAGE_EC2} AND NOT (lower(platform) LIKE '%window%')
-            AND (adjusted_processor = 'Graviton'
-                 OR ((purchase_option = 'OnDemand'
-                      OR savings_plan_offering_type = 'ComputeSavingsPlans')
-                     AND adjusted_processor <> 'Graviton'
-                     AND map_latest_graviton <> ''))
-            THEN amortized_cost ELSE 0 END AS ec2_graviton_eligible_cost,
-  CASE WHEN {_USAGE_EC2} AND adjusted_processor = 'Graviton'
-            THEN amortized_cost ELSE 0 END AS ec2_graviton_cost,
-  CASE WHEN adjusted_processor = 'Graviton' THEN 0
-       WHEN {_USAGE_EC2}
-            AND (adjusted_processor = 'AMD'
-                 OR ((purchase_option = 'OnDemand'
-                      OR savings_plan_offering_type = 'ComputeSavingsPlans')
-                     AND adjusted_processor <> 'AMD' AND latest_amd <> ''))
-            THEN amortized_cost ELSE 0 END AS ec2_amd_eligible_cost,
-  CASE WHEN {_USAGE_EC2} AND instance_processor = 'AMD'
-            THEN amortized_cost ELSE 0 END AS ec2_amd_cost,
-  CASE WHEN {_USAGE_EC2} AND purchase_option <> 'Spot' AND purchase_option <> 'Reserved'
-            AND NOT (savings_plan_offering_type LIKE '%EC2%')
-            THEN adjusted_amortized_cost * 5.5E-1 ELSE 0 END AS ec2_spot_potential_savings,
-  CASE WHEN {_USAGE_EC2} AND purchase_option = 'Spot'
-            THEN (adjusted_amortized_cost - amortized_cost) ELSE 0 END AS ec2_spot_savings,
-  CASE WHEN {_USAGE_EC2} AND generation IN ('Previous')
-            AND purchase_option <> 'Spot' AND purchase_option <> 'Reserved'
-            AND NOT (savings_plan_offering_type LIKE '%EC2%')
-            THEN amortized_cost * 5E-2 ELSE 0 END
-      AS ec2_previous_generation_potential_savings,
-  CASE WHEN {_USAGE_EC2} AND NOT (lower(platform) LIKE '%window%')
-            AND ((purchase_option = 'OnDemand'
-                  OR savings_plan_offering_type = 'ComputeSavingsPlans')
-                 AND adjusted_processor <> 'Graviton' AND map_latest_graviton <> ''
-                 AND adjusted_processor <> 'AMD')
-            THEN amortized_cost * 2E-1
-       WHEN {_USAGE_EC2} AND NOT (lower(platform) LIKE '%window%')
-            AND ((purchase_option = 'OnDemand'
-                  OR savings_plan_offering_type = 'ComputeSavingsPlans')
-                 AND adjusted_processor <> 'Graviton' AND map_latest_graviton <> ''
-                 AND adjusted_processor = 'AMD')
-            THEN amortized_cost * 1E-1
-       ELSE 0 END AS ec2_graviton_potential_savings,
-  CASE WHEN {_USAGE_EC2}
-            AND ((purchase_option = 'OnDemand'
-                  OR savings_plan_offering_type = 'ComputeSavingsPlans')
-                 AND adjusted_processor <> 'Graviton' AND latest_amd <> ''
-                 AND adjusted_processor <> 'AMD')
-            THEN amortized_cost * 1E-1 ELSE 0 END AS ec2_amd_potential_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRDS'
-            AND instance_type <> '' THEN adjusted_amortized_cost ELSE 0 END
-      AS rds_all_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRDS'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN adjusted_amortized_cost ELSE 0 END AS rds_ondemand_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRDS'
-            AND adjusted_processor = 'Graviton' THEN amortized_cost
-       WHEN charge_type = 'Usage' AND product_code = 'AmazonRDS'
-            AND instance_type <> '' AND database_engine IN
-            ('Aurora MySQL', 'Aurora PostgreSQL', 'MariaDB', 'PostgreSQL', 'MySQL')
-            AND adjusted_processor <> 'Graviton' AND map_latest_graviton <> ''
-            THEN amortized_cost ELSE 0 END AS rds_graviton_eligible_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRDS'
-            AND instance_type <> '' AND database_engine IN
-            ('Aurora MySQL', 'Aurora PostgreSQL', 'MariaDB', 'PostgreSQL', 'MySQL')
-            AND adjusted_processor = 'Graviton' THEN amortized_cost ELSE 0 END
-      AS rds_graviton_cost,
-  CASE WHEN NOT (charge_type LIKE '%Usage%') THEN 0
-       WHEN product_code <> 'AmazonRDS' THEN 0
-       WHEN adjusted_processor = 'Graviton' THEN 0
-       WHEN map_latest_graviton = '' THEN 0
-       WHEN map_latest_graviton <> '' AND purchase_option = 'OnDemand'
-            AND database_engine IN
-            ('Aurora MySQL', 'Aurora PostgreSQL', 'MariaDB', 'PostgreSQL', 'MySQL')
-            THEN amortized_cost * 1E-1
-       ELSE 0 END AS rds_graviton_potential_savings,
-  CASE WHEN purchase_option IN ('Reserved', 'SavingsPlan')
-            AND product_code = 'AmazonRDS'
-            THEN (adjusted_amortized_cost - amortized_cost) ELSE 0 END
-      AS rds_commit_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRDS'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN amortized_cost * 2E-1 ELSE 0 END AS rds_commit_potential_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRDS'
-            AND instance_type <> '' AND database_engine IN ('Oracle')
-            THEN adjusted_amortized_cost ELSE 0 END AS rds_oracle_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRDS'
-            AND instance_type <> '' AND database_engine IN ('SQL Server')
-            THEN adjusted_amortized_cost ELSE 0 END AS rds_sql_server_cost,
-  CASE WHEN product_code = 'AmazonElastiCache' THEN adjusted_amortized_cost ELSE 0 END
-      AS elasticache_all_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonElastiCache'
-            AND instance_type <> '' THEN amortized_cost ELSE 0 END
-      AS elasticache_usage_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonElastiCache'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN adjusted_amortized_cost ELSE 0 END AS elasticache_ondemand_cost,
-  CASE WHEN purchase_option IN ('Reserved', 'SavingsPlan')
-            AND product_code = 'AmazonElastiCache'
-            THEN (adjusted_amortized_cost - amortized_cost) ELSE 0 END
-      AS elasticache_commit_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonElastiCache'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN amortized_cost * 2E-1 ELSE 0 END
-      AS elasticache_commit_potential_savings,
-  CASE WHEN product_code = 'AmazonElastiCache' AND instance_type <> ''
-            AND adjusted_processor = 'Graviton' THEN amortized_cost
-       WHEN charge_type = 'Usage' AND product_code = 'AmazonElastiCache'
-            AND instance_type <> '' AND map_latest_graviton <> ''
-            THEN amortized_cost ELSE 0 END AS elasticache_graviton_eligible_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonElastiCache'
-            AND instance_type <> '' AND instance_processor = 'Graviton'
-            THEN amortized_cost ELSE 0 END AS elasticache_graviton_cost,
-  CASE WHEN adjusted_processor = 'Graviton' THEN 0
-       WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonElastiCache'
-            AND instance_type <> '' AND map_latest_graviton <> ''
-            THEN amortized_cost * 5E-2 ELSE 0 END
-      AS elasticache_graviton_potential_savings,
-  CASE WHEN product_code = 'AmazonES' THEN adjusted_amortized_cost ELSE 0 END
-      AS opensearch_all_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonES'
-            AND instance_type <> '' THEN amortized_cost ELSE 0 END
-      AS opensearch_usage_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonES'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN adjusted_amortized_cost ELSE 0 END AS opensearch_ondemand_cost,
-  CASE WHEN purchase_option IN ('Reserved', 'SavingsPlan') AND product_code = 'AmazonES'
-            THEN (adjusted_amortized_cost - amortized_cost) ELSE 0 END
-      AS opensearch_commit_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonES'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN amortized_cost * 2E-1 ELSE 0 END
-      AS opensearch_commit_potential_savings,
-  CASE WHEN product_code = 'AmazonES' AND instance_type <> ''
-            AND adjusted_processor = 'Graviton' THEN amortized_cost
-       WHEN charge_type = 'Usage' AND product_code = 'AmazonES'
-            AND instance_type <> '' AND map_latest_graviton <> ''
-            THEN amortized_cost ELSE 0 END AS opensearch_graviton_eligible_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonES'
-            AND instance_type <> '' AND adjusted_processor = 'Graviton'
-            THEN amortized_cost ELSE 0 END AS opensearch_graviton_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonES'
-            AND instance_type <> '' AND adjusted_processor = 'Graviton' THEN 0
-       WHEN charge_type = 'Usage' AND product_code = 'AmazonES'
-            AND instance_type <> '' AND map_latest_graviton <> ''
-            THEN amortized_cost * 5E-2 ELSE 0 END
-      AS opensearch_graviton_potential_savings,
-  CASE WHEN product_code = 'AmazonRedshift' THEN adjusted_amortized_cost ELSE 0 END
-      AS redshift_all_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRedshift'
-            AND instance_type <> '' THEN amortized_cost ELSE 0 END
-      AS redshift_usage_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRedshift'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN adjusted_amortized_cost ELSE 0 END AS redshift_ondemand_cost,
-  CASE WHEN purchase_option IN ('Reserved', 'SavingsPlan')
-            AND product_code = 'AmazonRedshift'
-            THEN (adjusted_amortized_cost - amortized_cost) ELSE 0 END
-      AS redshift_commit_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonRedshift'
-            AND instance_type <> '' AND purchase_option = 'OnDemand'
-            THEN amortized_cost * 2E-1 ELSE 0 END
-      AS redshift_commit_potential_savings,
-  CASE WHEN product_code = 'AmazonDynamoDB' THEN adjusted_amortized_cost ELSE 0 END
-      AS dynamodb_all_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'DynamoDB'
-            THEN adjusted_amortized_cost ELSE 0 END AS dynamodb_committed_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AmazonDynamoDB'
-            THEN amortized_cost ELSE 0 END AS dynamodb_usage_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'DynamoDB'
-            AND purchase_option = 'OnDemand' THEN adjusted_amortized_cost ELSE 0 END
-      AS dynamodb_ondemand_cost,
-  CASE WHEN purchase_option IN ('Reserved', 'SavingsPlan')
-            AND commit_service_group = 'DynamoDB'
-            THEN (adjusted_amortized_cost - amortized_cost) ELSE 0 END
-      AS dynamodb_commit_savings,
-  CASE WHEN charge_type LIKE '%Usage%' AND commit_service_group = 'DynamoDB'
-            AND purchase_option = 'OnDemand' THEN amortized_cost * 2E-1 ELSE 0 END
-      AS dynamodb_commit_potential_savings,
-  CASE WHEN product_code = 'AWSLambda' THEN adjusted_amortized_cost ELSE 0 END
-      AS lambda_all_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AWSLambda'
-            THEN amortized_cost ELSE 0 END AS lambda_usage_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AWSLambda'
-            AND adjusted_processor = 'Graviton' THEN amortized_cost
-       WHEN charge_type LIKE '%Usage%' AND product_code = 'AWSLambda'
-            THEN amortized_cost ELSE 0 END AS lambda_graviton_eligible_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AWSLambda'
-            AND adjusted_processor = 'Graviton' THEN amortized_cost ELSE 0 END
-      AS lambda_graviton_cost,
-  CASE WHEN charge_type LIKE '%Usage%' AND product_code = 'AWSLambda'
-            AND adjusted_processor <> 'Graviton' THEN amortized_cost * 2E-1 ELSE 0 END
-      AS lambda_graviton_potential_savings
-FROM joined j
+  MONEY8(CASE WHEN commit_service_group = 'Machine Learning'
+              THEN adjusted_amortized_cost ELSE 0 END) AS sagemaker_all_cost,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'Machine Learning' AND f_itype
+              THEN amortized_cost ELSE 0 END) AS sagemaker_usage_cost,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'Machine Learning'
+                   AND f_itype AND f_od
+              THEN adjusted_amortized_cost ELSE 0 END) AS sagemaker_ondemand_cost,
+  MONEY8(CASE WHEN f_commit AND commit_service_group = 'Machine Learning'
+              THEN commit_gap ELSE 0 END) AS sagemaker_commit_savings,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'Machine Learning'
+                   AND f_itype AND f_od
+              THEN amort_x20 ELSE 0 END) AS sagemaker_commit_potential_savings,
+  MONEY8(CASE WHEN commit_service_group = 'Compute'
+              THEN adjusted_amortized_cost ELSE 0 END) AS compute_all_cost,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'Compute'
+              THEN adjusted_amortized_cost ELSE 0 END) AS compute_usage_cost,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'Compute' AND f_od
+              THEN adjusted_amortized_cost ELSE 0 END) AS compute_ondemand_cost,
+  MONEY8(CASE WHEN f_commit AND commit_service_group = 'Compute'
+              THEN commit_gap ELSE 0 END) AS compute_commit_savings,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'Compute' AND f_od
+              THEN amort_x20 ELSE 0 END) AS compute_commit_potential_savings,
+  MONEY8(CASE WHEN product_code = 'AmazonEC2'
+              THEN adjusted_amortized_cost ELSE 0 END) AS ec2_all_cost,
+  MONEY8(CASE WHEN f_ec2run THEN amortized_cost ELSE 0 END) AS ec2_usage_cost,
+  MONEY8(CASE WHEN f_ec2run AND f_spot
+              THEN adjusted_amortized_cost ELSE 0 END) AS ec2_spot_cost,
+  MONEY8(CASE WHEN f_ec2run AND generation IN ('Previous') AND f_flexible
+              THEN amortized_cost ELSE 0 END) AS ec2_previous_generation_cost,
+  MONEY8(CASE WHEN f_ec2run AND NOT f_windows
+                   AND (f_grav OR (f_odcsp AND NOT f_grav AND f_grav_target))
+              THEN amortized_cost ELSE 0 END) AS ec2_graviton_eligible_cost,
+  MONEY8(CASE WHEN f_ec2run AND f_grav
+              THEN amortized_cost ELSE 0 END) AS ec2_graviton_cost,
+  MONEY8(CASE WHEN f_grav THEN 0
+              WHEN f_ec2run AND (f_amd OR (f_odcsp AND NOT f_amd AND f_amd_target))
+              THEN amortized_cost ELSE 0 END) AS ec2_amd_eligible_cost,
+  MONEY8(CASE WHEN f_ec2run AND instance_processor = 'AMD'
+              THEN amortized_cost ELSE 0 END) AS ec2_amd_cost,
+  MONEY8(CASE WHEN f_ec2run AND f_flexible
+              THEN adj_x55 ELSE 0 END) AS ec2_spot_potential_savings,
+  MONEY8(CASE WHEN f_ec2run AND f_spot
+              THEN commit_gap ELSE 0 END) AS ec2_spot_savings,
+  MONEY8(CASE WHEN f_ec2run AND generation IN ('Previous') AND f_flexible
+              THEN amort_x05 ELSE 0 END) AS ec2_previous_generation_potential_savings,
+  MONEY8(CASE WHEN f_ec2run AND NOT f_windows
+                   AND f_odcsp AND NOT f_grav AND f_grav_target AND NOT f_amd
+              THEN amort_x20
+              WHEN f_ec2run AND NOT f_windows
+                   AND f_odcsp AND NOT f_grav AND f_grav_target AND f_amd
+              THEN amort_x10
+              ELSE 0 END) AS ec2_graviton_potential_savings,
+  MONEY8(CASE WHEN f_ec2run AND f_odcsp AND NOT f_grav AND f_amd_target AND NOT f_amd
+              THEN amort_x10 ELSE 0 END) AS ec2_amd_potential_savings,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRDS' AND f_itype
+              THEN adjusted_amortized_cost ELSE 0 END) AS rds_all_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRDS' AND f_itype AND f_od
+              THEN adjusted_amortized_cost ELSE 0 END) AS rds_ondemand_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRDS' AND f_grav
+              THEN amortized_cost
+              WHEN f_usage_exact AND product_code = 'AmazonRDS' AND f_itype
+                   AND f_rds_oss AND NOT f_grav AND f_grav_target
+              THEN amortized_cost ELSE 0 END) AS rds_graviton_eligible_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRDS' AND f_itype
+                   AND f_rds_oss AND f_grav
+              THEN amortized_cost ELSE 0 END) AS rds_graviton_cost,
+  MONEY8(CASE WHEN NOT f_usage THEN 0
+              WHEN product_code <> 'AmazonRDS' THEN 0
+              WHEN f_grav THEN 0
+              WHEN NOT f_grav_target THEN 0
+              WHEN f_grav_target AND f_od AND f_rds_oss THEN amort_x10
+              ELSE 0 END) AS rds_graviton_potential_savings,
+  MONEY8(CASE WHEN f_commit AND product_code = 'AmazonRDS'
+              THEN commit_gap ELSE 0 END) AS rds_commit_savings,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRDS' AND f_itype AND f_od
+              THEN amort_x20 ELSE 0 END) AS rds_commit_potential_savings,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRDS' AND f_itype
+                   AND database_engine IN ('Oracle')
+              THEN adjusted_amortized_cost ELSE 0 END) AS rds_oracle_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRDS' AND f_itype
+                   AND database_engine IN ('SQL Server')
+              THEN adjusted_amortized_cost ELSE 0 END) AS rds_sql_server_cost,
+  MONEY8(CASE WHEN product_code = 'AmazonElastiCache'
+              THEN adjusted_amortized_cost ELSE 0 END) AS elasticache_all_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonElastiCache' AND f_itype
+              THEN amortized_cost ELSE 0 END) AS elasticache_usage_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonElastiCache' AND f_itype AND f_od
+              THEN adjusted_amortized_cost ELSE 0 END) AS elasticache_ondemand_cost,
+  MONEY8(CASE WHEN f_commit AND product_code = 'AmazonElastiCache'
+              THEN commit_gap ELSE 0 END) AS elasticache_commit_savings,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonElastiCache' AND f_itype AND f_od
+              THEN amort_x20 ELSE 0 END) AS elasticache_commit_potential_savings,
+  MONEY8(CASE WHEN product_code = 'AmazonElastiCache' AND f_itype AND f_grav
+              THEN amortized_cost
+              WHEN f_usage_exact AND product_code = 'AmazonElastiCache' AND f_itype
+                   AND f_grav_target
+              THEN amortized_cost ELSE 0 END) AS elasticache_graviton_eligible_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonElastiCache' AND f_itype
+                   AND instance_processor = 'Graviton'
+              THEN amortized_cost ELSE 0 END) AS elasticache_graviton_cost,
+  MONEY8(CASE WHEN f_grav THEN 0
+              WHEN f_usage AND product_code = 'AmazonElastiCache' AND f_itype
+                   AND f_grav_target
+              THEN amort_x05 ELSE 0 END) AS elasticache_graviton_potential_savings,
+  MONEY8(CASE WHEN product_code = 'AmazonES'
+              THEN adjusted_amortized_cost ELSE 0 END) AS opensearch_all_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonES' AND f_itype
+              THEN amortized_cost ELSE 0 END) AS opensearch_usage_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonES' AND f_itype AND f_od
+              THEN adjusted_amortized_cost ELSE 0 END) AS opensearch_ondemand_cost,
+  MONEY8(CASE WHEN f_commit AND product_code = 'AmazonES'
+              THEN commit_gap ELSE 0 END) AS opensearch_commit_savings,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonES' AND f_itype AND f_od
+              THEN amort_x20 ELSE 0 END) AS opensearch_commit_potential_savings,
+  MONEY8(CASE WHEN product_code = 'AmazonES' AND f_itype AND f_grav
+              THEN amortized_cost
+              WHEN f_usage_exact AND product_code = 'AmazonES' AND f_itype
+                   AND f_grav_target
+              THEN amortized_cost ELSE 0 END) AS opensearch_graviton_eligible_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonES' AND f_itype AND f_grav
+              THEN amortized_cost ELSE 0 END) AS opensearch_graviton_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonES' AND f_itype AND f_grav THEN 0
+              WHEN f_usage_exact AND product_code = 'AmazonES' AND f_itype
+                   AND f_grav_target
+              THEN amort_x05 ELSE 0 END) AS opensearch_graviton_potential_savings,
+  MONEY8(CASE WHEN product_code = 'AmazonRedshift'
+              THEN adjusted_amortized_cost ELSE 0 END) AS redshift_all_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRedshift' AND f_itype
+              THEN amortized_cost ELSE 0 END) AS redshift_usage_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRedshift' AND f_itype AND f_od
+              THEN adjusted_amortized_cost ELSE 0 END) AS redshift_ondemand_cost,
+  MONEY8(CASE WHEN f_commit AND product_code = 'AmazonRedshift'
+              THEN commit_gap ELSE 0 END) AS redshift_commit_savings,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonRedshift' AND f_itype AND f_od
+              THEN amort_x20 ELSE 0 END) AS redshift_commit_potential_savings,
+  MONEY8(CASE WHEN product_code = 'AmazonDynamoDB'
+              THEN adjusted_amortized_cost ELSE 0 END) AS dynamodb_all_cost,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'DynamoDB'
+              THEN adjusted_amortized_cost ELSE 0 END) AS dynamodb_committed_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AmazonDynamoDB'
+              THEN amortized_cost ELSE 0 END) AS dynamodb_usage_cost,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'DynamoDB' AND f_od
+              THEN adjusted_amortized_cost ELSE 0 END) AS dynamodb_ondemand_cost,
+  MONEY8(CASE WHEN f_commit AND commit_service_group = 'DynamoDB'
+              THEN commit_gap ELSE 0 END) AS dynamodb_commit_savings,
+  MONEY8(CASE WHEN f_usage AND commit_service_group = 'DynamoDB' AND f_od
+              THEN amort_x20 ELSE 0 END) AS dynamodb_commit_potential_savings,
+  MONEY8(CASE WHEN product_code = 'AWSLambda'
+              THEN adjusted_amortized_cost ELSE 0 END) AS lambda_all_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AWSLambda'
+              THEN amortized_cost ELSE 0 END) AS lambda_usage_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AWSLambda' AND f_grav
+              THEN amortized_cost
+              WHEN f_usage AND product_code = 'AWSLambda'
+              THEN amortized_cost ELSE 0 END) AS lambda_graviton_eligible_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AWSLambda' AND f_grav
+              THEN amortized_cost ELSE 0 END) AS lambda_graviton_cost,
+  MONEY8(CASE WHEN f_usage AND product_code = 'AWSLambda' AND NOT f_grav
+              THEN amort_x20 ELSE 0 END) AS lambda_graviton_potential_savings
+FROM kpi_prep p
 """
 
 #: level-3: kpi_tracker spine — 4-column composite-key LEFT JOINs
 #: (kpi_tracker.sql:84-230)
 KPI_TRACKER_BODY = """
-SELECT DISTINCT
+SELECT
   spend_all.billing_period, spend_all.payer_account_id, spend_all.linked_account_id,
   spend_all.spend_all_cost, spend_all.tags_json,
   instance_all.ec2_all_cost, instance_all.ec2_usage_cost, instance_all.ec2_spot_cost,
@@ -575,7 +567,7 @@ SELECT DISTINCT
   instance_all.lambda_all_cost, instance_all.lambda_graviton_cost,
   instance_all.lambda_graviton_eligible_cost, instance_all.lambda_graviton_potential_savings
 FROM (
-   SELECT DISTINCT billing_period, payer_account_id, linked_account_id, tags_json,
+   SELECT billing_period, payer_account_id, linked_account_id, tags_json,
           DSUM(amortized_cost) AS spend_all_cost,
           DSUM(unblended_cost) AS unblended_cost
    FROM summary_view
@@ -584,71 +576,71 @@ FROM (
    GROUP BY 1, 2, 3, 4
 ) spend_all
 LEFT JOIN (
-   SELECT DISTINCT billing_period, payer_account_id, linked_account_id, tags_json,
-          DSUM(ec2_all_cost) AS ec2_all_cost,
-          DSUM(ec2_usage_cost) AS ec2_usage_cost,
-          DSUM(ec2_spot_cost) AS ec2_spot_cost,
-          DSUM(ec2_spot_potential_savings) AS ec2_spot_potential_savings,
-          DSUM(ec2_previous_generation_cost) AS ec2_previous_generation_cost,
-          DSUM(ec2_previous_generation_potential_savings)
+   SELECT billing_period, payer_account_id, linked_account_id, tags_json,
+          DSUM8(ec2_all_cost) AS ec2_all_cost,
+          DSUM8(ec2_usage_cost) AS ec2_usage_cost,
+          DSUM8(ec2_spot_cost) AS ec2_spot_cost,
+          DSUM8(ec2_spot_potential_savings) AS ec2_spot_potential_savings,
+          DSUM8(ec2_previous_generation_cost) AS ec2_previous_generation_cost,
+          DSUM8(ec2_previous_generation_potential_savings)
               AS ec2_previous_generation_potential_savings,
-          DSUM(ec2_graviton_eligible_cost) AS ec2_graviton_eligible_cost,
-          DSUM(ec2_graviton_cost) AS ec2_graviton_cost,
-          DSUM(ec2_graviton_potential_savings) AS ec2_graviton_potential_savings,
-          DSUM(ec2_amd_eligible_cost) AS ec2_amd_eligible_cost,
-          DSUM(ec2_amd_cost) AS ec2_amd_cost,
-          DSUM(ec2_amd_potential_savings) AS ec2_amd_potential_savings,
-          DSUM(rds_all_cost) AS rds_all_cost,
-          DSUM(rds_ondemand_cost) AS rds_ondemand_cost,
-          DSUM(rds_graviton_cost) AS rds_graviton_cost,
-          DSUM(rds_graviton_eligible_cost) AS rds_graviton_eligible_cost,
-          DSUM(rds_graviton_potential_savings) AS rds_graviton_potential_savings,
-          DSUM(rds_commit_potential_savings) AS rds_commit_potential_savings,
-          DSUM(rds_commit_savings) AS rds_commit_savings,
+          DSUM8(ec2_graviton_eligible_cost) AS ec2_graviton_eligible_cost,
+          DSUM8(ec2_graviton_cost) AS ec2_graviton_cost,
+          DSUM8(ec2_graviton_potential_savings) AS ec2_graviton_potential_savings,
+          DSUM8(ec2_amd_eligible_cost) AS ec2_amd_eligible_cost,
+          DSUM8(ec2_amd_cost) AS ec2_amd_cost,
+          DSUM8(ec2_amd_potential_savings) AS ec2_amd_potential_savings,
+          DSUM8(rds_all_cost) AS rds_all_cost,
+          DSUM8(rds_ondemand_cost) AS rds_ondemand_cost,
+          DSUM8(rds_graviton_cost) AS rds_graviton_cost,
+          DSUM8(rds_graviton_eligible_cost) AS rds_graviton_eligible_cost,
+          DSUM8(rds_graviton_potential_savings) AS rds_graviton_potential_savings,
+          DSUM8(rds_commit_potential_savings) AS rds_commit_potential_savings,
+          DSUM8(rds_commit_savings) AS rds_commit_savings,
           SUM(CASE WHEN license_model IN ('License included', 'Bring your own license')
                    THEN 1 ELSE 0 END) AS rds_license,
           SUM(CASE WHEN license_model LIKE 'No license required' THEN 1 ELSE 0 END)
               AS rds_no_license,
-          DSUM(rds_sql_server_cost) AS rds_sql_server_cost,
-          DSUM(rds_oracle_cost) AS rds_oracle_cost,
-          DSUM(elasticache_all_cost) AS elasticache_all_cost,
-          DSUM(elasticache_ondemand_cost) AS elasticache_ondemand_cost,
-          DSUM(elasticache_graviton_cost) AS elasticache_graviton_cost,
-          DSUM(elasticache_graviton_eligible_cost) AS elasticache_graviton_eligible_cost,
-          DSUM(elasticache_graviton_potential_savings)
+          DSUM8(rds_sql_server_cost) AS rds_sql_server_cost,
+          DSUM8(rds_oracle_cost) AS rds_oracle_cost,
+          DSUM8(elasticache_all_cost) AS elasticache_all_cost,
+          DSUM8(elasticache_ondemand_cost) AS elasticache_ondemand_cost,
+          DSUM8(elasticache_graviton_cost) AS elasticache_graviton_cost,
+          DSUM8(elasticache_graviton_eligible_cost) AS elasticache_graviton_eligible_cost,
+          DSUM8(elasticache_graviton_potential_savings)
               AS elasticache_graviton_potential_savings,
-          DSUM(elasticache_commit_potential_savings)
+          DSUM8(elasticache_commit_potential_savings)
               AS elasticache_commit_potential_savings,
-          DSUM(elasticache_commit_savings) AS elasticache_commit_savings,
-          DSUM(compute_all_cost) AS compute_all_cost,
-          DSUM(compute_ondemand_cost) AS compute_ondemand_cost,
-          DSUM(compute_commit_potential_savings) AS compute_commit_potential_savings,
-          DSUM(compute_commit_savings) AS compute_commit_savings,
-          DSUM(opensearch_all_cost) AS opensearch_all_cost,
-          DSUM(opensearch_ondemand_cost) AS opensearch_ondemand_cost,
-          DSUM(opensearch_graviton_cost) AS opensearch_graviton_cost,
-          DSUM(opensearch_graviton_eligible_cost) AS opensearch_graviton_eligible_cost,
-          DSUM(opensearch_graviton_potential_savings)
+          DSUM8(elasticache_commit_savings) AS elasticache_commit_savings,
+          DSUM8(compute_all_cost) AS compute_all_cost,
+          DSUM8(compute_ondemand_cost) AS compute_ondemand_cost,
+          DSUM8(compute_commit_potential_savings) AS compute_commit_potential_savings,
+          DSUM8(compute_commit_savings) AS compute_commit_savings,
+          DSUM8(opensearch_all_cost) AS opensearch_all_cost,
+          DSUM8(opensearch_ondemand_cost) AS opensearch_ondemand_cost,
+          DSUM8(opensearch_graviton_cost) AS opensearch_graviton_cost,
+          DSUM8(opensearch_graviton_eligible_cost) AS opensearch_graviton_eligible_cost,
+          DSUM8(opensearch_graviton_potential_savings)
               AS opensearch_graviton_potential_savings,
-          DSUM(opensearch_commit_potential_savings) AS opensearch_commit_potential_savings,
-          DSUM(opensearch_commit_savings) AS opensearch_commit_savings,
-          DSUM(redshift_all_cost) AS redshift_all_cost,
-          DSUM(redshift_ondemand_cost) AS redshift_ondemand_cost,
-          DSUM(redshift_commit_potential_savings) AS redshift_commit_potential_savings,
-          DSUM(redshift_commit_savings) AS redshift_commit_savings,
-          DSUM(dynamodb_all_cost) AS dynamodb_all_cost,
-          DSUM(dynamodb_committed_cost) AS dynamodb_committed_cost,
-          DSUM(dynamodb_ondemand_cost) AS dynamodb_ondemand_cost,
-          DSUM(dynamodb_commit_potential_savings) AS dynamodb_commit_potential_savings,
-          DSUM(dynamodb_commit_savings) AS dynamodb_commit_savings,
-          DSUM(sagemaker_all_cost) AS sagemaker_all_cost,
-          DSUM(sagemaker_ondemand_cost) AS sagemaker_ondemand_cost,
-          DSUM(sagemaker_commit_potential_savings) AS sagemaker_commit_potential_savings,
-          DSUM(sagemaker_commit_savings) AS sagemaker_commit_savings,
-          DSUM(lambda_all_cost) AS lambda_all_cost,
-          DSUM(lambda_graviton_cost) AS lambda_graviton_cost,
-          DSUM(lambda_graviton_eligible_cost) AS lambda_graviton_eligible_cost,
-          DSUM(lambda_graviton_potential_savings) AS lambda_graviton_potential_savings
+          DSUM8(opensearch_commit_potential_savings) AS opensearch_commit_potential_savings,
+          DSUM8(opensearch_commit_savings) AS opensearch_commit_savings,
+          DSUM8(redshift_all_cost) AS redshift_all_cost,
+          DSUM8(redshift_ondemand_cost) AS redshift_ondemand_cost,
+          DSUM8(redshift_commit_potential_savings) AS redshift_commit_potential_savings,
+          DSUM8(redshift_commit_savings) AS redshift_commit_savings,
+          DSUM8(dynamodb_all_cost) AS dynamodb_all_cost,
+          DSUM8(dynamodb_committed_cost) AS dynamodb_committed_cost,
+          DSUM8(dynamodb_ondemand_cost) AS dynamodb_ondemand_cost,
+          DSUM8(dynamodb_commit_potential_savings) AS dynamodb_commit_potential_savings,
+          DSUM8(dynamodb_commit_savings) AS dynamodb_commit_savings,
+          DSUM8(sagemaker_all_cost) AS sagemaker_all_cost,
+          DSUM8(sagemaker_ondemand_cost) AS sagemaker_ondemand_cost,
+          DSUM8(sagemaker_commit_potential_savings) AS sagemaker_commit_potential_savings,
+          DSUM8(sagemaker_commit_savings) AS sagemaker_commit_savings,
+          DSUM8(lambda_all_cost) AS lambda_all_cost,
+          DSUM8(lambda_graviton_cost) AS lambda_graviton_cost,
+          DSUM8(lambda_graviton_eligible_cost) AS lambda_graviton_eligible_cost,
+          DSUM8(lambda_graviton_potential_savings) AS lambda_graviton_potential_savings
    FROM kpi_instance_all
    GROUP BY 1, 2, 3, 4
 ) instance_all
@@ -657,7 +649,7 @@ LEFT JOIN (
  AND instance_all.payer_account_id = spend_all.payer_account_id
  AND instance_all.tags_json = spend_all.tags_json
 LEFT JOIN (
-   SELECT DISTINCT billing_period, payer_account_id, linked_account_id, tags_json,
+   SELECT billing_period, payer_account_id, linked_account_id, tags_json,
           DSUM(ebs_all_cost) AS ebs_all_cost,
           DSUM(ebs_gp3_cost + ebs_gp2_cost) AS ebs_gp_all_cost,
           DSUM(ebs_gp3_cost) AS ebs_gp3_cost,
@@ -671,7 +663,7 @@ LEFT JOIN (
  AND ebs_all.payer_account_id = spend_all.payer_account_id
  AND ebs_all.tags_json = spend_all.tags_json
 LEFT JOIN (
-   SELECT DISTINCT billing_period, payer_account_id, linked_account_id, tags_json,
+   SELECT billing_period, payer_account_id, linked_account_id, tags_json,
           DSUM(ebs_snapshots_under_1yr_cost) AS ebs_snapshots_under_1yr_cost,
           DSUM(ebs_snapshots_over_1yr_cost) AS ebs_snapshots_over_1yr_cost,
           DSUM(ebs_snapshot_cost) AS ebs_snapshot_cost
@@ -683,7 +675,7 @@ LEFT JOIN (
  AND snap.payer_account_id = spend_all.payer_account_id
  AND snap.tags_json = spend_all.tags_json
 LEFT JOIN (
-   SELECT DISTINCT billing_period, payer_account_id, linked_account_id, tags_json,
+   SELECT billing_period, payer_account_id, linked_account_id, tags_json,
           DSUM(s3_all_storage_cost) AS s3_all_storage_cost,
           DSUM(s3_standard_storage_cost) AS s3_standard_storage_cost,
           DSUM(s3_standard_storage_potential_savings)
@@ -708,6 +700,7 @@ VIEW_CHAIN: list[tuple[str, str]] = [
     ("kpi_s3_storage_all", KPI_S3_STORAGE_ALL),
     ("cur_all", _CUR_ALL),
     ("joined", _JOINED),
+    ("kpi_prep", KPI_PREP_BODY),
     ("kpi_instance_all", KPI_INSTANCE_ALL_BODY),
     ("kpi_tracker", KPI_TRACKER_BODY),
 ]
