@@ -389,7 +389,7 @@ _common(
            concat(lang, '-', source) AS lang_source,
            replace(source, 'src', 'origin_') AS renamed_source,
            regexp_extract(text, '(table|row|scan)', 1) AS first_kw,
-           ROUND(n_chars / 100.0, 2) AS hundreds,
+           CAST(ROUND(n_chars / 100.0, 2) AS DOUBLE) AS hundreds,
            ABS(n_chars - 250) AS dist_from_250,
            COALESCE(NULLIF(lang, 'en'), 'english') AS lang_normalized,
            substring(text, 1, 10) AS prefix10

@@ -274,11 +274,14 @@ _common(
     """
     SELECT line_item_product_code AS service,
            COUNT(*) AS n_rows,
-           SUM(CASE WHEN resource_tags LIKE '%Environment%' THEN 1 ELSE 0 END) AS env_tagged,
-           SUM(CASE WHEN resource_tags LIKE '%Team%' THEN 1 ELSE 0 END) AS team_tagged,
-           SUM(CASE WHEN resource_tags = '' OR resource_tags IS NULL THEN 1 ELSE 0 END) AS untagged,
-           ROUND(SUM(CASE WHEN resource_tags LIKE '%Environment%' THEN 1 ELSE 0 END)
-                 * 100.0 / COUNT(*), 6) AS env_compliance_pct,
+           CAST(SUM(CASE WHEN resource_tags LIKE '%Environment%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS env_tagged,
+           CAST(SUM(CASE WHEN resource_tags LIKE '%Team%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS team_tagged,
+           CAST(SUM(CASE WHEN resource_tags = '' OR resource_tags IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS untagged,
+           CAST(ROUND(SUM(CASE WHEN resource_tags LIKE '%Environment%' THEN 1 ELSE 0 END)
+                 * 100.0 / COUNT(*), 6) AS DOUBLE) AS env_compliance_pct,
            DSUM(CASE WHEN resource_tags = '' OR resource_tags IS NULL
                      THEN line_item_unblended_cost ELSE 0 END) AS untagged_cost
     FROM cur

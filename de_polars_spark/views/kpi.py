@@ -597,10 +597,10 @@ LEFT JOIN (
           DSUM8(rds_graviton_potential_savings) AS rds_graviton_potential_savings,
           DSUM8(rds_commit_potential_savings) AS rds_commit_potential_savings,
           DSUM8(rds_commit_savings) AS rds_commit_savings,
-          SUM(CASE WHEN license_model IN ('License included', 'Bring your own license')
-                   THEN 1 ELSE 0 END) AS rds_license,
-          SUM(CASE WHEN license_model LIKE 'No license required' THEN 1 ELSE 0 END)
-              AS rds_no_license,
+          CAST(SUM(CASE WHEN license_model IN ('License included', 'Bring your own license')
+                   THEN 1 ELSE 0 END) AS BIGINT) AS rds_license,
+          CAST(SUM(CASE WHEN license_model LIKE 'No license required' THEN 1 ELSE 0 END)
+              AS BIGINT) AS rds_no_license,
           DSUM8(rds_sql_server_cost) AS rds_sql_server_cost,
           DSUM8(rds_oracle_cost) AS rds_oracle_cost,
           DSUM8(elasticache_all_cost) AS elasticache_all_cost,
