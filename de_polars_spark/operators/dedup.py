@@ -25,10 +25,14 @@ the minimum any candidate-pair algorithm needs.
 
 At 100 TB the known hazard is posting-list / bucket skew (boilerplate
 shingles, near-identical boilerplate docs): both pair generators go
-quadratic in bucket size by necessity (that IS the output), but a
-production run would cap document frequency per shingle and bucket size
-— both are single `filter` lines on the bucket relation, left off here
-so results match the exact-semantics oracle.
+quadratic in bucket size by necessity (that IS the output). Every
+generator therefore takes an explicit cap (``max_bucket_size`` /
+``max_df`` / ``max_block_size``); the default None keeps exact
+oracle-matching semantics, a production run sets them to bound the
+worst bucket. No relation is ever broadcast wholesale: the verification
+joins let AQE pick the strategy (the candidate-pair side is the small
+one; broadcasting the full doc-shingle relation — round 1 — is an OOM
+by construction at scale).
 """
 
 from __future__ import annotations
@@ -38,6 +42,24 @@ from pyspark.sql import functions as F
 
 from de_polars_spark.functions import text as TX
 from de_polars_spark.functions import vectors as VX
+
+#: DataFrames persisted by operators in this module (shingle relations
+#: reused by 3+ branches). Callers that run many dedup jobs in one
+#: session should call :func:`release_cached` between jobs.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_cached() -> int:
+    """Unpersist every relation cached by this module's operators; returns
+    the number released. Safe to call while no job is running."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, content: Column) -> DataFrame:
@@ -74,6 +96,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -81,7 +104,11 @@ def minhash_lsh_pairs(
     per-band md5 bucket keys → ONE groupBy collecting each bucket's ids →
     in-bucket pair expansion → distinct. The classic shingle→minhash→
     band→bucket pipeline with exactly two shuffles (bucket groupBy, final
-    distinct)."""
+    distinct).
+
+    ``max_bucket_size`` drops buckets larger than the cap (boilerplate
+    skew guard for production corpora: a bucket of B ids emits B² pairs).
+    None = exact semantics (every bucket expanded)."""
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
     toks = df.select(
@@ -116,6 +143,8 @@ def minhash_lsh_pairs(
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     return (
         buckets.filter(F.size("ids") > 1)
         .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
@@ -144,6 +173,8 @@ def ngram_jaccard_pairs(
     block_col: str,
     threshold: float = 0.3,
     shingle_n: int = 2,
+    max_df: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing a blocking key,
     via prefix filtering (the AllPairs/PPJoin candidate bound).
@@ -154,14 +185,21 @@ def ngram_jaccard_pairs(
     in each doc's first ``|d| - ceil(t*|d|) + 1`` positions (prefix-filter
     lemma, same global order both sides), so hot boilerplate shingles —
     last in the order — rarely generate candidates. Candidates are then
-    verified exactly with ``array_intersect`` against the broadcast
-    shingle sets (one short row per doc). Measured 2.6x over naive
-    posting-list counting at sf0.1; exact same output.
+    verified exactly with ``array_intersect`` against the per-doc shingle
+    sets; the verification joins carry NO broadcast hints — AQE
+    broadcasts the candidate-pair side when it is small, and at corpus
+    scale neither side is forced resident on every executor. Measured
+    2.6x over naive posting-list counting at sf0.1; exact same output.
+
+    Skew guards for production corpora (None = exact oracle semantics):
+    ``max_df`` drops shingles appearing in more than that many docs per
+    block *before* prefix construction; ``max_bucket_size`` drops
+    candidate buckets larger than the cap.
 
     The shingled doc relation is persisted: it is consumed by three
     branches (document frequencies, prefixes, verification) and
-    recomputation — not data volume — dominates otherwise. Caller may
-    ``spark.catalog.clearCache()`` after collecting if memory matters.
+    recomputation — not data volume — dominates otherwise. Call
+    :func:`release_cached` after collecting if memory matters.
     """
     docs = df.select(
         F.col(id_col),
@@ -172,8 +210,11 @@ def ngram_jaccard_pairs(
         "block",
         TX.shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles"),
     ).persist()
+    _PERSISTED.append(docs)
     ex = docs.select(id_col, "block", F.explode("shingles").alias("shingle"))
     dfreq = ex.groupBy("block", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
     prefix_len = (
         F.size("ordered") - F.ceil(F.lit(threshold) * F.size("ordered")) + 1
     ).cast("int")
@@ -188,12 +229,16 @@ def ngram_jaccard_pairs(
         )
         .select(id_col, "block", F.slice("ordered", 1, prefix_len).alias("prefix"))
     )
-    candidates = (
+    cand_buckets = (
         pre.select(id_col, "block", F.explode("prefix").alias("shingle"))
         .groupBy("block", "shingle")
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+    )
+    if max_bucket_size is not None:
+        cand_buckets = cand_buckets.filter(F.size("ids") <= max_bucket_size)
+    candidates = (
+        cand_buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
         .select("p.id_a", "p.id_b")
         .distinct()
     )
@@ -205,8 +250,8 @@ def ngram_jaccard_pairs(
         6,
     )
     return (
-        candidates.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -225,6 +270,7 @@ def embedding_neardup_pairs(
     vec_col: str,
     block_col: str,
     threshold: float,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs within a blocking key.
 
@@ -232,7 +278,11 @@ def embedding_neardup_pairs(
     only pays one dot product). Cosine is a sequential double fold
     (bit-reproducible: dot/(sqrt(aa)*sqrt(bb)) is the oracle's exact
     operation order); rounding to 6 decimals before thresholding keeps
-    the cut deterministic across engines."""
+    the cut deterministic across engines.
+
+    The per-block pair join is inherently quadratic in block size;
+    ``max_block_size`` skips blocks above the cap (production skew
+    guard — a 1M-row block would emit 10^12 pairs). None = exact."""
     docs = df.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
@@ -240,6 +290,12 @@ def embedding_neardup_pairs(
     ).select(
         id_col, "block", "v", VX.norm(F.col("v")).alias("nrm")
     )
+    if max_block_size is not None:
+        sizes = docs.groupBy("block").agg(F.count(F.lit(1)).alias("__bn"))
+        docs = (
+            docs.join(sizes.filter(F.col("__bn") <= max_block_size), "block")
+            .drop("__bn")
+        )
     a, b = docs.alias("a"), docs.alias("b")
     cos = F.round(
         VX.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
