@@ -126,21 +126,37 @@ class SparkEngine:
         """Parser-based guard for the ad-hoc SQL API edge.
 
         The reference used a regex keyword blocklist
-        (de_polars/api/sql_endpoints.py:42-69); parsing the plan rejects
-        non-query statements properly.
+        (de_polars/api/sql_endpoints.py:42-69). A class-name deny-list is
+        also insufficient (round-1 ADVICE: INSERT OVERWRITE DIRECTORY,
+        CREATE FUNCTION, and CACHE TABLE all slipped through), so this is
+        an allow-list: the parsed plan must be a pure query. Anything that
+        is a Catalyst ``Command`` (every DDL/utility statement: CREATE/
+        DROP/ALTER/CACHE/SET/EXPLAIN/ANALYZE/SHOW/...), a pre-analysis
+        ``ParsedStatement``, or any ``InsertInto*`` node (InsertIntoDir is
+        neither of the former two) is rejected.
         """
         plan = self.spark._jsparkSession.sessionState().sqlParser().parsePlan(
             translate_duckdb_sql(sql)
         )
+        jvm = self.spark._jvm
         name = plan.getClass().getSimpleName()
-        banned = {
-            "InsertIntoStatement", "DeleteFromTable", "UpdateTable",
-            "CreateTable", "CreateTableAsSelect", "DropTable", "DropView",
-            "AlterTable", "TruncateTable", "SetCommand", "MergeIntoTable",
-            "CreateView", "CreateNamespace", "DropNamespace",
-        }
-        if name in banned:
-            raise PermissionError(f"statement type {name} is not allowed; SELECT only")
+        for iface in (
+            "org.apache.spark.sql.catalyst.plans.logical.Command",
+            "org.apache.spark.sql.catalyst.plans.logical.ParsedStatement",
+        ):
+            try:
+                if jvm.java.lang.Class.forName(iface).isInstance(plan):
+                    raise PermissionError(
+                        f"statement type {name} is not allowed; SELECT only"
+                    )
+            except PermissionError:
+                raise
+            except Exception:
+                pass  # interface absent in this Spark build — other checks apply
+        if name.startswith("InsertInto") or "Command" in name:
+            raise PermissionError(
+                f"statement type {name} is not allowed; SELECT only"
+            )
 
     # ------------------------------------------------------------------ #
     # introspection (duckdb_engine.py:315-376 parity)                     #

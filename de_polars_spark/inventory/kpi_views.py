@@ -139,6 +139,11 @@ cur AS (
         CASE WHEN li_type IN ('DiscountedUsage', 'RIFee')
              THEN concat('arn:ri/', TO_STR(l_suppkey % 5)) ELSE '' END
             AS reservation_reservation_a_r_n,
+        CASE l_orderkey % 4
+             WHEN 0 THEN ''
+             WHEN 1 THEN '{"Environment":"prod"}'
+             WHEN 2 THEN '{"Environment":"dev","Team":"data"}'
+             ELSE '{"Project":"alpha"}' END AS resource_tags,
         l_quantity AS line_item_usage_amount,
         l_extendedprice * (1 - l_discount) AS line_item_unblended_cost,
         l_extendedprice AS pricing_public_on_demand_cost,
@@ -166,24 +171,32 @@ cur AS (
 #: production, where CUR is a parquet table at rest, not a per-query
 #: expression. The synthesis is deterministic, so the artifact is safe to
 #: reuse across sessions.
-_CUR_READY: set[tuple[int, str]] = set()
+_CUR_READY: dict[tuple[int, str], str] = {}
 
 
-def _ensure_cur_ext(spark: SparkSession, sf_dir: str) -> None:
+def _ensure_cur_ext(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize + register the synthetic CUR; returns the parquet path."""
     key = (id(spark), sf_dir)
     if key in _CUR_READY:
-        return
+        return _CUR_READY[key]
+    import hashlib
     import os
 
     register_testdata(spark, sf_dir)
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".cache")
-    path = os.path.join(cache_dir, f"cur_ext_{os.path.basename(os.path.normpath(sf_dir))}.parquet")
+    # content-addressed so editing the synthesis CTE invalidates the artifact
+    tag = hashlib.md5(CUR_EXT_CTE.encode()).hexdigest()[:8]
+    path = os.path.join(
+        cache_dir,
+        f"cur_ext_{os.path.basename(os.path.normpath(sf_dir))}_{tag}.parquet",
+    )
     if not os.path.exists(path):
         df = spark.sql(render(CUR_EXT_CTE, "spark") + "\nSELECT * FROM cur")
         df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path).createOrReplaceTempView("cur_ext")
-    _CUR_READY.add(key)
+    _CUR_READY[key] = path
+    return path
 
 
 _SPARK_CUR_PREFIX = "WITH cur AS (SELECT * FROM cur_ext)"

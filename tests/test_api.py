@@ -1,0 +1,225 @@
+"""Serving-layer tests: FinOpsEngine facade + framework-free API handlers.
+
+Mirrors the reference's endpoint test coverage
+(tests/test_14_sql_query_endpoint.py:48-101,232-282: simple aggregation,
+LAG-over-aggregate with NULLIF pct change, CTE + CROSS JOIN + RANK,
+blocklist rejection, LIMIT injection) driven through the same handler
+code the FastAPI routes call.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from de_polars_spark.api.handlers import ApiError, FinOpsHandlers, ROUTES
+from de_polars_spark.client import FinOpsEngine
+from de_polars_spark.config import DataConfig
+
+
+@pytest.fixture(scope="module")
+def finops(spark, sf_dir):
+    from de_polars_spark.inventory.kpi_views import _ensure_cur_ext
+
+    path = _ensure_cur_ext(spark, sf_dir)
+    engine = FinOpsEngine(
+        DataConfig(local_data_path=path, table_name="CUR"),
+        spark=spark,
+        now="1998-10-01",
+    )
+    return engine
+
+
+@pytest.fixture(scope="module")
+def handlers(finops):
+    return FinOpsHandlers(finops)
+
+
+class TestSqlEndpoint:
+    def test_simple_aggregation(self, handlers):
+        # test_14_sql_query_endpoint.py:56-66 shape
+        out = handlers.sql_query(
+            "SELECT product_servicecode, SUM(line_item_unblended_cost) AS total_cost "
+            "FROM CUR GROUP BY 1 ORDER BY total_cost DESC LIMIT 5"
+        )
+        assert out["success"] and out["row_count"] == 5
+        assert list(out["data"][0].keys()) == ["product_servicecode", "total_cost"]
+        costs = [r["total_cost"] for r in out["data"]]
+        assert costs == sorted(costs, reverse=True)
+        assert out["query_metadata"]["table_name"] == "CUR"
+        assert "summary_view" in out["query_metadata"]["available_tables"]
+
+    def test_lag_over_aggregate(self, handlers):
+        # test_14:232-255: LAG(SUM(...)) OVER + NULLIF pct change
+        out = handlers.sql_query(
+            """
+            SELECT billing_period,
+                   SUM(line_item_unblended_cost) AS monthly_cost,
+                   ROUND((SUM(line_item_unblended_cost)
+                          - LAG(SUM(line_item_unblended_cost))
+                              OVER (ORDER BY billing_period))
+                         / NULLIF(LAG(SUM(line_item_unblended_cost))
+                              OVER (ORDER BY billing_period), 0) * 100, 2)
+                       AS pct_change
+            FROM CUR GROUP BY billing_period ORDER BY billing_period
+            """
+        )
+        assert out["success"] and out["row_count"] > 10
+        assert out["data"][0]["pct_change"] is None  # first month has no LAG
+        assert any(r["pct_change"] is not None for r in out["data"][1:])
+
+    def test_cte_cross_join_rank(self, handlers):
+        # test_14:260-282: CTE + CROSS JOIN scalar total + RANK
+        out = handlers.sql_query(
+            """
+            WITH totals AS (
+                SELECT SUM(line_item_unblended_cost) AS grand_total FROM CUR
+            ),
+            by_service AS (
+                SELECT product_servicecode,
+                       SUM(line_item_unblended_cost) AS svc_cost
+                FROM CUR GROUP BY 1
+            )
+            SELECT product_servicecode,
+                   ROUND(svc_cost / t.grand_total * 100, 2) AS pct_of_total,
+                   RANK() OVER (ORDER BY svc_cost DESC) AS cost_rank
+            FROM by_service CROSS JOIN totals t
+            ORDER BY cost_rank
+            """
+        )
+        assert out["success"]
+        assert out["data"][0]["cost_rank"] == 1
+        total_pct = sum(r["pct_of_total"] for r in out["data"])
+        assert 99.0 < total_pct < 101.0
+
+    def test_limit_injection(self, handlers):
+        out = handlers.sql_query("SELECT line_item_resource_id FROM CUR", limit=7)
+        assert out["row_count"] == 7
+        assert out["query_metadata"]["limit_applied"] == 7
+        # explicit LIMIT in the text wins (no double limit)
+        out = handlers.sql_query(
+            "SELECT line_item_resource_id FROM CUR LIMIT 3", limit=1000
+        )
+        assert out["row_count"] == 3
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "DROP TABLE CUR",
+            "INSERT INTO CUR VALUES (1)",
+            "CREATE TABLE x AS SELECT 1",
+            "INSERT OVERWRITE DIRECTORY '/tmp/x' SELECT 1",
+            "CREATE FUNCTION f AS 'com.example.F'",
+            "CACHE TABLE t AS SELECT 1",
+            "SET spark.sql.shuffle.partitions=1",
+            "EXPLAIN SELECT 1",
+        ],
+    )
+    def test_non_select_rejected(self, handlers, bad):
+        with pytest.raises(ApiError) as err:
+            handlers.sql_query(bad)
+        assert err.value.status_code == 400
+
+    def test_limit_cap_and_empty_sql(self, handlers):
+        with pytest.raises(ApiError):
+            handlers.sql_query("SELECT 1", limit=20000)
+        with pytest.raises(ApiError):
+            handlers.sql_query("   ")
+        with pytest.raises(ApiError):
+            handlers.sql_query("SELECT 1 " + "-- pad\n" * 3000)
+
+    def test_error_taxonomy(self, handlers):
+        with pytest.raises(ApiError) as err:
+            handlers.sql_query("SELECT * FROM no_such_table_xyz")
+        assert err.value.detail["error_type"] == "TABLE_NOT_FOUND"
+        with pytest.raises(ApiError) as err:
+            handlers.sql_query("SELECT no_such_column FROM CUR")
+        assert err.value.detail["error_type"] == "COLUMN_NOT_FOUND"
+
+    def test_csv_format(self, handlers):
+        out = handlers.sql_query(
+            "SELECT product_servicecode FROM CUR LIMIT 2", format="csv"
+        )
+        assert isinstance(out["data"], str)
+        assert out["data"].startswith("product_servicecode")
+
+    def test_schema_and_tables(self, handlers):
+        schema = handlers.sql_schema()
+        assert schema["main_table"]["name"] == "CUR"
+        assert "line_item_unblended_cost" in schema["main_table"]["schema"]
+        assert len(schema["main_table"]["sample_data"]) == 3
+        tables = handlers.sql_tables()
+        names = [t["name"] for t in tables["available_tables"]]
+        assert "CUR" in names and "summary_view" in names
+
+
+class TestOtherRouters:
+    def test_health_and_root(self, handlers):
+        assert handlers.health()["status"] == "healthy"
+        assert handlers.root()["api_base"] == "/api/v1/finops"
+
+    def test_kpi_summary(self, handlers):
+        out = handlers.kpi_summary()
+        assert out["summary_metadata"]["records_analyzed"] > 0
+        assert out["savings_summary"]["total_potential_savings"] > 0
+        # filtered to one payer account: fewer records
+        filtered = handlers.kpi_summary(payer_account_id="payer_0")
+        assert (
+            0
+            < filtered["summary_metadata"]["records_analyzed"]
+            < out["summary_metadata"]["records_analyzed"]
+        )
+
+    def test_health_check_and_exec_summary(self, handlers):
+        health = handlers.kpi_health_check()
+        assert set(health["category_scores"]) == {
+            "cost_efficiency", "resource_optimization", "tagging_compliance",
+        }
+        assert 0 <= health["overall_score"] <= 100
+        execsum = handlers.kpi_executive_summary()
+        assert "key_metrics" in execsum
+        assert execsum["key_metrics"]["cost_health_score"] == health["overall_score"]
+
+    def test_spend_router(self, handlers):
+        assert handlers.spend_top_services(limit=3)["services"]
+        assert handlers.spend_top_regions(limit=3)["regions"]
+        summary = handlers.spend_invoice_summary()
+        assert summary["invoice_total"] > 0
+
+    def test_optimization_router(self, handlers):
+        idle = handlers.optimization_idle_resources()
+        assert "idle_resources" in idle
+        rs = handlers.optimization_rightsizing()
+        assert "recommendations" in rs or "rightsizing_recommendations" in rs
+
+    def test_allocation_router(self, handlers):
+        compliance = handlers.allocation_tagging_compliance()
+        assert "compliance_score" in compliance
+
+    def test_discounts_router(self, handlers):
+        assert "agreements" in handlers.discounts_current_agreements()
+        roi = handlers.discounts_commitment_planning(commitment_amount=10000.0)
+        assert roi
+
+    def test_ai_router(self, handlers):
+        anomalies = handlers.ai_anomaly_detection()
+        assert "anomalies" in anomalies or "anomalies_detected" in anomalies
+
+    def test_mcp_router(self, handlers):
+        assert handlers.mcp_tools()["total_tools"] == 5
+        assert handlers.mcp_resources()["mcp_version"] == "0.4.0"
+        stream = handlers.mcp_stream_config()
+        assert stream["stream_config"]["websocket_url"].endswith("/mcp/stream")
+        assert "cost_alert" in stream["event_schemas"]
+        out = handlers.mcp_query("how can I optimize and save money")
+        assert out["parsed_intent"]["intent"] == "optimization"
+
+    def test_route_census(self, handlers):
+        # every declared route resolves to a real handler method
+        for (method, path), attr in ROUTES.items():
+            assert callable(getattr(handlers, attr)), (method, path, attr)
+        # all 8 reference routers are represented under the api prefix
+        prefixes = {p.split("/")[4] for (m, p) in ROUTES if p.startswith("/api/")}
+        assert prefixes == {
+            "sql", "kpi", "spend", "optimization",
+            "allocation", "discounts", "ai", "mcp",
+        }
