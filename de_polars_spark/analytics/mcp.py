@@ -133,6 +133,45 @@ _TOOLS = [
 ]
 
 
+def parse_query_intent(query: str) -> dict[str, Any]:
+    """Keyword intent router (mcp_integration.py:436-480 — same
+    classification ladder and entity extraction). Pure function so the
+    inventory can oracle-check it against a SQL re-expression."""
+    q = query.lower()
+    if any(w in q for w in ("cost", "spend", "bill", "expense")):
+        if any(w in q for w in ("breakdown", "by service", "per service")):
+            intent = "cost_breakdown"
+        elif any(w in q for w in ("trend", "over time", "monthly", "historical")):
+            intent = "trend_analysis"
+        else:
+            intent = "cost_summary"
+    elif any(w in q for w in ("optimize", "save", "reduce", "efficient")):
+        intent = "optimization"
+    elif any(w in q for w in ("forecast", "predict", "future", "next month")):
+        intent = "forecasting"
+    elif any(w in q for w in ("anomaly", "unusual", "spike", "alert")):
+        intent = "anomaly_detection"
+    else:
+        intent = "general"
+    services = [
+        s.upper() for s in ("ec2", "rds", "s3", "lambda", "dynamodb") if s in q
+    ]
+    time_period = "last_month"
+    if "week" in q:
+        time_period = "last_week"
+    elif "3 month" in q:
+        time_period = "last_3_months"
+    elif "year" in q:
+        time_period = "last_year"
+    return {
+        "intent": intent,
+        "services": services,
+        "time_period": time_period,
+        "confidence": 80,
+        "entities": {"services": services, "time_period": time_period},
+    }
+
+
 class MCPIntegration(AnalyticsModule):
     """engine.mcp — protocol catalog + NL query routing."""
 
@@ -237,41 +276,7 @@ class MCPIntegration(AnalyticsModule):
     # NL query                                                            #
     # ------------------------------------------------------------------ #
     def parse_query_intent(self, query: str) -> dict[str, Any]:
-        """Keyword intent router (mcp_integration.py:436-480 — same
-        classification ladder and entity extraction)."""
-        q = query.lower()
-        if any(w in q for w in ("cost", "spend", "bill", "expense")):
-            if any(w in q for w in ("breakdown", "by service", "per service")):
-                intent = "cost_breakdown"
-            elif any(w in q for w in ("trend", "over time", "monthly", "historical")):
-                intent = "trend_analysis"
-            else:
-                intent = "cost_summary"
-        elif any(w in q for w in ("optimize", "save", "reduce", "efficient")):
-            intent = "optimization"
-        elif any(w in q for w in ("forecast", "predict", "future", "next month")):
-            intent = "forecasting"
-        elif any(w in q for w in ("anomaly", "unusual", "spike", "alert")):
-            intent = "anomaly_detection"
-        else:
-            intent = "general"
-        services = [
-            s.upper() for s in ("ec2", "rds", "s3", "lambda", "dynamodb") if s in q
-        ]
-        time_period = "last_month"
-        if "week" in q:
-            time_period = "last_week"
-        elif "3 month" in q:
-            time_period = "last_3_months"
-        elif "year" in q:
-            time_period = "last_year"
-        return {
-            "intent": intent,
-            "services": services,
-            "time_period": time_period,
-            "confidence": 80,
-            "entities": {"services": services, "time_period": time_period},
-        }
+        return parse_query_intent(query)
 
     def process_mcp_query(
         self, query: str, query_type: str = "natural_language"

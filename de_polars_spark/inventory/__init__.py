@@ -22,11 +22,18 @@ def _load() -> tuple[dict, dict]:
     # deferred so that importing a submodule (e.g. views/kpi.py pulling in
     # inventory.dialect_macros) does not recursively import the whole query
     # inventory — kpi_views imports views.kpi, which would be circular.
-    from de_polars_spark.inventory import core_sql, finops, kpi_views, llm_ops, pricing
+    from de_polars_spark.inventory import (
+        core_sql,
+        driver_math,
+        finops,
+        kpi_views,
+        llm_ops,
+        pricing,
+    )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (core_sql, llm_ops, finops, kpi_views, pricing):
+    for mod in (core_sql, llm_ops, finops, kpi_views, pricing, driver_math):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
