@@ -11,13 +11,19 @@ Layout
 ------
 - ``engine``     — SparkSession factory, SparkEngine (register + query),
                    DuckDB→Spark SQL dialect shim.
-- ``sources``    — parquet discovery, hive-partition pruning, S3A routing.
+- ``sources``    — parquet/testdata registration, auth chain + S3A options,
+                   S3 downloader + estimators, SQL-library partitioner,
+                   pricing manager + joinable pricing views.
 - ``functions``  — reusable column expressions (cost normalization ladders,
                    text stats, vector math).
 - ``operators``  — composed operators: dedup (exact/MinHash/SimHash/Jaccard/
-                   embedding), similarity search, top-k, sessionization.
+                   embedding near-dup), ANN similarity search, multimodal
+                   decode plumbing.
+- ``views``      — the KPI SQL view chain (two-dialect renderings).
 - ``analytics``  — the reference's 7 analytics modules re-expressed on Spark.
-- ``streaming``  — Structured Streaming extensions (beyond-parity).
+- ``api``        — framework-free REST handlers + optional FastAPI factory.
+- ``utils``      — formatters, export sinks, validators, profiler/cache.
+- ``client``     — FinOpsEngine facade tying it all together.
 """
 
 from de_polars_spark.config import DataConfig, DataExportType
