@@ -100,6 +100,26 @@ class FinOpsEngine:
             and os.path.isdir(self.config.local_data_path)
         )
 
+    def list_available_partitions(self) -> list[str]:
+        """Partition census (finops_engine.py:182-184)."""
+        return self.engine.list_partitions()
+
+    def download_data_locally(
+        self, overwrite: bool = False, show_progress: bool = True
+    ) -> dict:
+        """S3 -> local cache mirror (finops_engine.py:174-176)."""
+        from de_polars_spark.sources.downloader import DataDownloader
+
+        return DataDownloader(self.config).download_data_locally(
+            overwrite=overwrite, show_progress=show_progress
+        )
+
+    def check_local_data_status(self) -> dict:
+        """Local cache census (finops_engine.py:178-180)."""
+        from de_polars_spark.sources.downloader import check_local_data_status
+
+        return check_local_data_status(self.config.local_data_path)
+
     def schema(self) -> dict[str, str]:
         return self.engine.get_schema()
 

@@ -71,6 +71,36 @@ class SparkEngine:
         self._registered[name] = "<dataframe>"
         return df
 
+    def register_csv(self, name: str, *paths: str, **options: str) -> DataFrame:
+        """CSV source incl. gzip (the reference discovered ``.gz`` files
+        but never parsed them, s3_data_manager.py:56-58,206-216 — Spark's
+        CSV reader decompresses by extension natively)."""
+        reader = self.spark.read.option("header", "true").option(
+            "inferSchema", "true"
+        )
+        for key, value in options.items():
+            reader = reader.option(key, value)
+        df = reader.csv(list(paths))
+        df.createOrReplaceTempView(name)
+        self._registered[name] = ",".join(paths)
+        return df
+
+    def list_partitions(self, table_name: Optional[str] = None) -> list[str]:
+        """Distinct partition values for the registered table's hive
+        partition column (reference listed S3 CommonPrefixes,
+        s3_data_manager.py:65-99; here the column IS the partition, so a
+        distinct over it is partition-pruned metadata work)."""
+        name = table_name or (self.config.table_name if self.config else None)
+        if not name:
+            raise ValueError("no table registered")
+        col = self.config.partition_column if self.config else None
+        df = self.spark.table(name)
+        if col is None or col not in df.columns:
+            return []
+        return sorted(
+            r[0] for r in df.select(col).distinct().collect() if r[0] is not None
+        )
+
     @staticmethod
     def _resolve_root(config: DataConfig, force_s3: bool) -> str:
         use_local = (

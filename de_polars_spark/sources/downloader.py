@@ -64,6 +64,24 @@ def estimate_from_sample_sizes(
     }
 
 
+def check_local_data_status(local_path: Optional[str]) -> dict:
+    """Local cache census (local_data_manager.py:97-157 parity)."""
+    if not local_path or not os.path.isdir(local_path):
+        return {"has_local_data": False, "file_count": 0, "total_size_mb": 0}
+    count = 0
+    size = 0
+    for dirpath, _dirs, files in os.walk(local_path):
+        for name in files:
+            if name.endswith(".parquet"):
+                count += 1
+                size += os.path.getsize(os.path.join(dirpath, name))
+    return {
+        "has_local_data": count > 0,
+        "file_count": count,
+        "total_size_mb": round(size / (1024 * 1024), 2),
+    }
+
+
 class DataDownloader:
     """Parallel S3 → local mirror (data_downloader.py:26-167)."""
 
@@ -157,19 +175,4 @@ class DataDownloader:
         return estimate_from_sample_sizes(sampled, len(keys))
 
     def check_local_data_status(self) -> dict:
-        """Local cache census (local_data_manager.py:97-157 parity)."""
-        root = self.config.local_data_path
-        if not root or not os.path.isdir(root):
-            return {"has_local_data": False, "file_count": 0, "total_size_mb": 0}
-        count = 0
-        size = 0
-        for dirpath, _dirs, files in os.walk(root):
-            for name in files:
-                if name.endswith(".parquet"):
-                    count += 1
-                    size += os.path.getsize(os.path.join(dirpath, name))
-        return {
-            "has_local_data": count > 0,
-            "file_count": count,
-            "total_size_mb": round(size / (1024 * 1024), 2),
-        }
+        return check_local_data_status(self.config.local_data_path)

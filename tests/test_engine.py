@@ -98,3 +98,35 @@ def test_config_validation():
         DataConfig(local_data_path="/tmp", date_start="2024-05", date_end="2024-01")
     with pytest.raises(ValueError):
         DataConfig()  # no data root at all
+
+
+def test_register_csv_gzip(spark, tmp_path):
+    """gzip CSV source (SURVEY §2.1: declared in the reference, parsed here)."""
+    import gzip
+
+    from de_polars_spark.engine.core import SparkEngine
+
+    path = tmp_path / "data.csv.gz"
+    with gzip.open(path, "wt") as fh:
+        fh.write("id,name\n1,a\n2,b\n")
+    engine = SparkEngine(spark)
+    df = engine.register_csv("gz_table", str(path))
+    assert df.count() == 2
+    assert spark.sql("SELECT SUM(id) FROM gz_table").collect()[0][0] == 3
+
+
+def test_list_partitions(spark, tmp_path):
+    from de_polars_spark.config import DataConfig, DataExportType
+    from de_polars_spark.engine.core import SparkEngine
+
+    src = spark.createDataFrame(
+        [(1, "2024-01"), (2, "2024-02"), (3, "2024-02")],
+        "v int, BILLING_PERIOD string",
+    )
+    root = str(tmp_path / "cur")
+    src.write.partitionBy("BILLING_PERIOD").parquet(root)
+    cfg = DataConfig(
+        export_type=DataExportType.CUR_2_0, local_data_path=root, table_name="pcur"
+    )
+    engine = SparkEngine(spark, cfg)
+    assert engine.list_partitions() == ["2024-01", "2024-02"]
