@@ -29,11 +29,13 @@ def _load() -> tuple[dict, dict]:
         kpi_views,
         llm_ops,
         pricing,
+        streaming_ops,
     )
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (core_sql, llm_ops, finops, kpi_views, pricing, driver_math):
+    for mod in (core_sql, llm_ops, finops, kpi_views, pricing, driver_math,
+                streaming_ops):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

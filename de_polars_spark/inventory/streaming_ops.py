@@ -1,0 +1,53 @@
+"""Oracle check for the streaming window-aggregation semantics
+(streaming/cost_alerts.py) in its batch form.
+
+Structured Streaming's contract is that the same logical query runs
+batch or streaming (tests/test_streaming.py asserts stream == batch);
+this entry pins the batch side against DuckDB: Spark ``window()``
+tumbling buckets == DuckDB ``time_bucket`` (both epoch-aligned), plus
+the alert severity projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from de_polars_spark.inventory.dialect_macros import MACROS, render
+from de_polars_spark.inventory.kpi_views import CUR_EXT_CTE, _ensure_cur_ext
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+MACROS.setdefault(
+    "DAY_BUCKET",
+    {
+        "spark": "window({0}, '1 day').start",
+        "duckdb": "time_bucket(INTERVAL '1 day', {0})",
+    },
+)
+
+_WINDOWED_SQL = """
+SELECT CAST(DAY_BUCKET(line_item_usage_start_date) AS TIMESTAMP) AS window_start,
+       line_item_product_code AS service,
+       DSUM(line_item_unblended_cost) AS current_cost,
+       COUNT(*) AS line_items,
+       CASE WHEN DSUM(line_item_unblended_cost) / 500000.0 >= 4 THEN 'critical'
+            WHEN DSUM(line_item_unblended_cost) / 500000.0 >= 2 THEN 'high'
+            WHEN DSUM(line_item_unblended_cost) / 500000.0 >= 1.2 THEN 'medium'
+            ELSE 'low' END AS severity
+FROM cur
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_cur_ext(spark, sf_dir)
+    return spark.sql(
+        render("WITH cur AS (SELECT * FROM cur_ext)\n" + _WINDOWED_SQL, "spark")
+    )
+
+
+_fn.__name__ = "q_streaming_windowed_costs"
+QUERIES["streaming_windowed_costs"] = _fn
+ORACLES["streaming_windowed_costs"] = render(CUR_EXT_CTE + "\n" + _WINDOWED_SQL, "duckdb")

@@ -1,0 +1,18 @@
+"""Structured Streaming extensions (beyond-parity).
+
+The reference has no streaming execution at all — its only stream
+artifact is a static WebSocket config dict (mcp_integration.py:353-434,
+served verbatim by analytics/mcp.py here). This package implements the
+events that config *describes* as a real Structured Streaming pipeline:
+watermarked tumbling-window cost aggregation over a CUR-shaped stream,
+thresholded into ``cost_alert`` events with the exact schema the MCP
+stream-config advertises.
+"""
+
+from de_polars_spark.streaming.cost_alerts import (
+    cost_alerts,
+    run_stream_to_memory,
+    windowed_costs,
+)
+
+__all__ = ["windowed_costs", "cost_alerts", "run_stream_to_memory"]
