@@ -257,6 +257,59 @@ ORACLES["ann_lsh_topk"] = f"""
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    cents = similarity.fit_centroids_sample(
+        corpus, "vec_id", "embedding", nlist=8, mod=67, rem=1
+    )
+    out = similarity.ivf_topk(
+        corpus, queries, "vec_id", "embedding", cents, k=3, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# assignment tiebreak is cosine DESC, cid DESC — sort_array on (cos, cid)
+# structs descending (see operators/similarity.py:_centroid_scores)
+_CENT_COS = _COS.replace("ROUND(", "(").replace(", 6)", ")").format(
+    a="x.v", b="c.cv"
+)
+QUERIES["ann_ivf_topk"] = q_ann_ivf_topk
+ORACLES["ann_ivf_topk"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 67 = 1 ORDER BY vec_id LIMIT 8),
+    assign AS (
+        SELECT vec_id, v, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM e x CROSS JOIN cents c) a
+        WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM (SELECT * FROM e WHERE vec_id % 100 = 0) x
+            CROSS JOIN cents c) p
+        WHERE rn <= 2),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_COS.format(a="p.qv", b="a.v")} AS cosine
+        FROM probes p JOIN assign a
+          ON p.cell = a.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) ranked
+    WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------- #
 # text analysis                                                     #
 # ---------------------------------------------------------------- #

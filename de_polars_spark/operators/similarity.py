@@ -9,6 +9,16 @@
   query's candidate set to ~corpus/2^bits; same top-k afterwards. Recall
   trades off with bucket count; at 100 TB you'd add multi-probe (flip one
   bit) which is a UNION of bucket keys, not a new algorithm.
+- ``ivf_topk``: the other classic scale path (IVF — inverted file index).
+  A small centroid set partitions the corpus into cells; each query only
+  scores the ``nprobe`` nearest cells. Cell assignment here is map-only:
+  the centroids are baked into the plan as literal arrays (they are by
+  construction tiny — the whole point of a coarse quantizer), so the
+  corpus is never shuffled for assignment, and the candidate join keys on
+  the cell id exactly like the LSH variant. At 100 TB you would fit the
+  centroids with k-means (e.g. one MLlib pass over a sample) and persist
+  the assigned corpus partitioned by cell; the deterministic sample-fit
+  used here keeps the operator oracle-checkable.
 """
 
 from __future__ import annotations
@@ -58,6 +68,87 @@ def cosine_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def _centroid_scores(vec: "F.Column", centroids: list) -> "F.Column":
+    """Array of (cosine, cid) structs vs every centroid, sorted best-first.
+
+    Struct comparison is lexicographic on (cos, cid), so ``sort_array``
+    descending orders by cosine DESC then cid DESC — mirror that tiebreak
+    in any oracle. Centroid vectors are plan literals: per-row work is
+    ``nlist`` dot-product folds, no join, no shuffle."""
+    entries = []
+    for cid, cvec in centroids:
+        arr = F.array(*[F.lit(float(x)) for x in cvec])
+        cos = VX.dot(vec, arr) / (VX.norm(vec) * VX.norm(arr))
+        entries.append(
+            F.struct(cos.alias("cos"), F.lit(int(cid)).cast("bigint").alias("cid"))
+        )
+    return F.sort_array(F.array(*entries), asc=False)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k.
+
+    ``centroids`` is a list of ``(cid, vector)`` pairs — the fitted coarse
+    quantizer (driver-side; tiny by design). Corpus rows are assigned to
+    their nearest centroid's cell (map-only, centroids inlined as plan
+    literals); each query probes its ``nprobe`` nearest cells and scores
+    only the candidates inside them."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
+    )
+    c = c.select(
+        "neighbor_id",
+        "cv",
+        VX.norm(F.col("cv")).alias("cn"),
+        F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), VX.as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "query_id",
+        "qv",
+        VX.norm(F.col("qv")).alias("qn"),
+        F.explode(
+            F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "qv", "qn", F.col("probe")["cid"].alias("cell"))
+    scored = c.join(
+        F.broadcast(q),
+        (c["cell"] == q["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(VX.dot(q["qv"], c["cv"]) / (q["qn"] * c["cn"]), 6).alias("cosine"),
+    )
+    return _ranked_topk(scored, k)
+
+
+def fit_centroids_sample(
+    corpus: DataFrame, id_col: str, vec_col: str, nlist: int, mod: int = 67, rem: int = 1
+) -> list:
+    """Deterministic sample 'fit' for the IVF coarse quantizer: the first
+    ``nlist`` corpus vectors (by id) with ``id % mod == rem``. A stand-in
+    for a k-means fit with identical downstream plumbing; collects only
+    ``nlist`` rows to the driver."""
+    rows = (
+        corpus.filter(F.col(id_col) % mod == rem)
+        .orderBy(F.col(id_col))
+        .limit(nlist)
+        .select(F.col(id_col).alias("cid"), VX.as_double(F.col(vec_col)).alias("cv"))
+        .collect()
+    )
+    return [(r["cid"], list(r["cv"])) for r in rows]
 
 
 def lsh_bucketed_topk(

@@ -135,3 +135,31 @@ def test_multimodal_real_decode_raises(spark):
     )
     with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
         multimodal.decode_images(bad).collect()
+
+
+def test_ivf_topk_probes_right_cells(spark):
+    # two well-separated clusters; centroids = one member of each
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.95, 0.05, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, ["emb_id", "vec"])
+    cents = [(1, [1.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0])]
+    queries = emb.filter(F.col("emb_id") == 2)
+    # nprobe=1: candidates limited to the query's own cluster cell
+    out = similarity.ivf_topk(emb, queries, "emb_id", "vec", cents, k=4, nprobe=1)
+    got = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert got == [3, 1]  # cluster mates only, best first
+    # nprobe=2 widens to both cells
+    out2 = similarity.ivf_topk(emb, queries, "emb_id", "vec", cents, k=10, nprobe=2)
+    assert {r["neighbor_id"] for r in out2.collect()} == {1, 3, 10, 11}
+
+
+def test_fit_centroids_sample_deterministic(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, ["emb_id", "vec"])
+    cents = similarity.fit_centroids_sample(emb, "emb_id", "vec", nlist=3, mod=2, rem=0)
+    assert [c[0] for c in cents] == [0, 2, 4]
