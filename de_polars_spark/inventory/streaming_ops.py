@@ -51,3 +51,49 @@ def _fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _fn.__name__ = "q_streaming_windowed_costs"
 QUERIES["streaming_windowed_costs"] = _fn
 ORACLES["streaming_windowed_costs"] = render(CUR_EXT_CTE + "\n" + _WINDOWED_SQL, "duckdb")
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` (the streaming sessionizer's batch form,
+    streaming/sessionize.py) over the events table."""
+    from de_polars_spark.sources.registry import register_testdata
+    from de_polars_spark.streaming.sessionize import session_agg
+
+    t = register_testdata(spark, sf_dir)
+    return session_agg(t["events"], "user_id", "ts", "value", gap="30 minutes")
+
+
+QUERIES["session_window_agg"] = q_session_window_agg
+# Spark merges two windows iff the next event is STRICTLY inside the
+# previous window [t, t+gap), so an event at exactly prev+gap opens a new
+# session — hence >= in the oracle's gap test.
+ORACLES["session_window_agg"] = render(
+    """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN prev_ts IS NULL
+                         OR ts >= prev_ts + INTERVAL '30' MINUTE
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, ts, value,
+               SUM(is_new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30' MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           DSUM(value) AS total_value
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+    "duckdb",
+)

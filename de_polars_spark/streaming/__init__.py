@@ -6,7 +6,8 @@ served verbatim by analytics/mcp.py here). This package implements the
 events that config *describes* as a real Structured Streaming pipeline:
 watermarked tumbling-window cost aggregation over a CUR-shaped stream,
 thresholded into ``cost_alert`` events with the exact schema the MCP
-stream-config advertises.
+stream-config advertises — plus gap-based sessionization (native
+``session_window`` and an ``applyInPandasWithState`` stateful template).
 """
 
 from de_polars_spark.streaming.cost_alerts import (
@@ -14,5 +15,12 @@ from de_polars_spark.streaming.cost_alerts import (
     run_stream_to_memory,
     windowed_costs,
 )
+from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
 
-__all__ = ["windowed_costs", "cost_alerts", "run_stream_to_memory"]
+__all__ = [
+    "windowed_costs",
+    "cost_alerts",
+    "run_stream_to_memory",
+    "session_agg",
+    "sessionize_stateful",
+]
