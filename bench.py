@@ -54,11 +54,14 @@ def main() -> None:
 
     _ensure_cur_ext(spark, sf_dir)
 
+    from de_polars_spark.operators.dedup import release_cached
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
+        release_cached()  # dedup ops persist internally; no cross-query reuse
 
     total = round(sum(timings.values()), 4)
     print(
