@@ -447,3 +447,62 @@ ORACLES["multimodal_image_decode"] = """
            16 AS n_bytes
     FROM documents
 """
+
+#: payload byte i (0-based) as INT, derived from the md5 fake payload
+_PBYTE = "CAST('0x' || substring(md5(text), {pos}, 2) AS INT)"
+
+
+def _pbyte(i: int) -> str:
+    return _PBYTE.format(pos=2 * i + 1)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_fake_payload(t["documents"], "doc_id", "text")
+    return multimodal.resize_images(payload, 224, 224)
+
+
+QUERIES["multimodal_resize"] = q_multimodal_resize
+ORACLES["multimodal_resize"] = f"""
+    SELECT doc_id,
+           {_pbyte(0)} AS width,
+           {_pbyte(1)} AS height,
+           224 AS out_width,
+           224 AS out_height,
+           ROUND(224.0 / GREATEST({_pbyte(0)}, 1), 6) AS scale_x,
+           ROUND(224.0 / GREATEST({_pbyte(1)}, 1), 6) AS scale_y,
+           CAST(224 * 224 * 3 AS BIGINT) AS out_bytes
+    FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_fake_payload(t["documents"], "doc_id", "text")
+    return multimodal.extract_features(payload, dim=4)
+
+
+QUERIES["multimodal_features"] = q_multimodal_features
+ORACLES["multimodal_features"] = f"""
+    SELECT doc_id,
+           [ROUND({_pbyte(0)} / 255.0, 6), ROUND({_pbyte(1)} / 255.0, 6),
+            ROUND({_pbyte(2)} / 255.0, 6), ROUND({_pbyte(3)} / 255.0, 6)] AS features
+    FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_fake_payload(t["documents"], "doc_id", "text")
+    return multimodal.sample_frames(payload, frame_interval_s=0.5)
+
+
+QUERIES["multimodal_frame_sample"] = q_multimodal_frame_sample
+ORACLES["multimodal_frame_sample"] = f"""
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, {_pbyte(3)} % 5)) AS INT) AS frame_id,
+           ROUND(unnest(generate_series(0, {_pbyte(3)} % 5)) * 0.5, 6) AS frame_ts,
+           ({_pbyte(4)} + 31 * unnest(generate_series(0, {_pbyte(3)} % 5))) % 256
+               AS frame_checksum
+    FROM documents
+"""

@@ -68,3 +68,83 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def decode_images(with_payload: DataFrame) -> DataFrame:
     """Arrow-batched decode: binary in → typed feature columns out."""
     return with_payload.mapInPandas(_decode_batch, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int, "
+    "scale_x double, scale_y double, out_bytes bigint"
+)
+
+
+def resize_images(with_payload: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Resize plumbing: emits source + target geometry per image.
+
+    A real implementation swaps the arithmetic for
+    ``PIL.Image.resize((out_w, out_h))`` and re-encodes the payload; batch
+    shape, schema, and the decode-early/drop-payload pattern are what
+    scale (the binary never enters a shuffle)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            p = pdf["payload"]
+            w = p.map(lambda b: b[0]).astype("int32")
+            h = p.map(lambda b: b[1]).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "scale_x": (out_w / w.clip(lower=1)).round(6),
+                    "scale_y": (out_h / h.clip(lower=1)).round(6),
+                    "out_bytes": out_w * out_h * 3,
+                }
+            )
+
+    return with_payload.mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def extract_features(with_payload: DataFrame, dim: int = 4) -> DataFrame:
+    """Feature extraction: payload → fixed-width ``array<double>`` embedding
+    (deterministic byte scaling stands in for a vision-encoder forward
+    pass). Output feeds the ANN operators (operators/similarity.py)."""
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": pdf["payload"].map(
+                        lambda b: [round(b[i] / 255.0, 6) for i in range(dim)]
+                    ),
+                }
+            )
+
+    return with_payload.mapInPandas(
+        _feats, schema="doc_id bigint, features array<double>"
+    )
+
+
+FRAMES_SCHEMA = "doc_id bigint, frame_id int, frame_ts double, frame_checksum int"
+
+
+def sample_frames(with_payload: DataFrame, frame_interval_s: float = 0.5) -> DataFrame:
+    """Video frame sampling: one input row fans out to N frame rows
+    (N = 1 + payload[3] % 5 in the deterministic fake; ffmpeg keyframe
+    extraction in a real build). Demonstrates the row-expanding
+    ``mapInPandas`` shape — output cardinality independent of input."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "frame_ts": [], "frame_checksum": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 1 + b[3] % 5
+                for fid in range(n_frames):
+                    out["doc_id"].append(doc_id)
+                    out["frame_id"].append(fid)
+                    out["frame_ts"].append(round(fid * frame_interval_s, 6))
+                    out["frame_checksum"].append((b[4] + 31 * fid) % 256)
+            yield pd.DataFrame(out)
+
+    return with_payload.mapInPandas(_frames, schema=FRAMES_SCHEMA)

@@ -163,3 +163,21 @@ def test_fit_centroids_sample_deterministic(spark):
     emb = spark.createDataFrame(rows, ["emb_id", "vec"])
     cents = similarity.fit_centroids_sample(emb, "emb_id", "vec", nlist=3, mod=2, rem=0)
     assert [c[0] for c in cents] == [0, 2, 4]
+
+
+def test_multimodal_resize_features_frames(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "spark")], ["doc_id", "text"])
+    payload = multimodal.attach_fake_payload(df, "doc_id", "text")
+    resized = {r["doc_id"]: r for r in multimodal.resize_images(payload, 224, 224).collect()}
+    assert resized[1]["out_width"] == 224 and resized[1]["out_bytes"] == 224 * 224 * 3
+    assert abs(resized[1]["scale_x"] - round(224 / max(resized[1]["width"], 1), 6)) < 1e-9
+    feats = multimodal.extract_features(payload, dim=4).collect()
+    assert all(len(r["features"]) == 4 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+    frames = multimodal.sample_frames(payload).collect()
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        assert 1 <= len(rows) <= 5  # 1 + b[3] % 5 fan-out
+        assert sorted(r["frame_id"] for r in rows) == list(range(len(rows)))
