@@ -143,6 +143,26 @@ QUERIES["dedup_simhash"] = q_dedup_simhash
 ORACLES["dedup_simhash"] = _simhash_oracle()
 
 
+# dedup: SimHash near-dup pairs within hamming distance (pigeonhole
+# bucketing on Spark; brute-force all-pairs in the oracle — exactness of
+# the bucketing IS what this entry proves)
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.simhash_hamming_pairs(
+        t["documents"], "doc_id", "text", max_distance=3
+    )
+
+
+QUERIES["dedup_simhash_hamming"] = q_dedup_simhash_hamming
+ORACLES["dedup_simhash_hamming"] = f"""
+    WITH sims AS ({_simhash_oracle()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # dedup: n-gram Jaccard pairs (blocked by lang)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)

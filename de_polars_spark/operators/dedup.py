@@ -166,6 +166,68 @@ def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_distance: int = 3,
+    bits: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs whose SimHashes differ in <= ``max_distance`` bits.
+
+    Pigeonhole bucketing makes this exact without an all-pairs join: the
+    ``bits``-bit hash splits into ``max_distance + 1`` chunks, and a pair
+    within distance d must agree on at least one whole chunk (d corrupted
+    bits touch at most d chunks). Candidates share a (chunk_idx,
+    chunk_value) bucket; each candidate is verified inline with
+    ``bit_count(xor)`` from the simhash values carried in the bucket — no
+    re-join against the corpus. Two shuffles (bucket groupBy, pair
+    distinct), both on small keys — scales; ``max_bucket_size`` caps
+    degenerate buckets (boilerplate corpora) at the cost of exactness.
+    """
+    n_chunks = max_distance + 1
+    chunk_size = bits // n_chunks
+    sims = simhash_groups(df, id_col, text_col)
+    chunks = sims.select(
+        F.col(id_col),
+        "simhash",
+        F.explode(F.array(*[F.lit(i) for i in range(n_chunks)])).alias("chunk_idx"),
+    ).select(
+        id_col,
+        "simhash",
+        "chunk_idx",
+        F.expr(f"shiftright(simhash, chunk_idx * {chunk_size})")
+        .bitwiseAND(F.lit((1 << chunk_size) - 1))
+        .alias("chunk_val"),
+    )
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+            ).alias("ms")
+        )
+        .filter(F.size("ms") > 1)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        buckets.select("ms", F.posexplode("ms").alias("i", "a"))
+        .select("a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -181,3 +181,19 @@ def test_multimodal_resize_features_frames(spark):
     for doc_id, rows in per_doc.items():
         assert 1 <= len(rows) <= 5  # 1 + b[3] % 5 fan-out
         assert sorted(r["frame_id"] for r in rows) == list(range(len(rows)))
+
+
+def test_simhash_hamming_pairs_exact_vs_bruteforce(spark):
+    rows = [(i, f"doc number {i} shared body of words " + ("alpha " * (i % 4))) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_hamming_pairs(df, "doc_id", "text", 3).collect()
+    }
+    sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash_groups(df, "doc_id", "text").collect()}
+    want = {
+        (a, b, bin(sims[a] ^ sims[b]).count("1"))
+        for a in sims for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    assert got == want and want  # bucketing loses nothing vs brute force
