@@ -497,16 +497,25 @@ ORACLES["multimodal_resize"] = f"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the operator returns array<double>; the driver-checked binding
+    # flattens to scalar columns so the value-hash never depends on how an
+    # engine's client renders list cells
     t = register_testdata(spark, sf_dir)
     payload = multimodal.attach_fake_payload(t["documents"], "doc_id", "text")
-    return multimodal.extract_features(payload, dim=4)
+    feats = multimodal.extract_features(payload, dim=4)
+    return feats.select(
+        "doc_id",
+        *[F.element_at("features", i + 1).alias(f"f{i}") for i in range(4)],
+    )
 
 
 QUERIES["multimodal_features"] = q_multimodal_features
 ORACLES["multimodal_features"] = f"""
     SELECT doc_id,
-           [ROUND({_pbyte(0)} / 255.0, 6), ROUND({_pbyte(1)} / 255.0, 6),
-            ROUND({_pbyte(2)} / 255.0, 6), ROUND({_pbyte(3)} / 255.0, 6)] AS features
+           ROUND({_pbyte(0)} / 255.0, 6) AS f0,
+           ROUND({_pbyte(1)} / 255.0, 6) AS f1,
+           ROUND({_pbyte(2)} / 255.0, 6) AS f2,
+           ROUND({_pbyte(3)} / 255.0, 6) AS f3
     FROM documents
 """
 

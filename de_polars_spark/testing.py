@@ -13,13 +13,25 @@ import math
 import pandas as pd
 
 
+def _canon_cell(v):
+    """Stringify a cell so equal values compare equal regardless of
+    container type (Spark hands back lists, DuckDB numpy arrays)."""
+    if v is None:
+        return None
+    if not isinstance(v, (str, bytes)) and hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, (list, tuple)):
+        return str(tuple(_canon_cell(x) for x in v))
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            df[c] = df[c].map(_canon_cell)
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
 
 
