@@ -100,29 +100,37 @@ def minhash_array(shingles: Column, n_hashes: int) -> Column:
     return F.when(F.size(shingles) > 0, F.aggregate(shingles, init, merge))
 
 
-def simhash16_from_hashes(hashes: Column) -> Column:
-    """16-bit SimHash from an ALREADY MATERIALIZED array of 60-bit token
-    hashes. One fold accumulates all 16 bit-votes at once (array of
-    counters), so each token hash is visited once — not 16 times."""
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """``bits``-bit SimHash from an ALREADY MATERIALIZED array of 60-bit
+    token hashes. One fold accumulates all bit-votes at once (array of
+    counters), so each token hash is visited once — not ``bits`` times.
+    ``bits`` <= 60 (the token-hash width); wider fingerprints separate
+    near-identical corpora far better (16-bit is oracle-friendly, 32+ is
+    the production setting)."""
     def merge(acc: Column, h: Column) -> Column:
         votes = F.array(
             *[
                 F.when(
                     F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
                 ).otherwise(F.lit(-1))
-                for j in range(16)
+                for j in range(bits)
             ]
         )
         return F.zip_with(acc, votes, lambda a, v: a + v)
 
-    init = F.array(*[F.lit(0)] * 16)
+    init = F.array(*[F.lit(0)] * bits)
     bit_votes = F.aggregate(hashes, init, merge)
     out = F.lit(0)
-    for j in range(16):
+    for j in range(bits):
         out = out + F.when(F.element_at(bit_votes, j + 1) > 0, F.lit(2**j)).otherwise(
             F.lit(0)
         )
     return out.cast("bigint")
+
+
+def simhash16_from_hashes(hashes: Column) -> Column:
+    """16-bit SimHash (see :func:`simhash_from_hashes`)."""
+    return simhash_from_hashes(hashes, 16)
 
 
 def simhash16(text: Column) -> Column:

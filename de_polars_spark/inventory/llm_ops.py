@@ -123,13 +123,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_groups(t["documents"], "doc_id", "text")
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(bits: int = 16) -> str:
     votes = ", ".join(
         "list_aggregate(list_transform(toks, t -> CASE WHEN ({h} >> {j}) & 1 = 1 "
         "THEN 1 ELSE -1 END), 'sum') AS v{j}".format(h=_HASH60_T, j=j)
-        for j in range(16)
+        for j in range(bits)
     )
-    combine = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16))
+    combine = " + ".join(f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(bits))
     return f"""
     WITH toksrc AS (
         SELECT doc_id, list_distinct({_TOKS}) AS toks FROM documents
@@ -145,21 +145,38 @@ ORACLES["dedup_simhash"] = _simhash_oracle()
 
 # dedup: SimHash near-dup pairs within hamming distance (pigeonhole
 # bucketing on Spark; brute-force all-pairs in the oracle — exactness of
-# the bucketing IS what this entry proves)
+# the bucketing IS what this entry proves). 32-bit fingerprints: wide
+# enough that "within 3 bits" means genuinely near-duplicate text; the
+# result is aggregated per distance (with id-sum checksums pinning the
+# exact pair set) so the bench collect stays O(distances) not O(pairs).
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
-    return dedup.simhash_hamming_pairs(
-        t["documents"], "doc_id", "text", max_distance=3
+    pairs = dedup.simhash_hamming_pairs(
+        t["documents"], "doc_id", "text", max_distance=3, bits=32
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("id_a").alias("sum_id_a"),
+            F.sum("id_b").alias("sum_id_b"),
+        )
+        .orderBy("hamming")
     )
 
 
 QUERIES["dedup_simhash_hamming"] = q_dedup_simhash_hamming
 ORACLES["dedup_simhash_hamming"] = f"""
-    WITH sims AS ({_simhash_oracle()})
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    WITH sims AS ({_simhash_oracle(32)}),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    )
+    SELECT hamming, COUNT(*) AS n_pairs,
+           SUM(id_a) AS sum_id_a, SUM(id_b) AS sum_id_b
+    FROM pairs GROUP BY hamming ORDER BY hamming
 """
 
 

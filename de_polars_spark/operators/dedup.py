@@ -153,8 +153,10 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Per-doc 16-bit SimHash; identical hashes are near-dup groups."""
+def simhash_groups(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """Per-doc ``bits``-bit SimHash; identical hashes are near-dup groups."""
     hashed = df.select(
         F.col(id_col),
         F.transform(
@@ -162,7 +164,7 @@ def simhash_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("__h"),
     )
     return hashed.select(
-        F.col(id_col), TX.simhash16_from_hashes(F.col("__h")).alias("simhash")
+        F.col(id_col), TX.simhash_from_hashes(F.col("__h"), bits).alias("simhash")
     )
 
 
@@ -179,23 +181,43 @@ def simhash_hamming_pairs(
     Pigeonhole bucketing makes this exact without an all-pairs join: the
     ``bits``-bit hash splits into ``max_distance + 1`` chunks, and a pair
     within distance d must agree on at least one whole chunk (d corrupted
-    bits touch at most d chunks). Candidates share a (chunk_idx,
-    chunk_value) bucket; each candidate is verified inline with
-    ``bit_count(xor)`` from the simhash values carried in the bucket — no
-    re-join against the corpus. Two shuffles (bucket groupBy, pair
-    distinct), both on small keys — scales; ``max_bucket_size`` caps
-    degenerate buckets (boilerplate corpora) at the cost of exactness.
+    bits touch at most d chunks). Docs are first collapsed to DISTINCT
+    fingerprints (duplicate-heavy corpora — the target workload — shrink
+    by their duplication factor before any quadratic step); candidates
+    share a (chunk_idx, chunk_value) bucket, are verified inline with
+    ``bit_count(xor)``, deduped at the fingerprint level, and only then
+    expanded to member pairs. Three shuffles (cluster groupBy, bucket
+    groupBy, fingerprint-pair distinct), all on small keys — scales;
+    ``max_bucket_size`` caps degenerate fingerprint buckets at the cost
+    of exactness.
     """
     n_chunks = max_distance + 1
     chunk_size = bits // n_chunks
-    sims = simhash_groups(df, id_col, text_col)
-    chunks = sims.select(
-        F.col(id_col),
+    sims = simhash_groups(df, id_col, text_col, bits)
+    # Near-dup corpora (the whole reason to run this) put many docs on the
+    # SAME fingerprint; collapse them first so the quadratic pair
+    # expansion runs over distinct fingerprints, not documents — identical
+    # output, and bucket sizes shrink by the duplication factor.
+    clusters = sims.groupBy("simhash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    # distance-0: pairs within one fingerprint cluster
+    within = (
+        clusters.filter(F.size("ids") > 1)
+        .select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select(
+            "id_a",
+            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    chunks = clusters.select(
         "simhash",
+        "ids",
         F.explode(F.array(*[F.lit(i) for i in range(n_chunks)])).alias("chunk_idx"),
     ).select(
-        id_col,
         "simhash",
+        "ids",
         "chunk_idx",
         F.expr(f"shiftright(simhash, chunk_idx * {chunk_size})")
         .bitwiseAND(F.lit((1 << chunk_size) - 1))
@@ -205,7 +227,7 @@ def simhash_hamming_pairs(
         chunks.groupBy("chunk_idx", "chunk_val")
         .agg(
             F.array_sort(
-                F.collect_set(F.struct(F.col(id_col).alias("id"), F.col("simhash")))
+                F.collect_set(F.struct(F.col("simhash"), F.col("ids")))
             ).alias("ms")
         )
         .filter(F.size("ms") > 1)
@@ -215,17 +237,25 @@ def simhash_hamming_pairs(
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")
-    return (
+    # fingerprint-level candidates, deduped BEFORE the member expansion
+    fp_pairs = (
         buckets.select("ms", F.posexplode("ms").alias("i", "a"))
         .select("a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_distance)
+        .select("a", "b", hamming.alias("hamming"))
+        .filter((F.col("hamming") <= max_distance) & (F.col("hamming") > 0))
+        .select(F.col("a.ids").alias("ids_a"), F.col("b.ids").alias("ids_b"), "hamming")
         .distinct()
     )
+    across = (
+        fp_pairs.select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        .select("ia", F.explode("ids_b").alias("ib"), "hamming")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(across)
 
 
 def ngram_jaccard_pairs(
