@@ -110,3 +110,42 @@ def test_sessionize_stateful_matches_native(spark, tmp_path):
     finally:
         query.stop()
     assert _key(rows) == EXPECTED
+
+
+def test_dedup_stream_suppresses_duplicates(spark, tmp_path):
+    from de_polars_spark.streaming.dedup_stream import dedup_stream
+
+    src = tmp_path / "docs"
+    rows1 = [(1, "alpha text", T0), (2, "beta text", T0), (3, "alpha text", T0)]
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = dedup_stream(stream, "text", "ts", watermark="1 hour")
+    query = run_stream_to_memory(out, "dedup_t", output_mode="append")
+    try:
+        query.processAllAvailable()
+        # a later batch re-sends "alpha text" within the watermark: suppressed
+        rows2 = [(4, "alpha text", T0 + timedelta(minutes=5)), (5, "gamma text", T0)]
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(str(src))
+        query.processAllAvailable()
+        emitted = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_t").collect()}
+    finally:
+        query.stop()
+    # exactly one alpha (in-batch winner is engine-order dependent), one
+    # beta, one gamma; the cross-batch duplicate (id 4) is suppressed
+    assert len(emitted & {1, 3}) == 1 and 2 in emitted and 5 in emitted
+    assert 4 not in emitted and len(emitted) == 3
+
+
+def test_dedup_stream_batch_parity(spark):
+    from de_polars_spark.streaming.dedup_stream import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, "a", T0), (2, "a", T0), (3, "b", T0)], "doc_id long, text string, ts timestamp"
+    )
+    out = dedup_stream(df, "text", "ts")
+    assert out.count() == 2
