@@ -15,6 +15,7 @@ from de_polars_spark.streaming.cost_alerts import (
     run_stream_to_memory,
     windowed_costs,
 )
+from de_polars_spark.streaming.dedup_stream import dedup_stream
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
 
 __all__ = [
@@ -23,4 +24,5 @@ __all__ = [
     "run_stream_to_memory",
     "session_agg",
     "sessionize_stateful",
+    "dedup_stream",
 ]
