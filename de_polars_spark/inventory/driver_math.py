@@ -225,8 +225,42 @@ def _bind_sql(name: str, body: str, with_monthly: bool = True) -> None:
     ORACLES[name] = oracle_sql
 
 
+#: distributed OLS forecast: the §2.9 "per-service fan-out grows" upgrade
+#: path (SURVEY §2.10 note). Slope/intercept from explicit decimal-exact
+#: sums — NOT regr_slope — so Spark and DuckDB accumulate identically
+#: regardless of row order; x is a small int, so per-row x*cost products
+#: are the same IEEE double in both engines. Fully distributed: one
+#: window + one groupBy, no driver math at all.
+_REGRESSION_SQL = """
+, idx AS (
+    SELECT service, cost,
+           ROW_NUMBER() OVER (PARTITION BY service ORDER BY month) AS x
+    FROM monthly
+),
+fit AS (
+    SELECT service, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx,
+           DSUM(cost) AS sy, DSUM(x * cost) AS sxy
+    FROM idx
+    GROUP BY service
+    HAVING COUNT(*) >= 3
+),
+ab AS (
+    SELECT service, n, sx, sy,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+    FROM fit
+)
+SELECT service,
+       CAST(ROUND(slope, 6) AS DOUBLE) AS slope,
+       CAST(ROUND((sy - slope * sx) / n, 6) AS DOUBLE) AS intercept,
+       CAST(ROUND((sy - slope * sx) / n + slope * (n + 1), 4) AS DOUBLE)
+           AS next_month_forecast
+FROM ab
+ORDER BY service
+"""
+
 _bind_sql("forecast_linear_seasonal", _FORECAST_SQL)
 _bind_sql("forecast_naive_next_month", _NAIVE_FORECAST_SQL)
+_bind_sql("forecast_regression", _REGRESSION_SQL)
 _bind_sql("volatility_classification", _VOLATILITY_SQL)
 _bind_sql("commitment_roi_sim", _ROI_SQL, with_monthly=False)
 
