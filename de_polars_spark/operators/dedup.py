@@ -334,16 +334,32 @@ def ngram_jaccard_pairs(
             F.size("ordered").alias("__n"),
         )
     )
-    # bucket members carry their shingle-set size so the AllPairs LENGTH
-    # filter can run per pair before the expensive distinct+verify: a pair
-    # can only reach J >= t if min(n) >= t * max(n) (since
-    # J = c/(na+nb-c) and c <= min(na,nb)). Lossless — measured 2.3M -> far
-    # fewer candidates at sf0.1 with identical output.
+    # bucket members carry their shingle-set size and the token's prefix
+    # POSITION, enabling two per-pair prunes before the expensive
+    # distinct+verify (both lossless — identical output measured at sf0.1):
+    # - AllPairs LENGTH filter: J >= t requires min(n) >= t * max(n)
+    #   (J = c/(na+nb-c), c <= min(na,nb));
+    # - PPJoin position bound: overlap via a token at positions (pa, pb)
+    #   is at most 1 + min(na - pa, nb - pb), and J >= t needs overlap
+    #   >= t/(1+t) * (na+nb). A pair sharing several prefix tokens is
+    #   kept if ANY occurrence passes (max-ubound occurrence >= PPJoin's
+    #   first-occurrence bound, so this prunes less aggressively than
+    #   textbook PPJoin — never more).
     cand_buckets = (
         pre.select(
             "block",
-            F.explode("prefix").alias("shingle"),
-            F.struct(F.col(id_col).alias("id"), F.col("__n").alias("n")).alias("m"),
+            F.col("__n"),
+            F.col(id_col).alias("__id"),
+            F.posexplode("prefix").alias("p", "shingle"),
+        )
+        .select(
+            "block",
+            "shingle",
+            F.struct(
+                F.col("__id").alias("id"),
+                F.col("__n").alias("n"),
+                (F.col("p") + 1).alias("pos"),
+            ).alias("m"),
         )
         .groupBy("block", "shingle")
         .agg(F.array_sort(F.collect_set("m")).alias("ids"))
@@ -355,11 +371,18 @@ def ngram_jaccard_pairs(
     # pairs through whole-stage codegen instead of materializing a B²/2
     # struct array per bucket in one interpreted HOF (measured ~2.5x on the
     # 6M-candidate sf0.1 corpus)
+    required_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.n") + F.col("b.n"))
+    )
+    position_ubound = 1 + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     candidates = (
         cand_buckets.select("ids", F.posexplode("ids").alias("i", "a"))
         .select("a", F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("b"))
         .filter(
-            F.least("a.n", "b.n") >= F.lit(threshold) * F.greatest("a.n", "b.n")
+            (F.least("a.n", "b.n") >= F.lit(threshold) * F.greatest("a.n", "b.n"))
+            & (position_ubound >= required_overlap)
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
