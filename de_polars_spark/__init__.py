@@ -23,6 +23,10 @@ Layout
 - ``analytics``  — the reference's 7 analytics modules re-expressed on Spark.
 - ``api``        — framework-free REST handlers + optional FastAPI factory.
 - ``utils``      — formatters, export sinks, validators, profiler/cache.
+- ``streaming``  — Structured Streaming extensions: windowed cost alerts,
+                   sessionization (native + stateful), streaming dedup.
+- ``inventory``  — every operator bound to the test tables with a DuckDB
+                   oracle (the correctness gate).
 - ``client``     — FinOpsEngine facade tying it all together.
 """
 
