@@ -231,6 +231,42 @@ ORACLES["dedup_embedding_cosine"] = f"""
 """
 
 
+# dedup: connected components over the MinHash-LSH pair graph — the
+# cluster-collapse step (A~B, B~C => one cluster {A,B,C} even when the
+# pair generator never emitted (A, C)). Spark: Pregel-style min-label
+# propagation with per-round lineage truncation; oracle: DuckDB
+# recursive-CTE transitive closure over the identical pair set.
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+    )
+    comps = dedup.connected_components(pairs)
+    return dedup.component_summary(comps)
+
+
+QUERIES["dedup_components"] = q_dedup_components
+ORACLES["dedup_components"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component_id
+        FROM reach GROUP BY u
+    )
+    SELECT component_id, COUNT(*) AS size, CAST(SUM(node) AS BIGINT) AS id_sum
+    FROM comp GROUP BY component_id
+"""
+
+
 # ---------------------------------------------------------------- #
 # similarity search                                                 #
 # ---------------------------------------------------------------- #

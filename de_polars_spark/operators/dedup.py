@@ -458,3 +458,93 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Collapse a duplicate-pair graph into connected components.
+
+    The step every pair generator above feeds at scale: LSH/Jaccard/
+    cosine emit *pairs*, but "keep one doc per duplicate cluster" needs
+    the transitive closure — A~B and B~C put A,C in one cluster even if
+    no generator ever emitted (A, C).
+
+    Algorithm: distributed min-label propagation (Pregel-style). Each
+    node starts labeled with itself; every round each node adopts the
+    minimum label in its closed neighborhood; converged when no label
+    changes. Rounds = graph diameter, which for near-dup clusters
+    (dense, near-clique) is small and bounded; each round is one shuffle
+    join (edges ⋈ labels on a single key) plus one groupBy — both on the
+    node-id key, so AQE coalesces and co-partitions them. Lineage is
+    truncated every round with ``localCheckpoint`` (eager) — without it
+    the plan doubles per iteration and the driver, not the data, becomes
+    the bottleneck. For graphs with genuinely long chains the
+    alternating large-star/small-star algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) converges
+    in O(log n) rounds with the same per-round shuffle shape; label
+    propagation is chosen here because dedup graphs are diameter-bounded
+    and it needs half the joins per round.
+
+    Reference parity: the reference engine has no graph step (its dedup
+    story stops at pair emission); this is a beyond-parity operator per
+    SURVEY §7 Phase 5.
+
+    Returns one row per node that appears in ``pairs``:
+    ``(node, component_id)`` where ``component_id`` is the minimum node
+    id in the component.
+    """
+    sym = pairs.select(
+        F.col(id_a).cast("bigint").alias("u"), F.col(id_b).cast("bigint").alias("v")
+    )
+    edges = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # partition by v: that is the recurring join key (neighbor-label
+    # lookup), so the big edge relation never re-shuffles inside the loop
+    # — only the small label frame moves each round
+    edges = edges.repartition("v").localCheckpoint(eager=True)
+
+    labels = (
+        edges.select("u").distinct().select("u", F.col("u").alias("label"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        # carry a per-row changed flag so convergence is read off the
+        # checkpointed frame itself (no second join against old labels)
+        new_labels = (
+            labels.join(nbr_min, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .select(
+                "u",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels.select("u", "label")
+        if new_labels.filter("changed").limit(1).count() == 0:
+            break
+
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component_id"))
+
+
+def component_summary(components: DataFrame) -> DataFrame:
+    """Per-component rollup: size and id-sum checksum (pins the exact
+    membership without materializing O(cluster²) output)."""
+    return components.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.sum("node").alias("id_sum"),
+    )

@@ -197,3 +197,25 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(spark):
         if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
     }
     assert got == want and want  # bucketing loses nothing vs brute force
+
+
+def test_connected_components_chain_and_clique(spark):
+    # two components: a 4-node chain 1-2-3-4 (multi-round convergence)
+    # and a triangle 10-11-12; node 20-21 pair as a third
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    comps = {
+        r["node"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_component_summary_checksums(spark):
+    pairs = spark.createDataFrame([(5, 6), (6, 7)], "id_a bigint, id_b bigint")
+    out = dedup.component_summary(dedup.connected_components(pairs)).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["component_id"], row["size"], row["id_sum"]) == (5, 3, 18)
