@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de_polars_spark.functions import text as TX
-from de_polars_spark.operators import dedup, multimodal, similarity
+from de_polars_spark.operators import dedup, multimodal, sampling, similarity
 from de_polars_spark.sources.registry import register_testdata
 
 QUERIES: dict = {}
@@ -587,4 +587,90 @@ ORACLES["multimodal_frame_sample"] = f"""
            ({_pbyte(4)} + 31 * unnest(generate_series(0, {_pbyte(3)} % 5))) % 256
                AS frame_checksum
     FROM documents
+"""
+
+
+# ---------------------------------------------------------------- #
+# deterministic sampling (operators/sampling.py)                    #
+# ---------------------------------------------------------------- #
+_U32 = (
+    "CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+def q_sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return sampling.hash_bernoulli_sample(t["documents"], "doc_id", 0.1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+QUERIES["sample_hash_bernoulli"] = q_sample_hash_bernoulli
+ORACLES["sample_hash_bernoulli"] = f"""
+    SELECT doc_id, lang, source FROM documents WHERE {_U32} < 0.1
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return sampling.stratified_quota_sample(
+        t["documents"], ["lang", "source"], "doc_id", k=3
+    ).select("doc_id", "lang", "source", "sample_rank")
+
+
+QUERIES["sample_stratified"] = q_sample_stratified
+ORACLES["sample_stratified"] = """
+    SELECT doc_id, lang, source, sample_rank FROM (
+        SELECT doc_id, lang, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS INT) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 3
+"""
+
+
+def q_sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    split = sampling.split_train_val_test(
+        t["documents"], "doc_id", val_fraction=0.05, test_fraction=0.05
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+QUERIES["sample_train_split"] = q_sample_train_split
+ORACLES["sample_train_split"] = f"""
+    SELECT CASE WHEN {_U32} < 0.05 THEN 'val'
+                WHEN {_U32} < 0.10 THEN 'test'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents GROUP BY 1
+"""
+
+
+# corpus stats: exact interpolated length quantiles per source. Exact
+# percentile (not approx) is deliberate here — it IS oracle-checkable;
+# the approximate path for 100 TB is percentile_approx with a
+# documented error bound (same plan shape: one partial+final agg).
+def q_corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return t["documents"].groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 6).alias("p99"),
+    )
+
+
+QUERIES["corpus_length_quantiles"] = q_corpus_length_quantiles
+ORACLES["corpus_length_quantiles"] = """
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+           ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+    FROM documents GROUP BY source
 """

@@ -219,3 +219,45 @@ def test_component_summary_checksums(spark):
     assert len(out) == 1
     row = out[0]
     assert (row["component_id"], row["size"], row["id_sum"]) == (5, 3, 18)
+
+
+def test_stratified_two_phase_matches_single_window(spark):
+    from de_polars_spark.operators import sampling
+
+    rows = [(i, "en" if i % 7 else "de") for i in range(1, 301)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    one = sampling.stratified_quota_sample(
+        df, ["lang"], "doc_id", k=5, n_salts=None
+    )
+    two = sampling.stratified_quota_sample(df, ["lang"], "doc_id", k=5, n_salts=4)
+    key = lambda r: (r["lang"], r["sample_rank"], r["doc_id"])
+    assert sorted(map(key, one.collect())) == sorted(map(key, two.collect()))
+    # exactly k per stratum (both strata have >= k rows)
+    per = {r["lang"]: 0 for r in one.collect()}
+    for r in one.collect():
+        per[r["lang"]] += 1
+    assert per == {"en": 5, "de": 5}
+
+
+def test_split_deterministic_and_exhaustive(spark):
+    from de_polars_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(1, 501)], "doc_id bigint")
+    s1 = sampling.split_train_val_test(df, "doc_id", 0.1, 0.1)
+    s2 = sampling.split_train_val_test(df, "doc_id", 0.1, 0.1)
+    c1 = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    c2 = {r["split"]: r["n"] for r in s2.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert c1 == c2 and sum(c1.values()) == 500 and c1["train"] > c1["val"] > 0
+
+
+def test_hash_bernoulli_is_a_pure_filter(spark):
+    from de_polars_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(1, 2001)], "doc_id bigint")
+    out = sampling.hash_bernoulli_sample(df, "doc_id", 0.25)
+    n = out.count()
+    assert 380 < n < 620  # ~500 expected, deterministic
+    assert n == sampling.hash_bernoulli_sample(df, "doc_id", 0.25).count()
+    # no shuffle in the plan: a pure filter over the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
