@@ -29,13 +29,14 @@ def _load() -> tuple[dict, dict]:
         kpi_views,
         llm_ops,
         pricing,
+        relational_ext,
         streaming_ops,
     )
 
     queries: dict = {}
     oracles: dict = {}
     for mod in (core_sql, llm_ops, finops, kpi_views, pricing, driver_math,
-                streaming_ops):
+                streaming_ops, relational_ext):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

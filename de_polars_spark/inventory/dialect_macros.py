@@ -84,6 +84,18 @@ MACROS: dict[str, dict[str, str]] = {
         "spark": "date_format({0}, 'yyyy-MM-dd HH')",
         "duckdb": "strftime({0}, '%Y-%m-%d %H')",
     },
+    # exact interpolated percentile (both engines: lo + (hi-lo)*frac on
+    # the sorted values — identical inputs give identical doubles; the
+    # inventory still rounds results to 6dp)
+    "PCTL": {
+        "spark": "percentile_cont({1}) WITHIN GROUP (ORDER BY {0})",
+        "duckdb": "quantile_cont({0}, {1})",
+    },
+    # microseconds since epoch as BIGINT (naive timestamps read as UTC)
+    "EPOCH_US": {
+        "spark": "unix_micros(CAST({0} AS TIMESTAMP))",
+        "duckdb": "epoch_us({0})",
+    },
 }
 
 

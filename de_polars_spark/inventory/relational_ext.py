@@ -1,0 +1,372 @@
+"""Extended relational operator inventory (beyond the reference surface).
+
+Operator families the reference never uses but a complete analytics
+engine must have — each bound to the testdata tables with a DuckDB
+oracle, same contract as core_sql:
+
+- multi-dimensional aggregation: ROLLUP / CUBE / GROUPING SETS with
+  GROUPING() disambiguation (SURVEY.md §2.4 "Not present" list);
+- exact interpolated percentiles (percentile_cont / quantile_cont);
+- explicit window frames (ROWS BETWEEN n PRECEDING);
+- semi/anti joins via EXISTS / NOT EXISTS (planned by Catalyst as
+  LeftSemi/LeftAnti hash joins — SURVEY.md §2.3 "Not present");
+- as-of (backward) join and bounded range join (operators/asof.py:
+  single-shuffle union-sort plan / bucketed equi-join plan, vs the
+  DuckDB ASOF JOIN and inequality-join oracles);
+- corpus text ranking: TF-IDF top terms, BM25 retrieval, inverted
+  index (operators/textrank.py);
+- skew-salted two-phase aggregation (operators/skew.py), verified
+  bit-identical to the direct groupBy oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_polars_spark.inventory.dialect_macros import render
+from de_polars_spark.operators import textrank
+from de_polars_spark.operators.asof import asof_join_backward, range_count_join
+from de_polars_spark.operators.skew import salted_sum_count
+from de_polars_spark.sources.registry import register_testdata
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _common(name: str, sql: str) -> None:
+    """Register a query whose Spark and oracle forms render from one text."""
+
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        register_testdata(spark, sf_dir)
+        return spark.sql(render(_sql, "spark"))
+
+    fn.__name__ = f"q_{name}"
+    QUERIES[name] = fn
+    ORACLES[name] = render(sql, "duckdb")
+
+
+# --------------------------------------------------------------------- #
+# ROLLUP — subtotal hierarchy with GROUPING() disambiguation             #
+# --------------------------------------------------------------------- #
+_common(
+    "rollup_returnflag_status",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           DSUM(l_quantity) AS sum_qty,
+           DSUM(l_extendedprice) AS sum_price,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+
+# --------------------------------------------------------------------- #
+# CUBE — all 4 grouping combinations in one pass                         #
+# --------------------------------------------------------------------- #
+_common(
+    "cube_orders_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           DSUM(o_totalprice) AS total_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+
+# --------------------------------------------------------------------- #
+# GROUPING SETS — explicit set list incl. grand total                    #
+# --------------------------------------------------------------------- #
+_common(
+    "grouping_sets_lineitem",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           DSUM(l_extendedprice * (1 - l_discount)) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+
+# --------------------------------------------------------------------- #
+# Exact interpolated percentiles per group                               #
+# --------------------------------------------------------------------- #
+_common(
+    "quantile_price_profile",
+    """
+    SELECT l_returnflag,
+           ROUND(PCTL(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(PCTL(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(PCTL(l_extendedprice, 0.75), 6) AS p75,
+           ROUND(PCTL(l_extendedprice, 0.95), 6) AS p95,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+
+# --------------------------------------------------------------------- #
+# Explicit ROWS frame — trailing-7-row moving average over daily sums    #
+# --------------------------------------------------------------------- #
+_common(
+    "rolling_frame_avg",
+    """
+    WITH daily AS (
+        SELECT event_type, DAY_STR(ts) AS day, DSUM(value) AS day_value
+        FROM events GROUP BY event_type, DAY_STR(ts)
+    )
+    SELECT event_type, day, day_value,
+           ROUND(SUM(day_value) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                 / COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS avg_7d
+    FROM daily
+    """,
+)
+
+# --------------------------------------------------------------------- #
+# Semi + anti join via EXISTS / NOT EXISTS                               #
+# --------------------------------------------------------------------- #
+_common(
+    "semi_anti_open_only_customers",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# As-of join: attribute each purchase to the latest prior view           #
+# --------------------------------------------------------------------- #
+def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    ev = t["events"]
+    # dedup right side per (key, ts) -> "latest at or before" is total
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    j = asof_join_backward(
+        purch, views, ["user_id"], "ts", "ts",
+        {"view_event_id": "view_event_id", "view_ts": "ts"},
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return j.select(
+        "event_id",
+        "user_id",
+        us("ts").alias("purchase_us"),
+        "view_event_id",
+        (us("ts") - us("view_ts")).alias("gap_us"),
+    )
+
+
+QUERIES["asof_purchase_attribution"] = q_asof_purchase_attribution
+ORACLES["asof_purchase_attribution"] = """
+    WITH v AS (
+        SELECT user_id, ts, MAX(event_id) AS view_event_id
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT event_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_us(p.ts) AS purchase_us,
+           v.view_event_id,
+           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+# --------------------------------------------------------------------- #
+# Bounded range join: errors within 24h after each signup                #
+# --------------------------------------------------------------------- #
+def q_range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    ev = t["events"]
+    signups = ev.where(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts")
+    rc = range_count_join(
+        signups, errors, ["user_id"], "ts", "ts", 86400, "n_errors_24h"
+    )
+    return rc.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("signup_us"),
+        "n_errors_24h",
+    )
+
+
+QUERIES["range_join_error_burst"] = q_range_join_error_burst
+ORACLES["range_join_error_burst"] = """
+    SELECT s.event_id, s.user_id,
+           epoch_us(s.ts) AS signup_us,
+           COUNT(e.ts) AS n_errors_24h
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+      ON e.user_id = s.user_id
+     AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 24 HOUR
+    GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------- #
+# TF-IDF top terms per document (corpus-wide stats)                      #
+# --------------------------------------------------------------------- #
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return textrank.tfidf_top_terms(
+        t["documents"], "doc_id", "text", k=3,
+        doc_filter=F.col("doc_id") < 30,
+    )
+
+
+QUERIES["tfidf_top_terms"] = q_tfidf_top_terms
+ORACLES["tfidf_top_terms"] = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term FROM base
+    ),
+    tf AS (
+        SELECT doc_id, doc_len, term, COUNT(*) AS tf
+        FROM tok GROUP BY 1, 2, 3
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND((CAST(tf.tf AS DOUBLE) / tf.doc_len)
+                     * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE tf.doc_id < 30
+    )
+    SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 3
+"""
+
+
+# --------------------------------------------------------------------- #
+# BM25 retrieval: top-10 docs for a fixed bag-of-words query             #
+# --------------------------------------------------------------------- #
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return textrank.bm25_topk(
+        t["documents"], "doc_id", "text", _BM25_TERMS, k=10
+    )
+
+
+_terms_sql = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+ORACLES["bm25_search"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term FROM base
+    ),
+    tf AS (
+        SELECT doc_id, doc_len, term, COUNT(*) AS tf
+        FROM tok WHERE term IN ({_terms_sql}) GROUP BY 1, 2, 3
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM base
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doc_len / stats.avgdl))
+               AS part
+        FROM tf JOIN df USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id,
+           ROUND(CAST(SUM(CAST(part AS DECIMAL(38,6))) AS DOUBLE), 6)
+               AS bm25,
+           COUNT(*) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+"""
+QUERIES["bm25_search"] = q_bm25_search
+
+
+# --------------------------------------------------------------------- #
+# Inverted index: term -> df + sorted postings                           #
+# --------------------------------------------------------------------- #
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return textrank.inverted_index(t["documents"], "doc_id", "text", min_df=25)
+
+
+QUERIES["inverted_index"] = q_inverted_index
+ORACLES["inverted_index"] = """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS term
+        FROM documents
+    )
+    SELECT term,
+           COUNT(DISTINCT doc_id) AS df,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM tok GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) >= 25
+    ORDER BY term
+"""
+
+
+# --------------------------------------------------------------------- #
+# Skew-salted two-phase aggregation (== direct groupBy, bit-identical)   #
+# --------------------------------------------------------------------- #
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return salted_sum_count(
+        t["events"], ["event_type"], F.col("value"), F.col("event_id"),
+        n_salts=32, sum_alias="total_value", count_alias="n_events",
+    )
+
+
+QUERIES["skew_salted_agg"] = q_skew_salted_agg
+ORACLES["skew_salted_agg"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+"""
