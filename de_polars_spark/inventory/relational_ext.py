@@ -152,6 +152,104 @@ _common(
 
 
 # --------------------------------------------------------------------- #
+# Window-function suite: the ranking/distribution functions the          #
+# reference never uses (SURVEY §2.5 "No ROW_NUMBER/DENSE_RANK/NTILE/    #
+# lead") — all over one named window with a total order                  #
+# --------------------------------------------------------------------- #
+_common(
+    "window_rank_suite",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(DENSE_RANK() OVER w AS INT) AS dense_rk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           LEAD(o_orderkey, 1) OVER w AS next_order,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_dist
+    FROM orders
+    WHERE o_custkey < 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# PIVOT: status columns out of rows (Spark-native pivot operator vs the  #
+# conditional-aggregation relational equivalent as oracle)               #
+# --------------------------------------------------------------------- #
+def q_pivot_orders_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    money = F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double")
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(money)
+        .select(
+            "o_orderpriority",
+            F.col("O").alias("open_total"),
+            F.col("F").alias("finished_total"),
+            F.col("P").alias("pending_total"),
+        )
+    )
+
+
+QUERIES["pivot_orders_status"] = q_pivot_orders_status
+# no ELSE branch: an empty (priority, status) cell must be NULL in both
+# engines, exactly as a pivot leaves holes
+ORACLES["pivot_orders_status"] = """
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END
+                AS DECIMAL(38,6))) AS DOUBLE) AS open_total,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END
+                AS DECIMAL(38,6))) AS DOUBLE) AS finished_total,
+           CAST(SUM(CAST(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END
+                AS DECIMAL(38,6))) AS DOUBLE) AS pending_total
+    FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- #
+# UNPIVOT: wide per-flag sums back to (metric, value) long form          #
+# --------------------------------------------------------------------- #
+def q_unpivot_revenue_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+
+    def dsum(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(38,6)")).cast("double").alias(c)
+
+    wide = t["lineitem"].groupBy("l_returnflag").agg(
+        dsum("l_extendedprice"), dsum("l_discount"), dsum("l_tax")
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+QUERIES["unpivot_revenue_metrics"] = q_unpivot_revenue_metrics
+ORACLES["unpivot_revenue_metrics"] = """
+    WITH wide AS (
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_disc,
+               CAST(SUM(CAST(l_tax AS DECIMAL(38,6))) AS DOUBLE) AS sum_tax
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'l_extendedprice' AS metric, sum_price AS value
+    FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'l_discount', sum_disc FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'l_tax', sum_tax FROM wide
+"""
+
+
+# --------------------------------------------------------------------- #
 # As-of join: attribute each purchase to the latest prior view           #
 # --------------------------------------------------------------------- #
 def q_asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:

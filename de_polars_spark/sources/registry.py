@@ -27,6 +27,15 @@ TESTDATA_TABLES = (
 )
 
 
+#: app id -> (sf_dir, registered frames); tables are registered once per
+#: session (the engine design — SURVEY.md §3.1 "register once, not per
+#: query"), so the 72-query inventory doesn't pay 10 parquet footer reads
+#: + view registrations per query. Keyed on the LAST dir registered: temp
+#: view names are shared, so switching sf_dir must re-register, and a
+#: cached result is only valid while its dir is the one the views see.
+_REGISTERED: dict[str, tuple[str, dict[str, DataFrame]]] = {}
+
+
 def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every table in ``sf_dir`` as a temp view; returns the frames.
 
@@ -35,6 +44,10 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     to microseconds, matching how microsecond-resolution engines (and the
     DuckDB oracle) ingest the same file.
     """
+    key = spark.sparkContext.applicationId
+    cached = _REGISTERED.get(key)
+    if cached is not None and cached[0] == sf_dir:
+        return cached[1]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
     for name in TESTDATA_TABLES:
@@ -46,4 +59,5 @@ def register_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         df.createOrReplaceTempView(name)
         out[name] = df
+    _REGISTERED[key] = (sf_dir, out)
     return out
