@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from de_polars_spark.inventory.dialect_macros import render
 from de_polars_spark.operators import textrank
 from de_polars_spark.operators.asof import asof_join_backward, range_count_join
+from de_polars_spark.operators.merge import merge_snapshot
 from de_polars_spark.operators.skew import salted_sum_count
 from de_polars_spark.sources.registry import register_testdata
 
@@ -447,6 +448,57 @@ ORACLES["inverted_index"] = """
     FROM tok GROUP BY term
     HAVING COUNT(DISTINCT doc_id) >= 25
     ORDER BY term
+"""
+
+
+# --------------------------------------------------------------------- #
+# Snapshot MERGE: corpus refresh with upserts, inserts, and deletes      #
+# (Delta-style MERGE semantics on plain parquet — anti join + union)     #
+# --------------------------------------------------------------------- #
+def q_merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    docs = t["documents"].select("doc_id", "text", "source")
+    # deterministic synthetic change set: re-crawls, arrivals, takedowns
+    recrawled = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("text", F.concat(F.lit("v2 "), F.col("text")))
+        .withColumn("op", F.lit("upsert"))
+    )
+    arrivals = (
+        docs.where(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("op", F.lit("upsert"))
+    )
+    takedowns = (
+        docs.where(F.col("doc_id") % 29 == 1)
+        .withColumn("text", F.lit(None).cast("string"))
+        .withColumn("op", F.lit("delete"))
+    )
+    changes = recrawled.unionByName(arrivals).unionByName(takedowns)
+    merged = merge_snapshot(docs, changes, ["doc_id"], "op")
+    return merged.select(
+        "doc_id", F.md5("text").alias("text_md5"), "source"
+    )
+
+
+QUERIES["merge_upsert_snapshot"] = q_merge_upsert_snapshot
+ORACLES["merge_upsert_snapshot"] = """
+    WITH docs AS (SELECT doc_id, text, source FROM documents),
+    changes AS (
+        SELECT doc_id, 'v2 ' || text AS text, source, 'upsert' AS op
+        FROM docs WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 100000, text, source, 'upsert'
+        FROM docs WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT doc_id, NULL, source, 'delete'
+        FROM docs WHERE doc_id % 29 = 1
+    )
+    SELECT d.doc_id, md5(d.text) AS text_md5, d.source
+    FROM docs d
+    WHERE NOT EXISTS (SELECT 1 FROM changes c WHERE c.doc_id = d.doc_id)
+    UNION ALL
+    SELECT doc_id, md5(text), source FROM changes WHERE op = 'upsert'
 """
 
 

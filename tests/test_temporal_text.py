@@ -100,6 +100,29 @@ def test_bm25_returns_requested_k_with_hits(spark, sf_dir):
     assert (out["n_terms_hit"] >= 1).all()
 
 
+def test_merge_snapshot_version_conflicts(spark):
+    from de_polars_spark.operators.merge import merge_snapshot
+
+    base = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "k int, v string"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "one-v2", "upsert", 1),
+            (1, "one-v3", "upsert", 2),   # higher version wins
+            (2, None, "delete", 1),
+            (2, "two-v2", "upsert", 1),   # delete beats upsert at same version
+            (4, "four", "upsert", 1),     # insert
+        ],
+        "k int, v string, op string, version int",
+    )
+    out = {
+        r.k: r.v
+        for r in merge_snapshot(base, changes, ["k"], "op", "version").collect()
+    }
+    assert out == {1: "one-v3", 3: "three", 4: "four"}
+
+
 def test_salted_agg_equals_direct(spark, sf_dir):
     t = register_testdata(spark, sf_dir)
     ev = t["events"]
