@@ -1,0 +1,172 @@
+"""Property-based tests (hypothesis): distributed operators vs tiny
+in-memory reference models on randomized inputs.
+
+The oracle suite pins each operator to DuckDB on fixed tables; these
+tests attack the same operators with adversarial small inputs —
+duplicate keys, empty sides, ties at window boundaries, disconnected
+graph shapes — where the reference model is a few lines of plain
+Python. Spark jobs are slow per example, so examples are capped low;
+the value is the shrunk counterexample when a semantics bug slips in.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from de_polars_spark.operators.asof import asof_join_backward, range_count_join
+from de_polars_spark.operators.dedup import connected_components
+from de_polars_spark.operators.merge import merge_snapshot
+from de_polars_spark.operators.skew import salted_sum_count
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+# (key, time) pairs over a deliberately tiny domain so collisions and
+# boundary ties actually happen
+_kt = st.tuples(st.integers(0, 3), st.integers(0, 20))
+
+
+@given(
+    left=st.lists(_kt, min_size=1, max_size=12),
+    right=st.sets(_kt, max_size=12),
+)
+@settings(**_SETTINGS)
+def test_asof_matches_model(spark, left, right):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, t int"
+    ).selectExpr("lid", "k", "timestamp_micros(t) AS ts")
+    rows = [(k, t, k * 1000 + t) for (k, t) in right] or [(99, 0, 0)]
+    rdf = spark.createDataFrame(rows, "k int, t int, val int").selectExpr(
+        "k", "timestamp_micros(t) AS ts", "val"
+    )
+    got = {
+        r.lid: r.val
+        for r in asof_join_backward(
+            ldf, rdf, ["k"], "ts", "ts", {"val": "val"}
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left):
+        cands = [(rt, k * 1000 + rt) for (rk, rt) in right if rk == k and rt <= t]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, t, cands)
+
+
+@given(
+    left=st.lists(_kt, min_size=1, max_size=10),
+    right=st.lists(_kt, max_size=15),
+    window=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_range_count_matches_model(spark, left, right, window):
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left)], "lid int, k int, t int"
+    ).selectExpr("lid", "k", "timestamp_micros(t * 1000000) AS ts")
+    rows = right or [(99, 0)]
+    rdf = spark.createDataFrame(rows, "k int, t int").selectExpr(
+        "k", "timestamp_micros(t * 1000000) AS ts"
+    )
+    got = {
+        r.lid: r.n
+        for r in range_count_join(ldf, rdf, ["k"], "ts", "ts", window, "n").collect()
+    }
+    for i, (k, t) in enumerate(left):
+        expect = sum(1 for (rk, rt) in right if rk == k and t <= rt < t + window)
+        assert got[i] == expect, (i, k, t, window)
+
+
+@given(
+    base=st.dictionaries(st.integers(0, 9), st.text("ab", max_size=2), max_size=8),
+    ops=st.lists(
+        st.tuples(st.integers(0, 9), st.text("cd", max_size=2), st.booleans()),
+        max_size=8,
+        unique_by=lambda x: x[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_merge_matches_model(spark, base, ops):
+    bdf = spark.createDataFrame(
+        list(base.items()) or [(99, "z")], "k int, v string"
+    )
+    cdf = spark.createDataFrame(
+        [(k, v, "delete" if is_del else "upsert") for k, v, is_del in ops]
+        or [(98, "y", "upsert")],
+        "k int, v string, op string",
+    )
+    got = {r.k: r.v for r in merge_snapshot(bdf, cdf, ["k"], "op").collect()}
+    model = dict(base) if base else {99: "z"}
+    for k, v, is_del in ops or [(98, "y", False)]:
+        if is_del:
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == model
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=20,
+    ),
+    n_salts=st.integers(1, 5),
+)
+@settings(**_SETTINGS)
+def test_salted_agg_matches_model(spark, rows, n_salts):
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], "rid int, k int, v int"
+    ).withColumn("v", F.col("v").cast("double") / 8)
+    got = {
+        (r.k): (r.total, r.n_rows)
+        for r in salted_sum_count(
+            df, ["k"], F.col("v"), F.col("rid"), n_salts=n_salts
+        ).collect()
+    }
+    from collections import defaultdict
+    from decimal import Decimal
+
+    sums, counts = defaultdict(Decimal), defaultdict(int)
+    for k, v in rows:
+        # mirror the operator's decimal(38,6) quantization of each value
+        sums[k] += Decimal(str(round(v / 8, 6)))
+        counts[k] += 1
+    for k in counts:
+        assert got[k][1] == counts[k]
+        assert abs(got[k][0] - float(sums[k])) < 1e-9, (k, got[k], sums[k])
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)), min_size=1, max_size=15
+    )
+)
+@settings(**_SETTINGS)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component_id for r in connected_components(df).collect()
+    }
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in the component
+    nodes = {n for e in edges for n in e}
+    roots: dict[int, int] = {}
+    for n in sorted(nodes):
+        roots.setdefault(find(n), n)
+    expect = {n: roots[find(n)] for n in nodes}
+    assert got == expect
