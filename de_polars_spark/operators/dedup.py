@@ -506,37 +506,39 @@ def connected_components(
     # — only the small label frame moves each round
     edges = edges.repartition("v").localCheckpoint(eager=True)
 
+    # round 1 needs no join at all: label(u) = min(u, min neighbor) is a
+    # single aggregation over the symmetric edge list
     labels = (
-        edges.select("u").distinct().select("u", F.col("u").alias("label"))
-    ).localCheckpoint(eager=True)
+        edges.groupBy("u")
+        .agg(F.min("v").alias("__mv"))
+        .select("u", F.least(F.col("u"), F.col("__mv")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
-    for _ in range(max_iterations):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("u", "v"), "v")
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        nbr = (
+            edges.join(lbl.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("__nl"))
         )
-        # carry a per-row changed flag so convergence is read off the
-        # checkpointed frame itself (no second join against old labels)
-        new_labels = (
-            labels.join(nbr_min, "u", "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("new_label"),
-                F.col("label").alias("old_label"),
-            )
-            .select(
-                "u",
-                F.col("new_label").alias("label"),
-                (F.col("new_label") != F.col("old_label")).alias("changed"),
-            )
-            .localCheckpoint(eager=True)
+        return lbl.join(nbr, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce("__nl", F.col("label"))).alias(
+                "label"
+            ),
         )
-        labels = new_labels.select("u", "label")
-        if new_labels.filter("changed").limit(1).count() == 0:
+
+    # two propagation hops per materialized round (halves the checkpoint +
+    # action count for a given diameter); convergence is read off the
+    # label sum, which strictly decreases while any node still changes
+    # (labels only ever decrease), so no changed-flag join is needed
+    prev_sum = None
+    for _ in range(max_iterations):
+        labels = _propagate(_propagate(labels)).localCheckpoint(eager=True)
+        s = labels.agg(F.sum("label")).collect()[0][0]
+        if s == prev_sum:
             break
+        prev_sum = s
 
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component_id"))
 
