@@ -97,3 +97,47 @@ ORACLES["session_window_agg"] = render(
     """,
     "duckdb",
 )
+
+
+# --------------------------------------------------------------------- #
+# Stream-stream interval join, batch form: views within 24h BEFORE each  #
+# purchase (streaming/interval_join.py; stream == batch asserted in      #
+# tests/test_streaming.py)                                               #
+# --------------------------------------------------------------------- #
+def q_interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from de_polars_spark.sources.registry import register_testdata
+    from de_polars_spark.streaming.interval_join import interval_join_backward
+
+    t = register_testdata(spark, sf_dir)
+    ev = t["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    j = interval_join_backward(
+        purchases, views, ["user_id"], "p_ts", "v_ts", 86400
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("*").alias("n_views_24h"),
+        F.max(F.unix_micros(F.col("v_ts").cast("timestamp"))).alias(
+            "last_view_us"
+        ),
+    )
+
+
+QUERIES["interval_join_attribution"] = q_interval_join_attribution
+ORACLES["interval_join_attribution"] = """
+    SELECT p.event_id, p.user_id,
+           COUNT(*) AS n_views_24h,
+           MAX(epoch_us(v.ts)) AS last_view_us
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
+    GROUP BY 1, 2
+"""

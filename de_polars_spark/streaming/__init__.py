@@ -16,6 +16,7 @@ from de_polars_spark.streaming.cost_alerts import (
     windowed_costs,
 )
 from de_polars_spark.streaming.dedup_stream import dedup_stream
+from de_polars_spark.streaming.interval_join import interval_join_backward
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
 
 __all__ = [
@@ -25,4 +26,5 @@ __all__ = [
     "session_agg",
     "sessionize_stateful",
     "dedup_stream",
+    "interval_join_backward",
 ]

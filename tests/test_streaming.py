@@ -113,3 +113,46 @@ def test_severity_ladder(spark):
         for r in cost_alerts(windowed_costs(df), 50.0).collect()
     }
     assert sev == {"A": "low", "B": "high", "C": "critical"}
+
+
+def test_interval_join_stream_matches_batch(spark, tmp_path):
+    """Stream-stream interval join == the same join on batch frames."""
+    from de_polars_spark.streaming import interval_join_backward, run_stream_to_memory
+
+    p_schema = "pid int, user_id int, p_ts timestamp"
+    v_schema = "user_id int, v_ts timestamp"
+    t0 = datetime(2025, 1, 1, 9, 0)
+
+    def ts(minutes):
+        return datetime(2025, 1, 1, 9, minutes)
+
+    purchases = [(1, 7, ts(30)), (2, 7, ts(59)), (3, 8, ts(10))]
+    views = [(7, ts(25)), (7, ts(29)), (7, ts(45)), (8, ts(50)), (9, ts(5))]
+    spark.createDataFrame(purchases, p_schema).write.parquet(str(tmp_path / "p"))
+    spark.createDataFrame(views, v_schema).write.parquet(str(tmp_path / "v"))
+
+    def run(pdf, vdf):
+        return interval_join_backward(
+            pdf, vdf, ["user_id"], "p_ts", "v_ts", 600, watermark="1 hour"
+        )
+
+    batch = run(
+        spark.read.schema(p_schema).parquet(str(tmp_path / "p")),
+        spark.read.schema(v_schema).parquet(str(tmp_path / "v")),
+    ).collect()
+    # purchase 1 (9:30) matches views 9:25+9:29 (>=9:20); purchase 2 (9:59)
+    # matches 9:45? no — 9:45 < 9:49 lower bound -> no match; purchase 3
+    # (9:10) has no earlier view for user 8
+    assert {(r.pid, r.v_ts.minute) for r in batch} == {(1, 25), (1, 29)}
+
+    streamed = run(
+        spark.readStream.schema(p_schema).parquet(str(tmp_path / "p")),
+        spark.readStream.schema(v_schema).parquet(str(tmp_path / "v")),
+    )
+    query = run_stream_to_memory(streamed, "ij_t", output_mode="append")
+    try:
+        query.processAllAvailable()
+        got = spark.sql("SELECT pid, v_ts FROM ij_t").collect()
+    finally:
+        query.stop()
+    assert {(r.pid, r.v_ts.minute) for r in got} == {(1, 25), (1, 29)}
