@@ -674,3 +674,25 @@ ORACLES["corpus_length_quantiles"] = """
            ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
     FROM documents GROUP BY source
 """
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return sampling.weighted_sample_topk(
+        t["documents"], "doc_id", F.col("n_chars").cast("double"), k=50
+    ).select("doc_id", "n_chars", "sample_rank")
+
+
+QUERIES["sample_weighted"] = q_sample_weighted
+# A-ES key: u^(1/w) with the same md5-derived uniform, rounded to 12dp
+# before ranking (see operators/sampling.py weighted_sample_topk)
+ORACLES["sample_weighted"] = f"""
+    SELECT doc_id, n_chars, sample_rank FROM (
+        SELECT doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY ROUND(pow({_U32}, 1.0 / CAST(n_chars AS DOUBLE)), 12)
+                            DESC, doc_id
+               ) AS INT) AS sample_rank
+        FROM documents WHERE n_chars > 0
+    ) WHERE sample_rank <= 50
+"""

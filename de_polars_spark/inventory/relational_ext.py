@@ -452,6 +452,50 @@ ORACLES["inverted_index"] = """
 
 
 # --------------------------------------------------------------------- #
+# Equal-width histogram: manual bucketing (identical arithmetic in both  #
+# engines; one map-side-combinable aggregation)                          #
+# --------------------------------------------------------------------- #
+_common(
+    "histogram_price",
+    """
+    SELECT CAST(LEAST(FLOOR(l_extendedprice / 5000.0), 23) AS INT) AS bucket,
+           COUNT(*) AS n_items,
+           DSUM(l_extendedprice) AS bucket_total
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+
+# --------------------------------------------------------------------- #
+# Correlation / covariance from exact decimal co-moments: corr() built   #
+# from order-independent sums so both engines compute identical doubles  #
+# (a one-pass corr over floats is partial-agg-order sensitive)           #
+# --------------------------------------------------------------------- #
+_common(
+    "corr_qty_price",
+    """
+    WITH moments AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               DSUM(l_quantity) AS sx,
+               DSUM(l_extendedprice) AS sy,
+               DSUM(l_quantity * l_quantity) AS sxx,
+               DSUM(l_extendedprice * l_extendedprice) AS syy,
+               DSUM(l_quantity * l_extendedprice) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy) / (n * (n - 1)), 6) AS covar_samp,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr
+    FROM moments
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
 # Snapshot MERGE: corpus refresh with upserts, inserts, and deletes      #
 # (Delta-style MERGE semantics on plain parquet — anti join + union)     #
 # --------------------------------------------------------------------- #

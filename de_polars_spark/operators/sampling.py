@@ -108,3 +108,40 @@ def split_train_val_test(
         .when(u < val_fraction + test_fraction, F.lit("test"))
         .otherwise(F.lit("train")),
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (A-ES /
+    Efraimidis-Spirtsos): each row draws key = u^(1/w) from its own
+    hash-derived uniform u, and the k largest keys are the sample —
+    inclusion probability proportional to weight, no RNG state, stable
+    under re-runs and corpus growth. One top-k (TakeOrderedAndProject),
+    no shuffle of the full data.
+
+    The key is rounded to 12 decimals before ranking so engines whose
+    ``pow`` differs in the last ulp (JVM vs C libm) rank identically;
+    ties break on id. The global top-k runs in two phases (local top-k
+    per hash bucket, then a final rank over the surviving ``32*k``
+    rows) so no single partition ever sorts the full corpus.
+    """
+    key = F.round(
+        F.pow(hash_uniform(F.col(id_col), salt), F.lit(1.0) / weight), 12
+    )
+    bucket = F.pmod(F.hash(F.col(id_col)), F.lit(32))
+    local = Window.partitionBy(bucket).orderBy(F.desc("__wkey"), F.asc(id_col))
+    final = Window.orderBy(F.desc("__wkey"), F.asc(id_col))
+    return (
+        df.where(weight > 0)
+        .withColumn("__wkey", key)
+        .withColumn("__lrk", F.row_number().over(local))
+        .filter(F.col("__lrk") <= k)
+        .withColumn("sample_rank", F.row_number().over(final).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__wkey", "__lrk")
+    )
