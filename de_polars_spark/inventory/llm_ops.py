@@ -696,3 +696,74 @@ ORACLES["sample_weighted"] = f"""
         FROM documents WHERE n_chars > 0
     ) WHERE sample_rank <= 50
 """
+
+
+# ---------------------------------------------------------------- #
+# The funnel: dedup -> quality gate -> language gate -> split ->    #
+# per-split stats, one DAG — the curation pipeline every LLM corpus #
+# goes through, composed from the operators above (exact dedup via  #
+# min-id-per-content window, quality_features, hash split). Three   #
+# shuffles total: content-hash window, split groupBy, and the       #
+# map-side-combinable final aggregation.                            #
+# ---------------------------------------------------------------- #
+def q_pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = register_testdata(spark, sf_dir)
+    feats = TX.quality_features(F.col("text"))
+    base = t["documents"].select(
+        "doc_id",
+        "text",
+        "lang",
+        feats["n_tokens"].alias("n_tokens"),
+        feats["distinct_ratio"].alias("distinct_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+    )
+    kept = (
+        base.withColumn(
+            "__keep", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .where(F.col("doc_id") == F.col("__keep"))
+        .where(
+            (F.col("n_tokens") >= 20)
+            & (F.col("distinct_ratio") >= 0.4)
+            & (F.col("punct_ratio") <= 0.2)
+            & (F.col("lang") == "en")
+        )
+    )
+    split = sampling.split_train_val_test(kept, "doc_id", 0.05, 0.05)
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+QUERIES["pipeline_corpus_curation"] = q_pipeline_corpus_curation
+ORACLES["pipeline_corpus_curation"] = f"""
+    WITH feat AS (
+        SELECT doc_id, text, lang,
+               len(toks) AS n_tokens,
+               ROUND(len(list_distinct(toks))
+                     / NULLIF(CAST(len(toks) AS DOUBLE), 0), 6) AS distinct_ratio,
+               ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                     / NULLIF(CAST(length(text) AS DOUBLE), 0), 6) AS punct_ratio
+        FROM (SELECT doc_id, text, lang, {_TOKS} AS toks FROM documents)
+    ),
+    kept AS (
+        SELECT f.* FROM feat f
+        JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep
+              FROM documents GROUP BY 1) d
+          ON md5(f.text) = d.h AND f.doc_id = d.keep
+        WHERE f.n_tokens >= 20 AND f.distinct_ratio >= 0.4
+          AND f.punct_ratio <= 0.2 AND f.lang = 'en'
+    )
+    SELECT CASE WHEN {_U32} < 0.05 THEN 'val'
+                WHEN {_U32} < 0.10 THEN 'test'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           SUM(doc_id) AS id_checksum
+    FROM kept
+    GROUP BY 1
+"""
