@@ -17,14 +17,18 @@ Layout
 - ``functions``  — reusable column expressions (cost normalization ladders,
                    text stats, vector math).
 - ``operators``  — composed operators: dedup (exact/MinHash/SimHash/Jaccard/
-                   embedding near-dup), ANN similarity search, multimodal
-                   decode plumbing.
+                   embedding near-dup) + connected-components closure, ANN
+                   similarity search, multimodal decode plumbing, as-of /
+                   range temporal joins, snapshot MERGE, text ranking
+                   (TF-IDF/BM25/inverted index), deterministic + weighted
+                   sampling, skew-salted aggregation.
 - ``views``      — the KPI SQL view chain (two-dialect renderings).
 - ``analytics``  — the reference's 7 analytics modules re-expressed on Spark.
 - ``api``        — framework-free REST handlers + optional FastAPI factory.
 - ``utils``      — formatters, export sinks, validators, profiler/cache.
 - ``streaming``  — Structured Streaming extensions: windowed cost alerts,
-                   sessionization (native + stateful), streaming dedup.
+                   sessionization (native + stateful), streaming dedup,
+                   stream-stream interval join with watermarked state.
 - ``inventory``  — every operator bound to the test tables with a DuckDB
                    oracle (the correctness gate).
 - ``client``     — FinOpsEngine facade tying it all together.

@@ -248,6 +248,15 @@ def _ensure_kpi_views(spark: SparkSession, sf_dir: str) -> None:
         if vname not in _MATERIALIZED_VIEWS:
             sql = view_sql(vname, body, "cur_ext", NOW, "spark")
             spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {sql}")
+    # second wave: the final tracker view — its ~100-column savings
+    # projection is the single biggest codegen unit in the repo, so pin
+    # it down once here (over the wave-1 checkpoints) instead of paying
+    # a high-variance recompile per consumer; this also mirrors the
+    # reference, where kpi_tracker is a materialized query artifact
+    # (data_partitioner.py:105-142 writes view results to parquet)
+    spark.table("kpi_tracker").localCheckpoint(eager=True).createOrReplaceTempView(
+        "kpi_tracker"
+    )
     _KPI_VIEWS_READY.add(key)
 
 
