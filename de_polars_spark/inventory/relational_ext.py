@@ -100,10 +100,23 @@ _common(
 )
 
 # --------------------------------------------------------------------- #
-# Exact interpolated percentiles per group                               #
+# Exact interpolated percentiles per group — distributed rank            #
+# interpolation (operators/quantiles.py) instead of the built-in         #
+# percentile_cont, whose per-group value buffer is O(group size); the    #
+# DuckDB quantile_cont oracle pins the SQL-standard semantics            #
 # --------------------------------------------------------------------- #
-_common(
-    "quantile_price_profile",
+def q_quantile_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.quantiles import exact_quantiles
+
+    t = register_testdata(spark, sf_dir)
+    return exact_quantiles(
+        t["lineitem"], ["l_returnflag"], "l_extendedprice",
+        [0.25, 0.5, 0.75, 0.95],
+    )
+
+
+QUERIES["quantile_price_profile"] = q_quantile_price_profile
+ORACLES["quantile_price_profile"] = render(
     """
     SELECT l_returnflag,
            ROUND(PCTL(l_extendedprice, 0.25), 6) AS p25,
@@ -114,6 +127,7 @@ _common(
     FROM lineitem
     GROUP BY l_returnflag
     """,
+    "duckdb",
 )
 
 # --------------------------------------------------------------------- #
