@@ -1,3 +1,23 @@
-from de_polars_spark.operators import dedup, multimodal, similarity
+from de_polars_spark.operators import (
+    asof,
+    dedup,
+    merge,
+    multimodal,
+    quantiles,
+    sampling,
+    similarity,
+    skew,
+    textrank,
+)
 
-__all__ = ["dedup", "multimodal", "similarity"]
+__all__ = [
+    "asof",
+    "dedup",
+    "merge",
+    "multimodal",
+    "quantiles",
+    "sampling",
+    "similarity",
+    "skew",
+    "textrank",
+]

@@ -170,3 +170,28 @@ def test_connected_components_matches_union_find(spark, edges):
         roots.setdefault(find(n), n)
     expect = {n: roots[find(n)] for n in nodes}
     assert got == expect
+
+
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_exact_quantiles_match_numpy(spark, values):
+    import numpy as np
+
+    from de_polars_spark.operators.quantiles import exact_quantiles
+
+    df = spark.createDataFrame([("g", float(v)) for v in values], "g string, v double")
+    fracs = [0.25, 0.5, 0.95]
+    row = exact_quantiles(df, ["g"], "v", fracs, round_dp=6).collect()[0]
+    for p, col in zip(fracs, ["p25", "p50", "p95"]):
+        # numpy's default 'linear' interpolation IS percentile_cont
+        expect = float(np.percentile(values, p * 100))
+        assert abs(row[col] - expect) < 1e-4, (p, row[col], expect, values)
+    assert row["n_items"] == len(values)
