@@ -74,7 +74,12 @@ MACROS: dict[str, dict[str, str]] = {
         "duckdb": "regexp_extract_all({0}, {1})",
     },
     "BITAND1": {"spark": "(({0}) & 1)", "duckdb": "(({0}) & 1)"},
+    "BITAND": {"*": "(({0}) & ({1}))"},
     "SHIFTR": {"spark": "shiftright({0}, {1})", "duckdb": "(({0}) >> ({1}))"},
+    "SHIFTL": {
+        "spark": "shiftleft(CAST({0} AS BIGINT), {1})",
+        "duckdb": "(CAST({0} AS BIGINT) << ({1}))",
+    },
     # integer division (DuckDB '/' on ints is float division)
     "IDIV": {"spark": "CAST(({0}) / ({1}) AS BIGINT)", "duckdb": "(({0}) // ({1}))"},
     # defined here (not injected by sibling modules) so rendering never
