@@ -522,6 +522,56 @@ _common(
 )
 
 # --------------------------------------------------------------------- #
+# Count-Min sketch heavy-hitter estimates: 4 hash rows x 512 cells of    #
+# pure integer counts (bit-exact in any engine), point-queried for a    #
+# fixed key set with the exact counts alongside. The sketch table is    #
+# 2048 longs per group — mergeable and constant-size at any data scale. #
+# --------------------------------------------------------------------- #
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+_CMS_KEYS = (0, 7, 42, 99, 149)
+
+
+def _cms_sql() -> str:
+    cell = "(HASH60(TO_STR(user_id) || '#{j}') % {w})"
+    hashed = "\n        UNION ALL ".join(
+        f"SELECT {j} AS j, {cell.format(j=j, w=_CMS_WIDTH)} AS cell FROM events"
+        for j in range(_CMS_DEPTH)
+    )
+    thash = "\n        UNION ALL ".join(
+        f"SELECT user_id, {j} AS j, {cell.format(j=j, w=_CMS_WIDTH)} AS cell "
+        "FROM targets"
+        for j in range(_CMS_DEPTH)
+    )
+    targets = " UNION ALL ".join(f"SELECT {k} AS user_id" for k in _CMS_KEYS)
+    keys_in = ", ".join(str(k) for k in _CMS_KEYS)
+    return f"""
+    WITH cms AS (
+        SELECT j, cell, COUNT(*) AS c FROM (
+        {hashed}
+        ) h GROUP BY j, cell
+    ),
+    targets AS ({targets}),
+    thash AS (
+        {thash}
+    ),
+    est AS (
+        SELECT t.user_id, MIN(COALESCE(c.c, 0)) AS cms_estimate
+        FROM thash t LEFT JOIN cms c ON t.j = c.j AND t.cell = c.cell
+        GROUP BY t.user_id
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_count
+        FROM events WHERE user_id IN ({keys_in})
+        GROUP BY user_id
+    )
+    SELECT e.user_id, e.cms_estimate, COALESCE(x.exact_count, 0) AS exact_count
+    FROM est e LEFT JOIN exact x ON e.user_id = x.user_id
+    """
+
+
+_common("heavy_hitters_cms", _cms_sql())
+
+# --------------------------------------------------------------------- #
 # Equal-width histogram: manual bucketing (identical arithmetic in both  #
 # engines; one map-side-combinable aggregation)                          #
 # --------------------------------------------------------------------- #
