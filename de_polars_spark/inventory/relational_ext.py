@@ -569,7 +569,55 @@ def _cms_sql() -> str:
     """
 
 
-_common("heavy_hitters_cms", _cms_sql())
+# Spark side: ONE scan of events with a 4-struct explode (the oracle's
+# UNION ALL form re-reads the table once per hash row — fine for DuckDB,
+# but at scale the single-pass sketch build is the point). Hash text is
+# rendered from the same HASH60 macro, so the cells are bit-identical.
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    ev = t["events"]
+
+    def cell(j: int) -> F.Column:
+        return F.expr(
+            render(f"(HASH60(TO_STR(user_id) || '#{j}') % {_CMS_WIDTH})", "spark")
+        )
+
+    hashes = F.array(
+        *[
+            F.struct(F.lit(j).alias("j"), cell(j).alias("cell"))
+            for j in range(_CMS_DEPTH)
+        ]
+    )
+    cms = (
+        ev.select(F.explode(hashes).alias("h"))
+        .groupBy(F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))
+        .agg(F.count("*").alias("c"))
+    )
+    targets = spark.createDataFrame(
+        [(k,) for k in _CMS_KEYS], "user_id bigint"
+    )
+    thash = targets.select(
+        "user_id", F.explode(hashes).alias("h")
+    ).select("user_id", F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))
+    est = (
+        thash.join(F.broadcast(cms), ["j", "cell"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("cms_estimate"))
+    )
+    exact = (
+        ev.where(F.col("user_id").isin(list(_CMS_KEYS)))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "user_id", "left").select(
+        "user_id",
+        "cms_estimate",
+        F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+    )
+
+
+QUERIES["heavy_hitters_cms"] = q_heavy_hitters_cms
+ORACLES["heavy_hitters_cms"] = render(_cms_sql(), "duckdb")
 
 # --------------------------------------------------------------------- #
 # Equal-width histogram: manual bucketing (identical arithmetic in both  #
