@@ -767,3 +767,58 @@ ORACLES["pipeline_corpus_curation"] = f"""
     FROM kept
     GROUP BY 1
 """
+
+
+# dedup graph: PageRank centrality over the MinHash-LSH pair graph —
+# surfaces "template" docs whose near-copies pervade the corpus.
+# Iterations are unrolled as chained CTEs in the oracle (SQL forbids
+# aggregation in a recursive term); per-round sums are decimal-quantized
+# in both engines so the float iteration is bit-identical.
+_PR_ITers = 5
+
+
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.graph import pagerank
+
+    t = register_testdata(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+    )
+    return pagerank(pairs, iterations=_PR_ITers)
+
+
+def _pagerank_oracle() -> str:
+    its = []
+    prev = "pr0"
+    for k in range(1, _PR_ITers + 1):
+        its.append(
+            f""",
+    pr{k} AS (
+        SELECT e.v AS u,
+               CAST(CAST(0.15000000 AS DECIMAL(9,8))
+                    + CAST(0.85000000 AS DECIMAL(9,8))
+                      * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(38,6)))
+                             AS DECIMAL(20,6))
+                    AS DOUBLE) AS pr
+        FROM edges e
+        JOIN {prev} p ON e.u = p.u
+        JOIN deg d ON d.u = e.u
+        GROUP BY e.v
+    )"""
+        )
+        prev = f"pr{k}"
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM edges GROUP BY u),
+    pr0 AS (SELECT u, 1.0 AS pr FROM deg){''.join(its)}
+    SELECT u AS node, pr FROM {prev}
+    """
+
+
+QUERIES["dedup_pagerank"] = q_dedup_pagerank
+ORACLES["dedup_pagerank"] = _pagerank_oracle()

@@ -1,6 +1,7 @@
 from de_polars_spark.operators import (
     asof,
     dedup,
+    graph,
     merge,
     multimodal,
     quantiles,
@@ -13,6 +14,7 @@ from de_polars_spark.operators import (
 __all__ = [
     "asof",
     "dedup",
+    "graph",
     "merge",
     "multimodal",
     "quantiles",

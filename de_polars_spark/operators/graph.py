@@ -1,0 +1,76 @@
+"""Distributed PageRank over an undirected pair graph.
+
+Ranks nodes of the duplicate-pair graph (or any edge list) by link
+centrality — in a dedup pipeline this surfaces the "template" documents
+whose near-copies pervade the corpus (high-centrality cluster cores are
+kept or studied; satellites are dropped).
+
+Execution shape per iteration: one join of the rank frame against the
+edge list on the source key + one groupBy on the destination key — the
+same two-shuffle round as label propagation, with the edge relation
+pre-partitioned once and reused. Lineage is cut per round with an eager
+``localCheckpoint`` so the plan stays flat across iterations.
+
+Determinism contract (cross-engine exactness): neighbor contributions
+``pr(v)/deg(v)`` are doubles, so their sum order would leak into the
+result — each contribution is quantized to DECIMAL(38,6) before the
+sum (exact, order-free), and the damped update is rounded to 6dp. By
+induction every iteration's ranks are bit-identical in any engine that
+follows the same recipe (the DuckDB oracle unrolls the iterations as
+chained CTEs — SQL forbids aggregation inside a recursive term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """(node, pr) after ``iterations`` damped rounds from pr=1.0.
+
+    Undirected: each pair contributes an edge in both directions.
+    """
+    sym = pairs.select(
+        F.col(id_a).cast("bigint").alias("u"), F.col(id_b).cast("bigint").alias("v")
+    )
+    edges = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    edges = edges.repartition("u").localCheckpoint(eager=True)
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg"))
+
+    # the damped update runs in EXACT decimal — rounding the new rank to
+    # 6dp between rounds lands on .5e-7 ties where engines' tie-breaking
+    # differs (observed: 7/363 rows off by exactly 1e-6). Only the
+    # contribution pr/deg is quantized (a double with a long shortest
+    # repr — tie-safe, see dialect_macros.DSUM), everything after is
+    # exact decimal arithmetic, converted to double (correctly rounded,
+    # engine-independent) for the next division.
+    ranks = deg.select("u", F.lit(1.0).alias("pr"))
+    base_d = F.expr(f"CAST({1.0 - damping:.8f} AS DECIMAL(9,8))")
+    damp_d = F.expr(f"CAST({damping:.8f} AS DECIMAL(9,8))")
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks.join(deg, "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("pr") / F.col("deg")).cast("decimal(38,6)").alias("__c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node")
+            .agg(F.sum("__c").cast("decimal(20,6)").alias("__s"))
+            .select(
+                F.col("node").alias("u"),
+                (base_d + damp_d * F.col("__s")).cast("double").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("u").alias("node"), "pr")

@@ -142,3 +142,18 @@ def test_salted_agg_equals_direct(spark, sf_dir):
     )
     assert (salted["total"] == direct["total"]).all()
     assert (salted["n_rows"] == direct["n_rows"]).all()
+
+
+def test_pagerank_star_center_dominates(spark):
+    from de_polars_spark.operators.graph import pagerank
+
+    # star: 0 joined to 1..4 -> center must out-rank every leaf, and all
+    # leaves tie exactly (decimal-exact iteration)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    pr = {r.node: r.pr for r in pagerank(pairs, iterations=4).collect()}
+    assert set(pr) == {0, 1, 2, 3, 4}
+    leaves = {pr[i] for i in range(1, 5)}
+    assert len(leaves) == 1
+    assert pr[0] > pr[1]
