@@ -18,6 +18,7 @@ from de_polars_spark.streaming.cost_alerts import (
 from de_polars_spark.streaming.dedup_stream import dedup_stream
 from de_polars_spark.streaming.interval_join import interval_join_backward
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
+from de_polars_spark.streaming.sketch_stream import hll_estimate, windowed_hll_registers
 
 __all__ = [
     "windowed_costs",
@@ -27,4 +28,6 @@ __all__ = [
     "sessionize_stateful",
     "dedup_stream",
     "interval_join_backward",
+    "windowed_hll_registers",
+    "hll_estimate",
 ]

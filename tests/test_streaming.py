@@ -156,3 +156,48 @@ def test_interval_join_stream_matches_batch(spark, tmp_path):
     finally:
         query.stop()
     assert {(r.pid, r.v_ts.minute) for r in got} == {(1, 25), (1, 29)}
+
+
+def test_windowed_hll_stream_matches_batch(spark, tmp_path):
+    """Streaming HLL register table == batch register table on the same
+    data, and the folded estimate is within sketch error of the truth."""
+    from de_polars_spark.streaming import hll_estimate, windowed_hll_registers
+
+    schema = "ts timestamp, grp string, uid long"
+    rows = [
+        (datetime(2025, 1, 1, h, m), g, uid)
+        for g, base in (("a", 0), ("b", 5000))
+        for h in (9, 10)
+        for m in range(0, 60, 7)
+        for uid in (base + m, base + m + 1)
+    ]
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "d"))
+    batch_df = spark.read.schema(schema).parquet(str(tmp_path / "d"))
+    batch = windowed_hll_registers(batch_df, "ts", "grp", "uid", "1 hour")
+    got_batch = {
+        (r.window_start, r.grp, r.reg): r.rho for r in batch.collect()
+    }
+
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path / "d"))
+    q = run_stream_to_memory(
+        windowed_hll_registers(stream, "ts", "grp", "uid", "1 hour"),
+        "hll_t",
+        output_mode="update",
+    )
+    try:
+        q.processAllAvailable()
+        got_stream = {
+            (r.window_start, r.grp, r.reg): r.rho
+            for r in spark.sql("SELECT * FROM hll_t").collect()
+        }
+    finally:
+        q.stop()
+    assert got_stream == got_batch
+
+    est = {
+        (r.window_start.hour, r.grp): r.estimate
+        for r in hll_estimate(batch).collect()
+    }
+    # truth: 17-18 distinct uids per (hour, grp); linear counting regime
+    for k, v in est.items():
+        assert 10 <= v <= 30, (k, v)
