@@ -822,3 +822,124 @@ def _pagerank_oracle() -> str:
 
 QUERIES["dedup_pagerank"] = q_dedup_pagerank
 ORACLES["dedup_pagerank"] = _pagerank_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Benchmark decontamination: flag corpus docs sharing any 5-gram    #
+# with a held-out benchmark set (the standard eval-contamination    #
+# check before training). Shingles hash to 60-bit ints, benchmark   #
+# shingle set joins broadcast (eval sets are tiny vs the corpus);   #
+# one explode + one equi-join + one groupBy — scales linearly.      #
+# ---------------------------------------------------------------- #
+_CONTAM_N = 5
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.functions import text as _TX
+
+    t = register_testdata(spark, sf_dir)
+    docs = t["documents"].select(
+        "doc_id", _TX.tokens(F.col("text")).alias("__toks")
+    ).select(
+        "doc_id",
+        F.transform(
+            _TX.shingles_from_tokens(F.col("__toks"), _CONTAM_N), _TX.hash60
+        ).alias("sh"),
+    )
+    ex = docs.select("doc_id", F.explode("sh").alias("g"))
+    bench = (
+        ex.where(F.col("doc_id") < 5).select("g").distinct()
+    )
+    hits = (
+        ex.where(F.col("doc_id") >= 5)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_5grams"))
+    )
+    return hits.select(
+        "doc_id", "n_shared_5grams", F.lit(True).alias("contaminated")
+    )
+
+
+def _contam_oracle() -> str:
+    return f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_transform({_shingles(_CONTAM_N)}, t -> {_HASH60_T}) AS sh
+        FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+    bench AS (SELECT DISTINCT g FROM ex WHERE doc_id < 5)
+    SELECT e.doc_id, COUNT(*) AS n_shared_5grams, TRUE AS contaminated
+    FROM ex e JOIN bench b ON e.g = b.g
+    WHERE e.doc_id >= 5
+    GROUP BY e.doc_id
+    """
+
+
+QUERIES["benchmark_contamination"] = q_benchmark_contamination
+ORACLES["benchmark_contamination"] = _contam_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Repetition statistics: C4/Gopher-style quality heuristics — the   #
+# share of the most frequent bigram and the duplicate-token ratio.  #
+# One explode + two aggregations, all map-side combinable.          #
+# ---------------------------------------------------------------- #
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.functions import text as _TX
+
+    t = register_testdata(spark, sf_dir)
+    base = t["documents"].select(
+        "doc_id", _TX.tokens(F.col("text")).alias("__toks")
+    ).withColumn("n_toks", F.size("__toks")).withColumn(
+        "n_distinct", F.size(F.array_distinct("__toks"))
+    )
+    # NON-distinct bigrams: counts matter here, so build them positionally
+    grams = base.where(F.col("n_toks") >= 2).select(
+        "doc_id",
+        "n_toks",
+        "n_distinct",
+        F.expr(
+            "transform(sequence(1, size(__toks) - 1), "
+            "i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)))"
+        ).alias("bigrams"),
+    ).select(
+        "doc_id", "n_toks", "n_distinct", F.explode("bigrams").alias("bg")
+    )
+    counts = grams.groupBy("doc_id", "n_toks", "n_distinct", "bg").agg(
+        F.count("*").alias("c")
+    )
+    return counts.groupBy("doc_id", "n_toks", "n_distinct").agg(
+        F.round(
+            F.max("c") / (F.col("n_toks") - 1).cast("double"), 6
+        ).alias("top_bigram_share"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_toks").cast("double"), 6
+        ).alias("dup_token_ratio"),
+    ).select("doc_id", "n_toks", "top_bigram_share", "dup_token_ratio")
+
+
+QUERIES["text_repetition_stats"] = q_text_repetition_stats
+ORACLES["text_repetition_stats"] = f"""
+    WITH base AS (
+        SELECT doc_id, toks, len(toks) AS n_toks,
+               len(list_distinct(toks)) AS n_distinct
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) >= 2
+    ),
+    grams AS (
+        SELECT doc_id, n_toks, n_distinct,
+               unnest(list_transform(generate_series(1, n_toks - 1),
+                      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        FROM base
+    ),
+    counts AS (
+        SELECT doc_id, n_toks, n_distinct, bg, COUNT(*) AS c
+        FROM grams GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_id, n_toks,
+           ROUND(MAX(c) / CAST(n_toks - 1 AS DOUBLE), 6) AS top_bigram_share,
+           ROUND(1.0 - n_distinct / CAST(n_toks AS DOUBLE), 6) AS dup_token_ratio
+    FROM counts GROUP BY doc_id, n_toks, n_distinct
+"""
