@@ -943,3 +943,140 @@ ORACLES["text_repetition_stats"] = f"""
            ROUND(1.0 - n_distinct / CAST(n_toks AS DOUBLE), 6) AS dup_token_ratio
     FROM counts GROUP BY doc_id, n_toks, n_distinct
 """
+
+
+# ---------------------------------------------------------------- #
+# PII scrubbing: inject deterministic synthetic emails/phones into  #
+# a slice of the corpus (the testdata vocabulary has none), then    #
+# redact with the same RE2-compatible patterns in both engines and  #
+# count redactions. Pure per-row regexp_replace — zero shuffle.     #
+# ---------------------------------------------------------------- #
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    docs = t["documents"].withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    scrubbed = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"),
+                _PHONE_RE,
+                "[PHONE]",
+            )
+        ).alias("scrubbed_md5"),
+    )
+    return scrubbed
+
+
+QUERIES["text_pii_scrub"] = q_text_pii_scrub
+ORACLES["text_pii_scrub"] = f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 555-01'
+                         || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                         || '-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(
+               regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+    FROM docs
+"""
+
+
+# ---------------------------------------------------------------- #
+# Training-shard packing: distribute documents into N shards with   #
+# balanced token budgets — longest-first round-robin by size rank   #
+# (a 4/3-approximation of optimal makespan, fully deterministic and #
+# one window pass; the greedy bin-packer is inherently sequential). #
+# ---------------------------------------------------------------- #
+_N_SHARDS = 16
+
+
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from de_polars_spark.functions import text as _TX
+
+    t = register_testdata(spark, sf_dir)
+    sized = t["documents"].select(
+        "doc_id", F.size(_TX.tokens(F.col("text"))).alias("n_tokens")
+    )
+    # distributed global rank: a bare Window.orderBy sorts the whole
+    # corpus into ONE partition, so the rank is assembled in two phases —
+    # row_number within each n_tokens bucket (parallel across buckets) +
+    # the cumulative count of larger buckets (a window over the tiny
+    # per-bucket-count relation)
+    in_bucket = Window.partitionBy("n_tokens").orderBy("doc_id")
+    bucket_counts = sized.groupBy("n_tokens").agg(F.count("*").alias("__bc"))
+    offsets = bucket_counts.select(
+        "n_tokens",
+        (
+            F.sum("__bc").over(
+                Window.orderBy(F.desc("n_tokens")).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("__off"),
+    ).fillna(0, ["__off"])
+    assigned = (
+        sized.withColumn("__r", F.row_number().over(in_bucket))
+        .join(offsets, "n_tokens")
+        .withColumn(
+            "shard_id",
+            ((F.col("__off") + F.col("__r") - 1) % _N_SHARDS).cast("int"),
+        )
+    )
+    return assigned.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+QUERIES["shard_packing"] = q_shard_packing
+ORACLES["shard_packing"] = f"""
+    WITH sized AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, n_tokens,
+               CAST((ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                    % {_N_SHARDS} AS INT) AS shard_id
+        FROM sized
+    )
+    SELECT shard_id, COUNT(*) AS n_docs,
+           SUM(n_tokens) AS shard_tokens,
+           SUM(doc_id) AS id_checksum
+    FROM assigned GROUP BY shard_id
+"""
