@@ -835,18 +835,34 @@ _CONTAM_N = 5
 
 
 def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from de_polars_spark.functions import text as _TX
 
     t = register_testdata(spark, sf_dir)
-    docs = t["documents"].select(
-        "doc_id", _TX.tokens(F.col("text")).alias("__toks")
-    ).select(
-        "doc_id",
-        F.transform(
-            _TX.shingles_from_tokens(F.col("__toks"), _CONTAM_N), _TX.hash60
-        ).alias("sh"),
+    # n-grams via one window pass of LEADs over exploded tokens: the
+    # array-HOF shingle build (transform + element_at concat) evaluates
+    # interpreted and cost ~8s alone at sf0.1; posexplode + lead stays
+    # inside whole-stage codegen (one doc_id shuffle) and the shared
+    # shingle relation is checkpointed so the benchmark and corpus
+    # branches don't recompute it
+    tok = t["documents"].select(
+        "doc_id", F.posexplode(_TX.tokens(F.col("text"))).alias("p", "tok")
     )
-    ex = docs.select("doc_id", F.explode("sh").alias("g"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    leads = [F.lead("tok", i).over(w) for i in range(1, _CONTAM_N)]
+    gram = F.concat_ws(" ", F.col("tok"), *leads)
+    ex = (
+        tok.select(
+            "doc_id",
+            gram.alias("__g"),
+            leads[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select("doc_id", _TX.hash60(F.col("__g")).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     bench = (
         ex.where(F.col("doc_id") < 5).select("g").distinct()
     )
