@@ -903,37 +903,59 @@ ORACLES["benchmark_contamination"] = _contam_oracle()
 # One explode + two aggregations, all map-side combinable.          #
 # ---------------------------------------------------------------- #
 def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     from de_polars_spark.functions import text as _TX
 
     t = register_testdata(spark, sf_dir)
-    base = t["documents"].select(
-        "doc_id", _TX.tokens(F.col("text")).alias("__toks")
-    ).withColumn("n_toks", F.size("__toks")).withColumn(
-        "n_distinct", F.size(F.array_distinct("__toks"))
+    # positional (NON-distinct) bigrams via LEAD over exploded tokens —
+    # whole-stage codegen, one doc-keyed shuffle (the array-HOF form
+    # evaluated interpreted; see benchmark_contamination note)
+    tok = t["documents"].select(
+        "doc_id", F.posexplode(_TX.tokens(F.col("text"))).alias("p", "tok")
     )
-    # NON-distinct bigrams: counts matter here, so build them positionally
-    grams = base.where(F.col("n_toks") >= 2).select(
-        "doc_id",
-        "n_toks",
-        "n_distinct",
-        F.expr(
-            "transform(sequence(1, size(__toks) - 1), "
-            "i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1)))"
-        ).alias("bigrams"),
-    ).select(
-        "doc_id", "n_toks", "n_distinct", F.explode("bigrams").alias("bg")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    grams = (
+        tok.select(
+            "doc_id",
+            F.col("tok"),
+            F.lead("tok", 1).over(w).alias("__nxt"),
+        )
+        .withColumn(
+            "bg",
+            F.when(
+                F.col("__nxt").isNotNull(),
+                F.concat_ws(" ", "tok", "__nxt"),
+            ),
+        )
     )
-    counts = grams.groupBy("doc_id", "n_toks", "n_distinct", "bg").agg(
-        F.count("*").alias("c")
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.countDistinct("tok").alias("n_distinct"),
     )
-    return counts.groupBy("doc_id", "n_toks", "n_distinct").agg(
-        F.round(
-            F.max("c") / (F.col("n_toks") - 1).cast("double"), 6
-        ).alias("top_bigram_share"),
-        F.round(
-            F.lit(1.0) - F.col("n_distinct") / F.col("n_toks").cast("double"), 6
-        ).alias("dup_token_ratio"),
-    ).select("doc_id", "n_toks", "top_bigram_share", "dup_token_ratio")
+    top_bg = (
+        grams.where(F.col("bg").isNotNull())
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bg"))
+    )
+    return (
+        per_doc.where(F.col("n_toks") >= 2)
+        .join(top_bg, "doc_id")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.round(
+                F.col("max_bg") / (F.col("n_toks") - 1).cast("double"), 6
+            ).alias("top_bigram_share"),
+            F.round(
+                F.lit(1.0)
+                - F.col("n_distinct") / F.col("n_toks").cast("double"),
+                6,
+            ).alias("dup_token_ratio"),
+        )
+    )
 
 
 QUERIES["text_repetition_stats"] = q_text_repetition_stats
