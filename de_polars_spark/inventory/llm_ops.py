@@ -1118,3 +1118,131 @@ ORACLES["shard_packing"] = f"""
            SUM(doc_id) AS id_checksum
     FROM assigned GROUP BY shard_id
 """
+
+
+# ---------------------------------------------------------------- #
+# Distributed k-means (2 Lloyd rounds) over the embedding corpus — #
+# the IVF/topic-bucketing fit. Centroids stay driver-side (k x dim  #
+# doubles) and broadcast into the assignment expression; updates    #
+# are one decimal-quantized aggregation per round, so the float     #
+# iteration is bit-identical to the unrolled-CTE oracle.            #
+# ---------------------------------------------------------------- #
+_KM_K, _KM_DIM, _KM_ITERS = 8, 64, 2
+
+
+def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.kmeans import kmeans_iterations
+
+    t = register_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    seed_rows = (
+        emb.where(F.col("vec_id") % 67 == 1)
+        .orderBy("vec_id")
+        .limit(_KM_K)
+        .select("embedding")
+        .collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    assigned, cents = kmeans_iterations(
+        emb, "vec_id", "embedding", seeds, iterations=_KM_ITERS
+    )
+    norms = spark.createDataFrame(
+        [(cid,) for cid in range(_KM_K)], "cid int"
+    ).select(
+        "cid",
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.array(
+                        *[
+                            F.when(F.col("cid") == c, F.lit(float(v)))
+                            .otherwise(F.lit(0.0))
+                            for c, cent in enumerate(cents)
+                            for v in [sum(x * x for x in cent)]
+                        ]
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("centroid_norm"),
+    )
+    summary = assigned.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+    return summary.join(norms, "cid").select(
+        "cid", "n_members", "id_sum", "centroid_norm"
+    )
+
+
+def _kmeans_oracle() -> str:
+    dist = (
+        "list_aggregate(list_transform(generate_series(1, {d}), "
+        "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])), 'sum')"
+    ).format(d=_KM_DIM)
+
+    def assign(cname: str, aname: str) -> str:
+        return f""",
+    {aname} AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn
+            FROM e, {cname} c
+        ) WHERE rn = 1
+    )"""
+
+    def update(aname: str, prev: str, cname: str) -> str:
+        return f""",
+    {cname}_dims AS (
+        SELECT a.cid, t.i,
+               CAST(SUM(CAST(e.v[t.i] AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM {aname} a JOIN e USING (vec_id)
+        CROSS JOIN generate_series(1, {_KM_DIM}) t(i)
+        GROUP BY a.cid, t.i
+    ),
+    {cname} AS (
+        SELECT p.cid,
+               COALESCE(d.v, p.v) AS v
+        FROM (SELECT cid, v FROM {prev}) p
+        LEFT JOIN (SELECT cid, list(m ORDER BY i) AS v
+                   FROM {cname}_dims GROUP BY cid) d
+          ON p.cid = d.cid
+    )"""
+
+    parts = [
+        f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+        FROM (SELECT vec_id, v FROM e WHERE vec_id % 67 = 1
+              ORDER BY vec_id LIMIT {_KM_K})
+    )"""
+    ]
+    prev_c = "c0"
+    for it in range(_KM_ITERS):
+        aname, cname = f"a{it}", f"c{it + 1}"
+        parts.append(assign(prev_c, aname))
+        parts.append(update(aname, prev_c, cname))
+        prev_c = cname
+    parts.append(assign(prev_c, f"a{_KM_ITERS}"))
+    parts.append(
+        f"""
+    SELECT a.cid, COUNT(*) AS n_members, SUM(a.vec_id) AS id_sum,
+           ROUND(sqrt(list_aggregate(list_transform(
+               generate_series(1, {_KM_DIM}), i -> c.v[i] * c.v[i]),
+               'sum')), 6) AS centroid_norm
+    FROM a{_KM_ITERS} a JOIN {prev_c} c ON a.cid = c.cid
+    GROUP BY a.cid, c.v
+    """
+    )
+    return "".join(parts)
+
+
+QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
+ORACLES["kmeans_embeddings"] = _kmeans_oracle()

@@ -2,6 +2,7 @@ from de_polars_spark.operators import (
     asof,
     dedup,
     graph,
+    kmeans,
     merge,
     multimodal,
     quantiles,
@@ -15,6 +16,7 @@ __all__ = [
     "asof",
     "dedup",
     "graph",
+    "kmeans",
     "merge",
     "multimodal",
     "quantiles",
