@@ -1246,3 +1246,64 @@ def _kmeans_oracle() -> str:
 
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
 ORACLES["kmeans_embeddings"] = _kmeans_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Unigram log-probability scoring: the perplexity-proxy quality     #
+# signal (docs full of rare/garbled tokens score low). p(tok) from  #
+# corpus counts with add-one smoothing; per-doc mean of -ln p,      #
+# decimal-quantized per token so the sum is order-independent.      #
+# Two aggregations + one broadcast-ready join on the token column.  #
+# ---------------------------------------------------------------- #
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    tok = t["documents"].select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    )
+    totals = tok.agg(F.count("*").alias("n_total"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    n_vocab = vocab.agg(F.count("*").alias("n_vocab"))
+    # -ln((c + 1) / (n_total + n_vocab)), quantized at 1e-6 per token
+    scored = (
+        tok.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_vocab))
+        .withColumn(
+            "__nlp",
+            (
+                -F.log(
+                    (F.col("c") + F.lit(1)).cast("double")
+                    / (F.col("n_total") + F.col("n_vocab"))
+                )
+            ).cast("decimal(38,6)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            F.sum("__nlp").cast("double") / F.count("*"), 6
+        ).alias("avg_neg_logprob"),
+    )
+
+
+QUERIES["text_unigram_logprob"] = q_text_unigram_logprob
+ORACLES["text_unigram_logprob"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(toks) AS tok
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    totals AS (SELECT COUNT(*) AS n_total FROM tok),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    nv AS (SELECT COUNT(*) AS n_vocab FROM vocab),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(-ln(CAST(v.c + 1 AS DOUBLE) / (totals.n_total + nv.n_vocab))
+                    AS DECIMAL(38,6)) AS nlp
+        FROM tok t
+        JOIN vocab v USING (tok)
+        CROSS JOIN totals CROSS JOIN nv
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
+    FROM scored GROUP BY doc_id
+"""

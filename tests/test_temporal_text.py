@@ -157,3 +157,20 @@ def test_pagerank_star_center_dominates(spark):
     leaves = {pr[i] for i in range(1, 5)}
     assert len(leaves) == 1
     assert pr[0] > pr[1]
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from de_polars_spark.operators.kmeans import kmeans_iterations
+
+    # two tight 2-D blobs; seeds one point from each
+    pts = [(i, [0.0 + i * 0.01, 0.0]) for i in range(5)] + [
+        (10 + i, [10.0 + i * 0.01, 10.0]) for i in range(5)
+    ]
+    df = spark.createDataFrame(pts, "vec_id int, embedding array<double>")
+    assigned, cents = kmeans_iterations(
+        df, "vec_id", "embedding", seeds=[[0.0, 0.0], [10.0, 10.0]], iterations=2
+    )
+    got = {r.vec_id: r.cid for r in assigned.collect()}
+    assert {got[i] for i in range(5)} == {0}
+    assert {got[10 + i] for i in range(5)} == {1}
+    assert abs(cents[0][1] - 0.0) < 1e-9 and abs(cents[1][1] - 10.0) < 1e-9
