@@ -732,3 +732,50 @@ ORACLES["skew_salted_agg"] = """
            COUNT(*) AS n_events
     FROM events GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------- #
+# Data-quality report as a single-pass query: the metrics behind         #
+# utils/validators.validate_cost_data (negatives, critical nulls,        #
+# staleness, duplicates), one conditional aggregation over the CUR       #
+# --------------------------------------------------------------------- #
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.inventory.kpi_views import _ensure_cur_ext
+
+    _ensure_cur_ext(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS total_rows,
+               COUNT_IF(line_item_unblended_cost < 0) AS n_negative_cost,
+               COUNT_IF(line_item_product_code IS NULL
+                        OR line_item_product_code = '') AS n_missing_code,
+               COUNT_IF(line_item_usage_account_id IS NULL
+                        OR line_item_usage_account_id = '') AS n_missing_account,
+               unix_micros(CAST(MAX(line_item_usage_start_date) AS TIMESTAMP))
+                   AS latest_usage_us,
+               COUNT(*) - COUNT(DISTINCT md5(concat_ws('|',
+                   line_item_usage_account_id, line_item_product_code,
+                   line_item_usage_start_date, line_item_unblended_cost)))
+                   AS n_duplicate_keys
+        FROM cur_ext
+        """
+    )
+
+
+QUERIES["data_quality_report"] = q_data_quality_report
+from de_polars_spark.inventory.kpi_views import CUR_EXT_CTE as _CUR_CTE  # noqa: E402
+
+ORACLES["data_quality_report"] = render(_CUR_CTE, "duckdb") + """
+    SELECT COUNT(*) AS total_rows,
+           COUNT(*) FILTER (line_item_unblended_cost < 0) AS n_negative_cost,
+           COUNT(*) FILTER (line_item_product_code IS NULL
+                            OR line_item_product_code = '') AS n_missing_code,
+           COUNT(*) FILTER (line_item_usage_account_id IS NULL
+                            OR line_item_usage_account_id = '') AS n_missing_account,
+           epoch_us(MAX(line_item_usage_start_date)) AS latest_usage_us,
+           COUNT(*) - COUNT(DISTINCT md5(concat_ws('|',
+               line_item_usage_account_id, line_item_product_code,
+               line_item_usage_start_date, line_item_unblended_cost)))
+               AS n_duplicate_keys
+    FROM cur
+"""
