@@ -56,12 +56,19 @@ def main() -> None:
 
     from de_polars_spark.operators.dedup import release_cached
 
+    import gc
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 4)
         release_cached()  # dedup ops persist internally; no cross-query reuse
+        # drop py4j refs promptly so ContextCleaner can release finished
+        # queries' RDDs/broadcasts — a 100-query session otherwise carries
+        # a cleanup backlog into the tail queries (measured as multi-second
+        # jitter on the late KPI queries)
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     print(
