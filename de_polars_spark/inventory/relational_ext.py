@@ -779,3 +779,145 @@ ORACLES["data_quality_report"] = render(_CUR_CTE, "duckdb") + """
                AS n_duplicate_keys
     FROM cur
 """
+
+
+# --------------------------------------------------------------------- #
+# ANALYZE-style column statistics: the min/max/NDV/null profile a        #
+# cost-based optimizer ingests, one pass per table                       #
+# --------------------------------------------------------------------- #
+_common(
+    "column_stats_profile",
+    """
+    SELECT 'l_quantity' AS column_name,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_val,
+           COUNT(DISTINCT l_quantity) AS ndv,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE),
+           COUNT(DISTINCT l_extendedprice),
+           COUNT(*) - COUNT(l_extendedprice),
+           COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_suppkey',
+           CAST(MIN(l_suppkey) AS DOUBLE),
+           CAST(MAX(l_suppkey) AS DOUBLE),
+           COUNT(DISTINCT l_suppkey),
+           COUNT(*) - COUNT(l_suppkey),
+           COUNT(*)
+    FROM lineitem
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# Incremental aggregate maintenance: merge a delta's partial aggregates  #
+# into a base aggregate instead of recomputing — the IVM identity for    #
+# distributive aggregates (SUM/COUNT merge; AVG derives). Verified by    #
+# the oracle computing the same totals over the full table directly.     #
+# --------------------------------------------------------------------- #
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    ev = t["events"]
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("__s"),
+            F.count("*").alias("__n"),
+        )
+
+    base = partial(ev.where(F.col("event_id") % 5 != 0))
+    delta = partial(ev.where(F.col("event_id") % 5 == 0))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(F.sum("__s").alias("__s"), F.sum("__n").alias("__n"))
+    )
+    return merged.select(
+        "event_type",
+        F.col("__s").cast("double").alias("total_value"),
+        F.col("__n").alias("n_events"),
+        (F.col("__s").cast("double") / F.col("__n")).alias("avg_value"),
+    )
+
+
+QUERIES["incremental_agg_maintenance"] = q_incremental_agg_maintenance
+ORACLES["incremental_agg_maintenance"] = """
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS avg_value
+    FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------- #
+# Snapshot diff (CDC derivation): classify rows between two snapshot     #
+# versions as inserted / deleted / changed / unchanged — the inverse of  #
+# merge_snapshot, one full-outer join on the key                         #
+# --------------------------------------------------------------------- #
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    old = t["documents"].select("doc_id", "text")
+    # deterministic synthetic v2: edits, deletes, inserts
+    new = (
+        t["documents"]
+        .where(F.col("doc_id") % 11 != 3)  # deletes
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 2,
+                F.concat(F.lit("edited "), F.col("text")),
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", "text")
+        .unionByName(
+            t["documents"]
+            .where(F.col("doc_id") % 13 == 5)  # inserts
+            .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        )
+    )
+    j = old.withColumnRenamed("text", "__old").join(
+        new.withColumnRenamed("text", "__new"), "doc_id", "full_outer"
+    )
+    classified = j.select(
+        "doc_id",
+        F.when(F.col("__old").isNull(), F.lit("inserted"))
+        .when(F.col("__new").isNull(), F.lit("deleted"))
+        .when(F.col("__old") != F.col("__new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return classified.groupBy("change").agg(
+        F.count("*").alias("n_rows"), F.sum("doc_id").alias("id_checksum")
+    )
+
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
+ORACLES["snapshot_diff"] = """
+    WITH old AS (SELECT doc_id, text FROM documents),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 2 THEN 'edited ' || text ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 11 != 3
+        UNION ALL
+        SELECT doc_id + 200000, text FROM documents WHERE doc_id % 13 = 5
+    ),
+    j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'inserted'
+                    WHEN n.doc_id IS NULL THEN 'deleted'
+                    WHEN o.text != n.text THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT change, COUNT(*) AS n_rows, SUM(doc_id) AS id_checksum
+    FROM j GROUP BY change
+"""
