@@ -788,29 +788,30 @@ ORACLES["data_quality_report"] = render(_CUR_CTE, "duckdb") + """
 _common(
     "column_stats_profile",
     """
-    SELECT 'l_quantity' AS column_name,
-           CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
-           CAST(MAX(l_quantity) AS DOUBLE) AS max_val,
-           COUNT(DISTINCT l_quantity) AS ndv,
-           COUNT(*) - COUNT(l_quantity) AS n_nulls,
-           COUNT(*) AS n_rows
-    FROM lineitem
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               CAST(MIN(l_quantity) AS DOUBLE) AS qty_min,
+               CAST(MAX(l_quantity) AS DOUBLE) AS qty_max,
+               COUNT(DISTINCT l_quantity) AS qty_ndv,
+               COUNT(*) - COUNT(l_quantity) AS qty_nulls,
+               CAST(MIN(l_extendedprice) AS DOUBLE) AS price_min,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS price_max,
+               COUNT(DISTINCT l_extendedprice) AS price_ndv,
+               COUNT(*) - COUNT(l_extendedprice) AS price_nulls,
+               CAST(MIN(l_suppkey) AS DOUBLE) AS supp_min,
+               CAST(MAX(l_suppkey) AS DOUBLE) AS supp_max,
+               COUNT(DISTINCT l_suppkey) AS supp_ndv,
+               COUNT(*) - COUNT(l_suppkey) AS supp_nulls
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS column_name, qty_min AS min_val, qty_max AS max_val,
+           qty_ndv AS ndv, qty_nulls AS n_nulls, n_rows FROM s
     UNION ALL
-    SELECT 'l_extendedprice',
-           CAST(MIN(l_extendedprice) AS DOUBLE),
-           CAST(MAX(l_extendedprice) AS DOUBLE),
-           COUNT(DISTINCT l_extendedprice),
-           COUNT(*) - COUNT(l_extendedprice),
-           COUNT(*)
-    FROM lineitem
+    SELECT 'l_extendedprice', price_min, price_max, price_ndv, price_nulls,
+           n_rows FROM s
     UNION ALL
-    SELECT 'l_suppkey',
-           CAST(MIN(l_suppkey) AS DOUBLE),
-           CAST(MAX(l_suppkey) AS DOUBLE),
-           COUNT(DISTINCT l_suppkey),
-           COUNT(*) - COUNT(l_suppkey),
-           COUNT(*)
-    FROM lineitem
+    SELECT 'l_suppkey', supp_min, supp_max, supp_ndv, supp_nulls, n_rows
+    FROM s
     """,
 )
 
