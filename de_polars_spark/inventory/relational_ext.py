@@ -922,3 +922,55 @@ ORACLES["snapshot_diff"] = """
     SELECT change, COUNT(*) AS n_rows, SUM(doc_id) AS id_checksum
     FROM j GROUP BY change
 """
+
+
+# --------------------------------------------------------------------- #
+# Sequential funnel: users progressing view -> click -> purchase IN      #
+# ORDER. Each stage's entry time is the MIN event time after the         #
+# previous stage's entry — three chained conditional aggregations over   #
+# the same events relation, each one shuffle on user_id (AQE reuses the  #
+# partitioning). The classic ordered-pattern query family.               #
+# --------------------------------------------------------------------- #
+_common(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+                        THEN e.ts END) AS t_click,
+               MIN(s1.t_view) AS t_view
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE s1.t_view IS NOT NULL
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+                        THEN e.ts END) AS t_purchase,
+               MIN(s2.t_click) AS t_click,
+               MIN(s2.t_view) AS t_view
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE s2.t_click IS NOT NULL
+        GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_viewed,
+           COUNT(t_click) AS n_clicked_after_view,
+           COUNT(t_purchase) AS n_purchased_after_click,
+           EPOCH_US(MIN(t_purchase)) AS first_completion_us,
+           CAST(SUM(CASE WHEN t_purchase IS NOT NULL
+                    THEN EPOCH_US(t_purchase) - EPOCH_US(t_view) END)
+                AS BIGINT) AS total_funnel_us
+    FROM (
+        SELECT s1.user_id, s2.t_click, s3.t_purchase, s1.t_view
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        WHERE s1.t_view IS NOT NULL
+    )
+    """,
+)
