@@ -974,3 +974,70 @@ _common(
     )
     """,
 )
+
+
+# --------------------------------------------------------------------- #
+# Top-k WITH TIES: RANK-based cut keeps every row tied at the boundary   #
+# (row_number top-k silently drops tied peers — a different operator)    #
+# --------------------------------------------------------------------- #
+_common(
+    "topk_with_ties",
+    """
+    SELECT o_orderpriority, o_custkey, o_orderkey, bucket_price,
+           CAST(rk AS INT) AS rk
+    FROM (
+        SELECT o_orderpriority, o_custkey, o_orderkey,
+               CAST(FLOOR(o_totalprice / 10000.0) * 10000 AS DOUBLE)
+                   AS bucket_price,
+               RANK() OVER (PARTITION BY o_orderpriority
+                            ORDER BY FLOOR(o_totalprice / 10000.0) DESC)
+                   AS rk
+        FROM orders
+    )
+    WHERE rk <= 3
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# Median absolute deviation: robust dispersion via two chained exact     #
+# medians (operators/quantiles.py both times — no per-group buffers)     #
+# --------------------------------------------------------------------- #
+def q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.quantiles import exact_quantiles
+
+    t = register_testdata(spark, sf_dir)
+    med = exact_quantiles(
+        t["lineitem"], ["l_returnflag"], "l_extendedprice", [0.5]
+    ).select("l_returnflag", F.col("p50").alias("__med"))
+    dev = (
+        t["lineitem"]
+        .join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.abs(F.col("l_extendedprice") - F.col("__med")).alias("__dev"),
+        )
+    )
+    mad = exact_quantiles(dev, ["l_returnflag"], "__dev", [0.5])
+    return mad.select(
+        "l_returnflag",
+        F.col("p50").alias("mad"),
+        F.col("n_items").alias("n_items"),
+    ).join(med.select("l_returnflag", F.col("__med").alias("median")), "l_returnflag")
+
+
+QUERIES["median_abs_deviation"] = q_median_abs_deviation
+ORACLES["median_abs_deviation"] = """
+    WITH med AS (
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(quantile_cont(abs(l.l_extendedprice - m.median), 0.5), 6)
+               AS mad,
+           COUNT(*) AS n_items,
+           m.median
+    FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+    GROUP BY l.l_returnflag, m.median
+"""
