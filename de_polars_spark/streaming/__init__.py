@@ -18,6 +18,7 @@ from de_polars_spark.streaming.cost_alerts import (
 from de_polars_spark.streaming.dedup_stream import dedup_stream
 from de_polars_spark.streaming.interval_join import interval_join_backward
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
+from de_polars_spark.streaming.sink import idempotent_parquet_sink
 from de_polars_spark.streaming.sketch_stream import hll_estimate, windowed_hll_registers
 
 __all__ = [
@@ -30,4 +31,5 @@ __all__ = [
     "interval_join_backward",
     "windowed_hll_registers",
     "hll_estimate",
+    "idempotent_parquet_sink",
 ]

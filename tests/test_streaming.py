@@ -201,3 +201,28 @@ def test_windowed_hll_stream_matches_batch(spark, tmp_path):
     # truth: 17-18 distinct uids per (hour, grp); linear counting regime
     for k, v in est.items():
         assert 10 <= v <= 30, (k, v)
+
+
+def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
+    """A replayed batch_id must not duplicate rows; half-written staging
+    dirs from a crash are cleaned up and rewritten."""
+    from de_polars_spark.streaming import idempotent_parquet_sink
+
+    out = str(tmp_path / "sink")
+    sink = idempotent_parquet_sink(out)
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    sink(df1, 0)
+    sink(spark.createDataFrame([(3, "c")], "id int, v string"), 1)
+    # crash replay: batch 1 delivered again with different content — the
+    # committed version must win
+    sink(spark.createDataFrame([(99, "dup")], "id int, v string"), 1)
+    got = {r.id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3}
+    # provenance partition column is exposed
+    assert "batch_id" in spark.read.parquet(out).columns
+    # a crashed half-write (staging left behind) is replaced cleanly
+    import os
+    os.makedirs(os.path.join(out, "_staging_2"))
+    sink(spark.createDataFrame([(4, "d")], "id int, v string"), 2)
+    got = {r.id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 3, 4}
