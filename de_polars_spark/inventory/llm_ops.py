@@ -1307,3 +1307,48 @@ ORACLES["text_unigram_logprob"] = f"""
            ROUND(CAST(SUM(nlp) AS DOUBLE) / COUNT(*), 6) AS avg_neg_logprob
     FROM scored GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------- #
+# Source-mixture resampling with sqrt (temperature) smoothing: big  #
+# sources are down-weighted toward sqrt of their share — the        #
+# standard rebalancing for multi-source training corpora. Per-      #
+# source keep fractions derive from one tiny counts aggregate       #
+# (broadcast back), and membership is the deterministic md5 draw,   #
+# so the sample is stable across runs and engines.                  #
+# ---------------------------------------------------------------- #
+def q_mixture_resample_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    docs = t["documents"]
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_src"))
+    frac = F.least(
+        F.lit(1.0), F.lit(5.0) * F.sqrt(F.col("n_src")) / F.col("n_src")
+    )
+    keep = (
+        docs.join(F.broadcast(counts.withColumn("keep_frac", frac)), "source")
+        .where(sampling.hash_uniform(F.col("doc_id")) < F.col("keep_frac"))
+    )
+    return keep.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.max("n_src").alias("n_source_rows"),
+        F.round(F.max("keep_frac"), 6).alias("keep_frac"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+
+
+QUERIES["mixture_resample_sqrt"] = q_mixture_resample_sqrt
+ORACLES["mixture_resample_sqrt"] = f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_src,
+               LEAST(1.0, 5.0 * sqrt(COUNT(*)) / COUNT(*)) AS keep_frac
+        FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           COUNT(*) AS n_kept,
+           MAX(c.n_src) AS n_source_rows,
+           ROUND(MAX(c.keep_frac), 6) AS keep_frac,
+           SUM(d.doc_id) AS id_checksum
+    FROM documents d JOIN counts c ON d.source = c.source
+    WHERE {_U32} < c.keep_frac
+    GROUP BY d.source
+"""
