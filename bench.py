@@ -83,6 +83,24 @@ def main() -> None:
             }
         )
     )
+    # The detailed line above is ~4 KB at 110 queries and overflows a
+    # 2000-char tail capture (round 2's BENCH artifact recorded
+    # parsed:null because of exactly this). Emit a compact summary LAST,
+    # with only the slowest 10 per-query timings, so the final 2 KB of
+    # stdout always contain one complete parseable JSON record.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "inventory_suite_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": slowest,
+            }
+        )
+    )
     spark.stop()
 
 

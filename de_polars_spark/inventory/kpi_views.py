@@ -171,14 +171,19 @@ cur AS (
 #: production, where CUR is a parquet table at rest, not a per-query
 #: expression. The synthesis is deterministic, so the artifact is safe to
 #: reuse across sessions.
-_CUR_READY: dict[tuple[int, str], str] = {}
+#: id(spark) -> (sf_dir currently registered as ``cur_ext``, parquet path).
+#: Keyed by the ACTIVE sf_dir, not an accumulating set: switching sf_dir
+#: A -> B -> A in one session must re-register the temp view each time,
+#: or cur_ext keeps serving the previous dir's data (registry.py handles
+#: the base tables' switch-back; this cache must too).
+_CUR_ACTIVE: dict[int, tuple[str, str]] = {}
 
 
 def _ensure_cur_ext(spark: SparkSession, sf_dir: str) -> str:
     """Materialize + register the synthetic CUR; returns the parquet path."""
-    key = (id(spark), sf_dir)
-    if key in _CUR_READY:
-        return _CUR_READY[key]
+    active = _CUR_ACTIVE.get(id(spark))
+    if active is not None and active[0] == sf_dir:
+        return active[1]
     import hashlib
     import os
 
@@ -195,7 +200,11 @@ def _ensure_cur_ext(spark: SparkSession, sf_dir: str) -> str:
         df = spark.sql(render(CUR_EXT_CTE, "spark") + "\nSELECT * FROM cur")
         df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path).createOrReplaceTempView("cur_ext")
-    _CUR_READY[key] = path
+    if active is not None:
+        # sf_dir switched: the materialized KPI views were built over the
+        # previous cur_ext and would serve stale data — force a rebuild
+        _KPI_VIEWS_READY.pop(spark.sparkContext.applicationId, None)
+    _CUR_ACTIVE[id(spark)] = (sf_dir, path)
     return path
 
 
@@ -217,32 +226,83 @@ _MATERIALIZED_VIEWS = (
     "kpi_s3_storage_all",
     "kpi_instance_all",
 )
-_KPI_VIEWS_READY: set[tuple[str, str]] = set()
+#: applicationId -> sf_dir whose views are CURRENTLY materialized (a dict,
+#: not an accumulating set, so an sf_dir switch-back forces a rebuild)
+_KPI_VIEWS_READY: dict[str, str] = {}
+
+
+def _kpi_materialize_mode() -> str:
+    """'checkpoint' (default, local-mode fast path) or 'parquet'.
+
+    ``localCheckpoint`` pins blocks in executor storage and TRUNCATES
+    lineage — on a real cluster with executor loss or dynamic allocation
+    the blocks vanish unrecoverably, and a 100 TB-derived view won't fit
+    block storage. The 'parquet' mode writes each view as a parquet
+    artifact and re-registers from the files (the reference's own
+    pattern: data_partitioner.py:105-142 writes view results to
+    parquet), which survives executor loss and scales to views larger
+    than cluster memory. Set SPARK_GRAFT_KPI_MATERIALIZE=parquet for
+    cluster deployment; both modes serve identical rows (asserted in
+    tests/test_kpi_materialize.py::test_kpi_materialize_modes_agree).
+    """
+    import os
+
+    return os.environ.get("SPARK_GRAFT_KPI_MATERIALIZE", "checkpoint")
+
+
+def _kpi_artifact_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), ".cache")
+    # content-addressed over the whole chain: editing any view SQL (or the
+    # CUR synthesis) invalidates the artifacts
+    chain_text = CUR_EXT_CTE + NOW + "".join(
+        view_sql(v, b, "cur_ext", NOW, "spark") for v, b in VIEW_CHAIN
+    )
+    tag = hashlib.md5(chain_text.encode()).hexdigest()[:8]
+    return os.path.join(
+        cache_dir,
+        f"kpi_views_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+    )
 
 
 def _ensure_kpi_views(spark: SparkSession, sf_dir: str) -> None:
     _ensure_cur_ext(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key in _KPI_VIEWS_READY:
+    app = spark.sparkContext.applicationId
+    if _KPI_VIEWS_READY.get(app) == sf_dir:
         return
     for vname, body in VIEW_CHAIN:
         sql = view_sql(vname, body, "cur_ext", NOW, "spark")
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {sql}")
+
+    import os
+
+    parquet_mode = _kpi_materialize_mode() == "parquet"
+    art_dir = _kpi_artifact_dir(sf_dir) if parquet_mode else None
+
+    def _pin(vname: str):
+        """Materialize one view via the configured backend."""
+        if parquet_mode:
+            path = os.path.join(art_dir, vname)
+            if not os.path.exists(path):
+                spark.table(vname).write.mode("overwrite").parquet(path)
+            return vname, spark.read.parquet(path)
+        return vname, spark.table(vname).localCheckpoint(eager=True)
+
     # the five level-1/2 views are mutually independent (each reads only
     # cur_ext + virtual upstreams) — submit their jobs concurrently so
     # the cheap scans overlap the instance_all ladder instead of queuing
     # behind it
     from concurrent.futures import ThreadPoolExecutor
 
-    def _materialize(vname: str):
-        return vname, spark.table(vname).localCheckpoint(eager=True)
-
     with ThreadPoolExecutor(len(_MATERIALIZED_VIEWS)) as ex:
-        for vname, df in ex.map(_materialize, _MATERIALIZED_VIEWS):
+        for vname, df in ex.map(_pin, _MATERIALIZED_VIEWS):
             df.createOrReplaceTempView(vname)
     # temp views capture their dependencies' plans at CREATE time, so
     # re-create the downstream virtual views (kpi_tracker) now that
-    # their inputs resolve to the checkpointed frames, not the original
+    # their inputs resolve to the materialized frames, not the original
     # full-recompute definitions
     for vname, body in VIEW_CHAIN:
         if vname not in _MATERIALIZED_VIEWS:
@@ -250,14 +310,13 @@ def _ensure_kpi_views(spark: SparkSession, sf_dir: str) -> None:
             spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {sql}")
     # second wave: the final tracker view — its ~100-column savings
     # projection is the single biggest codegen unit in the repo, so pin
-    # it down once here (over the wave-1 checkpoints) instead of paying
+    # it down once here (over the wave-1 artifacts) instead of paying
     # a high-variance recompile per consumer; this also mirrors the
     # reference, where kpi_tracker is a materialized query artifact
     # (data_partitioner.py:105-142 writes view results to parquet)
-    spark.table("kpi_tracker").localCheckpoint(eager=True).createOrReplaceTempView(
-        "kpi_tracker"
-    )
-    _KPI_VIEWS_READY.add(key)
+    _, tracker = _pin("kpi_tracker")
+    tracker.createOrReplaceTempView("kpi_tracker")
+    _KPI_VIEWS_READY[app] = sf_dir
 
 
 def _bind(name: str, final_select: str) -> None:

@@ -175,7 +175,8 @@ ORACLES["dedup_simhash_hamming"] = f"""
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     )
     SELECT hamming, COUNT(*) AS n_pairs,
-           SUM(id_a) AS sum_id_a, SUM(id_b) AS sum_id_b
+           CAST(SUM(id_a) AS BIGINT) AS sum_id_a,
+           CAST(SUM(id_b) AS BIGINT) AS sum_id_b
     FROM pairs GROUP BY hamming ORDER BY hamming
 """
 
@@ -762,8 +763,8 @@ ORACLES["pipeline_corpus_curation"] = f"""
                 WHEN {_U32} < 0.10 THEN 'test'
                 ELSE 'train' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
-           SUM(doc_id) AS id_checksum
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM kept
     GROUP BY 1
 """
@@ -1114,8 +1115,8 @@ ORACLES["shard_packing"] = f"""
         FROM sized
     )
     SELECT shard_id, COUNT(*) AS n_docs,
-           SUM(n_tokens) AS shard_tokens,
-           SUM(doc_id) AS id_checksum
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM assigned GROUP BY shard_id
 """
 
@@ -1233,7 +1234,8 @@ def _kmeans_oracle() -> str:
     parts.append(assign(prev_c, f"a{_KM_ITERS}"))
     parts.append(
         f"""
-    SELECT a.cid, COUNT(*) AS n_members, SUM(a.vec_id) AS id_sum,
+    SELECT a.cid, COUNT(*) AS n_members,
+           CAST(SUM(a.vec_id) AS BIGINT) AS id_sum,
            ROUND(sqrt(list_aggregate(list_transform(
                generate_series(1, {_KM_DIM}), i -> c.v[i] * c.v[i]),
                'sum')), 6) AS centroid_norm
@@ -1347,7 +1349,7 @@ ORACLES["mixture_resample_sqrt"] = f"""
            COUNT(*) AS n_kept,
            MAX(c.n_src) AS n_source_rows,
            ROUND(MAX(c.keep_frac), 6) AS keep_frac,
-           SUM(d.doc_id) AS id_checksum
+           CAST(SUM(d.doc_id) AS BIGINT) AS id_checksum
     FROM documents d JOIN counts c ON d.source = c.source
     WHERE {_U32} < c.keep_frac
     GROUP BY d.source

@@ -486,10 +486,12 @@ _common(
         FROM events
     ),
     regs AS (
+        -- rho via integer bit-length: floor(log2(w)) = length(bin(w))-1.
+        -- libm float log is not correctly-rounded at exact powers of two,
+        -- so JVM and DuckDB could disagree by 1; bin() is integer-exact.
         SELECT event_type, reg,
                MAX(CASE WHEN w = 0 THEN 53
-                        ELSE 52 - CAST(FLOOR(ln(CAST(w AS DOUBLE)) / ln(2.0))
-                                       AS INT)
+                        ELSE 53 - CAST(LENGTH(bin(w)) AS INT)
                    END) AS rho
         FROM hashed GROUP BY event_type, reg
     ),
@@ -919,7 +921,8 @@ ORACLES["snapshot_diff"] = """
                     ELSE 'unchanged' END AS change
         FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     )
-    SELECT change, COUNT(*) AS n_rows, SUM(doc_id) AS id_checksum
+    SELECT change, COUNT(*) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
     FROM j GROUP BY change
 """
 

@@ -107,8 +107,17 @@ def range_count_join(
     def bucket(c: Column) -> Column:
         return F.floor(c / F.lit(w_us)).cast("long")
 
-    l2 = left.withColumn("__lt", lt).withColumn(
-        "__b", F.explode(F.sequence(bucket(F.col("__lt")), bucket(F.col("__lt")) + 1))
+    # per-row id BEFORE the explode: grouping on the left payload alone
+    # would collapse fully-duplicate left rows into one output row whose
+    # count sums the duplicates' hits — the contract is one output row
+    # per input row
+    l2 = (
+        left.withColumn("__rid", F.monotonically_increasing_id())
+        .withColumn("__lt", lt)
+        .withColumn(
+            "__b",
+            F.explode(F.sequence(bucket(F.col("__lt")), bucket(F.col("__lt")) + 1)),
+        )
     )
     r2 = right.select(
         *on, rt.alias("__rt"), bucket(rt).alias("__b")
@@ -122,6 +131,7 @@ def range_count_join(
         ).otherwise(0),
     )
     return (
-        joined.groupBy(*[F.col(c) for c in left.columns])
+        joined.groupBy(F.col("__rid"), *[F.col(c) for c in left.columns])
         .agg(F.sum("__hit").cast("long").alias(count_alias))
+        .drop("__rid")
     )

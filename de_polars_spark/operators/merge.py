@@ -43,8 +43,24 @@ def merge_snapshot(
     'upsert' | 'delete' (delete rows may have NULL payload columns).
     With ``version_col``, the highest version per key wins; without it,
     the change set must have at most one row per key.
+
+    Unknown ``op_col`` values raise: an unvalidated change set would
+    anti-join the row's key out of the base while contributing no upsert
+    — i.e. a typo'd op silently DELETES data. The validation is one
+    bounded action over the (small, incremental) change set.
     """
     keys = list(keys)
+    bad = (
+        changes.where(~F.col(op_col).isin(OP_UPSERT, OP_DELETE))
+        .select(op_col)
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"merge_snapshot: unknown {op_col!r} value {bad[0][0]!r} "
+            f"(expected {OP_UPSERT!r} or {OP_DELETE!r})"
+        )
     if version_col is not None:
         w = Window.partitionBy(*keys).orderBy(
             F.desc(version_col),

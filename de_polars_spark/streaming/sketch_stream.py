@@ -26,8 +26,13 @@ def _reg_and_rho() -> tuple[F.Column, F.Column]:
     )
     reg = h.bitwiseAND(F.lit(_M - 1))
     w = F.shiftright(h, 8)
+    # rho via integer bit-length (floor(log2(w)) = length(bin(w)) - 1):
+    # libm float log is not correctly-rounded at exact powers of two, so
+    # a float-log rho could disagree with the DuckDB oracle by 1 there;
+    # bin() is integer-exact in both engines (relational_ext.py's batch
+    # HLL uses the same recipe).
     rho = F.when(w == 0, F.lit(53)).otherwise(
-        F.lit(52) - F.floor(F.log(2.0, w.cast("double"))).cast("int")
+        F.lit(53) - F.length(F.bin(w)).cast("int")
     )
     return reg, rho
 

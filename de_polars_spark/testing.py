@@ -8,6 +8,7 @@ see de_polars_spark/inventory/__init__.py determinism rules).
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 import pandas as pd
@@ -33,6 +34,48 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif df[c].dtype == object:
             df[c] = df[c].map(_canon_cell)
     return df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+
+
+def _render_cell(v, is_float: bool) -> str:
+    """Render a cell the way a strict byte-hash sees it: dtype-visible.
+
+    ``123`` (int64) and ``123.0`` (float64) must render differently — the
+    tolerance-based column compare treats them as equal, but the driver's
+    hash gate does not (r1: scalar_functions_showcase, finops_tag_compliance;
+    r2: dedup_simhash_hamming all slipped through the value compare and
+    failed the driver hash on exactly this class of drift).
+    """
+    if v is None or (isinstance(v, float) and math.isnan(v)) or v is pd.NaT:
+        return "\x00"
+    if is_float:
+        return repr(float(v))
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return repr(int(v))
+    return str(v)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    """Strict byte-level hash of the normalized frame (driver-gate mirror)."""
+    n = normalize(df)
+    h = hashlib.sha256()
+    h.update(("|".join(map(str, n.columns))).encode())
+    for c in n.columns:
+        col = n[c]
+        is_float = pd.api.types.is_float_dtype(col)
+        is_int = pd.api.types.is_integer_dtype(col)
+        for v in col:
+            if pd.isna(v) if (is_float or is_int) else False:
+                h.update(b"\x00\x1f")
+                continue
+            if is_int:
+                h.update(repr(int(v)).encode())
+            else:
+                h.update(_render_cell(v, is_float).encode())
+            h.update(b"\x1f")
+        h.update(b"\x1e")
+    return h.hexdigest()
 
 
 def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
@@ -66,4 +109,16 @@ def compare(spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
                     f"col {c}: {int((~eq).sum())}/{len(sv)} rows differ "
                     f"(e.g. row {i}: spark={sv[i]!r} oracle={ov[i]!r})"
                 )
+    if not problems:
+        hs, ho = value_hash(spark_df), value_hash(oracle_df)
+        if hs != ho:
+            dt = {
+                c: (str(s[c].dtype), str(o[c].dtype))
+                for c in s.columns
+                if str(s[c].dtype) != str(o[c].dtype)
+            }
+            problems.append(
+                f"strict hash differs (values equal under tolerance): "
+                f"dtype drift {dt or 'none — rendering drift'}"
+            )
     return problems

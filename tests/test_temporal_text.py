@@ -9,6 +9,7 @@ and the bounded range join must plan as an equi-join.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from de_polars_spark.operators.asof import asof_join_backward, range_count_join
@@ -174,3 +175,28 @@ def test_kmeans_separates_obvious_clusters(spark):
     assert {got[i] for i in range(5)} == {0}
     assert {got[10 + i] for i in range(5)} == {1}
     assert abs(cents[0][1] - 0.0) < 1e-9 and abs(cents[1][1] - 10.0) < 1e-9
+
+
+def test_range_count_join_preserves_duplicate_left_rows(spark):
+    # fully-duplicate left rows must each produce their own output row
+    # (not collapse into one row whose count sums the duplicates' hits)
+    left = spark.createDataFrame(
+        [(1, 0), (1, 0), (1, 0)], "k int, t long"
+    ).selectExpr("k", "timestamp_micros(t) AS ts")
+    right = spark.createDataFrame(
+        [(1, 1_000_000), (1, 2_000_000)], "k int, t long"
+    ).selectExpr("k", "timestamp_micros(t) AS ts")
+    out = range_count_join(left, right, ["k"], "ts", "ts", 10, "n").collect()
+    assert len(out) == 3
+    assert [r.n for r in out] == [2, 2, 2]
+
+
+def test_merge_snapshot_rejects_unknown_op(spark):
+    from de_polars_spark.operators.merge import merge_snapshot
+
+    base = spark.createDataFrame([(1, "one")], "k int, v string")
+    changes = spark.createDataFrame(
+        [(1, "one-v2", "upssert")], "k int, v string, op string"  # typo'd op
+    )
+    with pytest.raises(ValueError, match="unknown 'op' value 'upssert'"):
+        merge_snapshot(base, changes, ["k"], "op")
