@@ -87,7 +87,18 @@ class FinOpsEngine:
     # ------------------------------------------------------------------ #
     def query(self, sql_or_file: str, force_s3: bool = False) -> DataFrame:
         """SQL text or .sql file; force_s3 re-registers the table from the
-        S3 root first (reference duckdb_engine.py:246-266 routing)."""
+        S3 root first (reference duckdb_engine.py:246-266 routing).
+
+        Money-sum determinism note: the built-in analytics views and the
+        ``DSUM``/``DAVG`` macros accumulate float cost columns through
+        DECIMAL(38,6) — an order-independent sum that is reproducible
+        across runs, partitionings, and engines, at the cost of
+        quantizing each addend at 1e-6. A FinOps feed whose individual
+        line items are meaningful below $0.000001 would see those
+        sub-microdollar tails dropped per addend (the reference's plain
+        double SUM instead gives partition-order-dependent float error).
+        See inventory/dialect_macros.py:26-33 for the full rationale.
+        """
         if force_s3:
             self.engine.register(self.config, force_s3=True)
         return self.engine.query(sql_or_file)
