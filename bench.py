@@ -50,9 +50,13 @@ def main() -> None:
     qs["pricing_summary"](spark, sf_dir).collect()
     # one-time synthetic-CUR materialization is shared test-data prep for
     # the whole kpi/finops/pricing family, not any single query's cost
-    from de_polars_spark.inventory.kpi_views import _ensure_cur_ext
+    from de_polars_spark.inventory.kpi_views import _ensure_cur_ext, clear_kpi_artifacts
 
     _ensure_cur_ext(spark, sf_dir)
+    # drop any pre-existing KPI view artifacts: the materialization wave
+    # must be paid (and measured) inside this run, not inherited from a
+    # previous session's .cache
+    clear_kpi_artifacts(sf_dir)
 
     from de_polars_spark.operators.dedup import release_cached
 

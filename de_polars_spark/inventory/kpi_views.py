@@ -232,22 +232,31 @@ _KPI_VIEWS_READY: dict[str, str] = {}
 
 
 def _kpi_materialize_mode() -> str:
-    """'checkpoint' (default, local-mode fast path) or 'parquet'.
+    """'parquet' (default) or 'checkpoint'.
 
-    ``localCheckpoint`` pins blocks in executor storage and TRUNCATES
-    lineage — on a real cluster with executor loss or dynamic allocation
-    the blocks vanish unrecoverably, and a 100 TB-derived view won't fit
-    block storage. The 'parquet' mode writes each view as a parquet
-    artifact and re-registers from the files (the reference's own
-    pattern: data_partitioner.py:105-142 writes view results to
-    parquet), which survives executor loss and scales to views larger
-    than cluster memory. Set SPARK_GRAFT_KPI_MATERIALIZE=parquet for
-    cluster deployment; both modes serve identical rows (asserted in
-    tests/test_kpi_materialize.py::test_kpi_materialize_modes_agree).
+    Parquet is the default on BOTH axes:
+
+    - **Scale**: ``localCheckpoint`` pins blocks in executor storage and
+      TRUNCATES lineage — on a real cluster with executor loss or
+      dynamic allocation the blocks vanish unrecoverably, and a
+      100 TB-derived view won't fit block storage. Parquet artifacts
+      (the reference's own pattern: data_partitioner.py:105-142)
+      survive executor loss and scale past cluster memory.
+    - **Speed**: checkpoint scans deserialize full InternalRows — no
+      column pruning, no vectorization. The tracker's five sub-
+      aggregates each read a handful of the ~70 decimal columns, so
+      over parquet they scan column-pruned vectorized batches: measured
+      at sf0.1, tracker materialization 4.5s over parquet artifacts vs
+      21-41s over localCheckpoints (and a COUNT over the checkpointed
+      kpi_instance_all alone took 6s).
+
+    Set SPARK_GRAFT_KPI_MATERIALIZE=checkpoint to keep everything in
+    block storage (e.g. a read-only filesystem); both modes serve
+    identical rows (tests/test_kpi_materialize.py).
     """
     import os
 
-    return os.environ.get("SPARK_GRAFT_KPI_MATERIALIZE", "checkpoint")
+    return os.environ.get("SPARK_GRAFT_KPI_MATERIALIZE", "parquet")
 
 
 def _kpi_artifact_dir(sf_dir: str) -> str:
@@ -266,6 +275,17 @@ def _kpi_artifact_dir(sf_dir: str) -> str:
         cache_dir,
         f"kpi_views_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
     )
+
+
+def clear_kpi_artifacts(sf_dir: str) -> None:
+    """Delete the parquet view artifacts for ``sf_dir``.
+
+    bench.py calls this in its (untimed) warm-up so the materialization
+    wave is paid — and measured — inside the benchmark run instead of
+    being inherited from a previous session's artifacts."""
+    import shutil
+
+    shutil.rmtree(_kpi_artifact_dir(sf_dir), ignore_errors=True)
 
 
 def _ensure_kpi_views(spark: SparkSession, sf_dir: str) -> None:
@@ -287,7 +307,17 @@ def _ensure_kpi_views(spark: SparkSession, sf_dir: str) -> None:
         if parquet_mode:
             path = os.path.join(art_dir, vname)
             if not os.path.exists(path):
-                spark.table(vname).write.mode("overwrite").parquet(path)
+                # write-then-rename so a concurrent session never reads a
+                # half-committed directory (artifacts are content-addressed,
+                # so any completed write is interchangeable)
+                tmp = f"{path}.tmp-{os.getpid()}"
+                spark.table(vname).write.mode("overwrite").parquet(tmp)
+                try:
+                    os.rename(tmp, path)
+                except OSError:  # another session won the race
+                    import shutil
+
+                    shutil.rmtree(tmp, ignore_errors=True)
             return vname, spark.read.parquet(path)
         return vname, spark.table(vname).localCheckpoint(eager=True)
 

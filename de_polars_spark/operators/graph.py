@@ -8,8 +8,10 @@ kept or studied; satellites are dropped).
 Execution shape per iteration: one join of the rank frame against the
 edge list on the source key + one groupBy on the destination key — the
 same two-shuffle round as label propagation, with the edge relation
-pre-partitioned once and reused. Lineage is cut per round with an eager
-``localCheckpoint`` so the plan stays flat across iterations.
+(degree-annotated) checkpointed once and reused. The bounded iteration
+count chains lazily into a single linear plan executed by one final
+action — no per-round driver job; for unbounded iteration counts,
+re-introduce a lineage cut every ~10 rounds.
 
 Determinism contract (cross-engine exactness): neighbor contributions
 ``pr(v)/deg(v)`` are doubles, so their sum order would leak into the
@@ -53,24 +55,39 @@ def pagerank(
     # repr — tie-safe, see dialect_macros.DSUM), everything after is
     # exact decimal arithmetic, converted to double (correctly rounded,
     # engine-independent) for the next division.
-    ranks = deg.select("u", F.lit(1.0).alias("pr"))
+    #
+    # One join + one aggregation per round, nothing else:
+    # - the rank frame carries the node's OWN degree (pr/deg needs it),
+    # - the edge list carries the DESTINATION's degree (deg_v, attached
+    #   once before iterating), so the aggregate can transport it into
+    #   the next rank frame via max() — (node, deg) is functionally
+    #   dependent, max is transport not arithmetic — with no deg re-join.
+    # Rounds chain lazily into one plan: 5 rounds is a shallow linear
+    # chain over the checkpointed edge list, and a single final action
+    # lets AQE plan the whole chain instead of paying an eager
+    # checkpoint job per round.
+    edges = edges.join(
+        deg.select(F.col("u").alias("v"), F.col("deg").alias("__deg_v")), "v"
+    )
+    ranks = deg.select("u", F.lit(1.0).alias("pr"), "deg")
     base_d = F.expr(f"CAST({1.0 - damping:.8f} AS DECIMAL(9,8))")
     damp_d = F.expr(f"CAST({damping:.8f} AS DECIMAL(9,8))")
     for _ in range(iterations):
-        contrib = (
-            edges.join(ranks.join(deg, "u"), "u")
-            .select(
-                F.col("v").alias("node"),
-                (F.col("pr") / F.col("deg")).cast("decimal(38,6)").alias("__c"),
-            )
+        contrib = edges.join(ranks, "u").select(
+            F.col("v").alias("node"),
+            F.col("__deg_v"),
+            (F.col("pr") / F.col("deg")).cast("decimal(38,6)").alias("__c"),
         )
         ranks = (
             contrib.groupBy("node")
-            .agg(F.sum("__c").cast("decimal(20,6)").alias("__s"))
+            .agg(
+                F.sum("__c").cast("decimal(20,6)").alias("__s"),
+                F.max("__deg_v").alias("deg"),
+            )
             .select(
                 F.col("node").alias("u"),
                 (base_d + damp_d * F.col("__s")).cast("double").alias("pr"),
+                "deg",
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("u").alias("node"), "pr")

@@ -4,13 +4,15 @@ The classic corpus-clustering step (topic bucketing, IVF coarse-quantizer
 fit, diversity sampling). Executed the way k-means actually distributes:
 centroids are tiny (k x dim doubles) and live on the driver; each round
 
-1. broadcasts the centroids as literal arrays into the assignment
-   expression — every vector computes its squared L2 distance to the k
-   centroids JVM-side (zip_with + fold, no Python) and keeps the argmin
-   (ties broken by centroid id, so assignment is total);
-2. re-computes centroids with one shuffle: posexplode the assigned
-   vectors to (cluster, dim, value) and aggregate per (cluster, dim) —
-   map-side combinable, k*dim result rows collected back to the driver.
+1. broadcasts the centroids (one k x dim array row) into a map-only
+   assignment expression — every vector computes its squared L2 distance
+   to the k centroids JVM-side (zip_with + fold, no Python) and takes
+   the argmin in the same expression (array_position of the array_min;
+   ties break to the lower centroid id), with NO shuffle;
+2. re-computes centroids with the round's single shuffle: posexplode the
+   assigned vectors to (cluster, dim, value) and aggregate per
+   (cluster, dim) — map-side combinable, k*dim result rows collected
+   back to the driver.
 
 Scale: the only full-data operations are a map (assignment) and one
 aggregation per round; nothing driver-side grows with the corpus.
@@ -29,32 +31,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _assign(vecs: DataFrame, id_col: str, centroids: list[list[float]]) -> DataFrame:
-    """(id, cid): nearest centroid per vector, ties to the lower cid.
+def _with_assignment(
+    vecs: DataFrame, id_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """``vecs`` + a ``cid`` column: nearest centroid, ties to the lower cid.
 
-    Centroids ride in as a broadcast DataFrame, NOT as literal arrays:
-    literals change every round, which forces a fresh whole-stage-codegen
-    compile of the (k x dim)-term distance expression per iteration —
+    Centroids ride in as ONE broadcast row holding the k x dim array, NOT
+    as literal arrays: literals change every round, which forces a fresh
+    whole-stage-codegen compile of the distance expression per iteration —
     measured 5s/round of pure compilation. As data, the plan (and the
     generated code) is identical across rounds, so codegen caches.
+
+    The argmin is a pure map-side expression (distances array ->
+    array_position of its min, i.e. first/lowest cid on ties). The
+    earlier shape — crossJoin to N x k rows + groupBy(id) argmin — paid
+    an N x k SHUFFLE per round; this pays none, and because the
+    assignment stays a column on ``vecs`` the centroid update needs no
+    assignment join either. Per Lloyd round the only shuffle left is the
+    map-side-combinable (cid, dim) aggregation.
     """
     spark = vecs.sparkSession
     cdf = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cid int, __c array<double>",
+        [([[float(x) for x in c] for c in centroids],)],
+        "__cs array<array<double>>",
     )
-    dist = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dists = F.transform(
+        F.col("__cs"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("__v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
-    scored = vecs.crossJoin(F.broadcast(cdf)).select(
-        id_col, "cid", dist.alias("__d")
+    return (
+        vecs.crossJoin(F.broadcast(cdf))
+        .withColumn("__ds", dists)
+        .withColumn(
+            "cid",
+            (F.array_position(F.col("__ds"), F.array_min("__ds")) - 1).cast("int"),
+        )
+        .drop("__cs", "__ds")
     )
-    # min over (dist, cid) struct = argmin with lower-cid tiebreak
-    return scored.groupBy(id_col).agg(
-        F.min(F.struct("__d", "cid")).alias("__m")
-    ).select(id_col, F.col("__m.cid").cast("int").alias("cid"))
 
 
 def kmeans_iterations(
@@ -74,10 +91,9 @@ def kmeans_iterations(
     )
     centroids = [list(map(float, c)) for c in seeds]
     dim = len(centroids[0])
-    assigned = _assign(vecs, id_col, centroids)
     for _ in range(iterations):
         per_dim = (
-            assigned.join(vecs, id_col)
+            _with_assignment(vecs, id_col, centroids)
             .select("cid", F.posexplode("__v").alias("dim", "val"))
             .groupBy("cid", "dim")
             .agg(
@@ -93,5 +109,7 @@ def kmeans_iterations(
             new_centroids[r["cid"]][r["dim"]] = r["m"]
         centroids = new_centroids
         assert all(len(c) == dim for c in centroids)
-        assigned = _assign(vecs, id_col, centroids)
+    assigned = _with_assignment(vecs, id_col, centroids).select(
+        id_col, F.col("cid")
+    )
     return assigned, centroids

@@ -26,15 +26,15 @@ def _reset(spark):
 
 
 def test_kpi_materialize_modes_agree(spark):
-    baseline = QUERIES["kpi_view_summary"](spark, SF_A).toPandas()
-    _reset(spark)
-    os.environ["SPARK_GRAFT_KPI_MATERIALIZE"] = "parquet"
+    os.environ["SPARK_GRAFT_KPI_MATERIALIZE"] = "checkpoint"
     try:
-        via_parquet = QUERIES["kpi_view_summary"](spark, SF_A).toPandas()
+        via_checkpoint = QUERIES["kpi_view_summary"](spark, SF_A).toPandas()
     finally:
         del os.environ["SPARK_GRAFT_KPI_MATERIALIZE"]
-        _reset(spark)
-    problems = compare(via_parquet, baseline)
+    _reset(spark)
+    via_parquet = QUERIES["kpi_view_summary"](spark, SF_A).toPandas()  # default
+    _reset(spark)
+    problems = compare(via_parquet, via_checkpoint)
     assert not problems, "; ".join(problems)
 
 
