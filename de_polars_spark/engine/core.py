@@ -85,6 +85,26 @@ class SparkEngine:
         self._registered[name] = ",".join(paths)
         return df
 
+    def register_orc(self, name: str, *paths: str) -> DataFrame:
+        """ORC source (beyond reference, which was parquet/gz-only —
+        s3_data_manager.py:56-58): Spark's native vectorized ORC reader,
+        same pushdown/pruning as parquet."""
+        df = self.spark.read.orc(*paths)
+        df.createOrReplaceTempView(name)
+        self._registered[name] = ",".join(paths)
+        return df
+
+    def register_json(self, name: str, *paths: str, **options: str) -> DataFrame:
+        """JSON-lines source (one object per line; Spark infers the
+        schema and decompresses .gz by extension)."""
+        reader = self.spark.read
+        for key, value in options.items():
+            reader = reader.option(key, value)
+        df = reader.json(list(paths))
+        df.createOrReplaceTempView(name)
+        self._registered[name] = ",".join(paths)
+        return df
+
     def list_partitions(self, table_name: Optional[str] = None) -> list[str]:
         """Distinct partition values for the registered table's hive
         partition column (reference listed S3 CommonPrefixes,

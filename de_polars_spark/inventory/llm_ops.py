@@ -1354,3 +1354,137 @@ ORACLES["mixture_resample_sqrt"] = f"""
     WHERE {_U32} < c.keep_frac
     GROUP BY d.source
 """
+
+
+# ---------------------------------------------------------------- #
+# Canonical-doc selection: after the dedup closure, which physical  #
+# copy of each duplicate cluster SURVIVES. Highest quality          #
+# (n_chars), ties to the lowest doc_id — a total order, so the      #
+# choice is deterministic and oracle-checkable. One join + one      #
+# aggregation (argmax rides the same aggregate as the counters).    #
+# ---------------------------------------------------------------- #
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+    )
+    comps = dedup.connected_components(pairs)
+    return dedup.select_canonical(comps, t["documents"], "doc_id", "n_chars")
+
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+ORACLES["dedup_keep_best"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component_id
+        FROM reach GROUP BY u
+    ),
+    member AS (
+        SELECT c.component_id, c.node, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY d.n_chars DESC, c.node ASC) AS rk
+        FROM comp c JOIN documents d ON c.node = d.doc_id
+    )
+    SELECT component_id,
+           CAST(MAX(CASE WHEN rk = 1 THEN node END) AS BIGINT) AS kept_id,
+           MAX(CASE WHEN rk = 1 THEN n_chars END) AS kept_quality,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped,
+           CAST(SUM(node) - MAX(CASE WHEN rk = 1 THEN node END) AS BIGINT)
+               AS dropped_id_sum
+    FROM member GROUP BY component_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# Token-window chunking: long docs -> model-context-sized windows   #
+# with overlap (operators/chunking.py — map + generator explode,    #
+# zero shuffle). chunk_hash pins the exact token content of every   #
+# window cross-engine.                                              #
+# ---------------------------------------------------------------- #
+_CHUNK_W, _CHUNK_OV = 64, 16
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.chunking import chunk_documents
+
+    t = register_testdata(spark, sf_dir)
+    return chunk_documents(
+        t["documents"], "doc_id", "text", window=_CHUNK_W, overlap=_CHUNK_OV
+    )
+
+
+_CHUNK_STRIDE = _CHUNK_W - _CHUNK_OV
+QUERIES["chunk_documents"] = q_chunk_documents
+ORACLES["chunk_documents"] = f"""
+    WITH sized AS (
+        SELECT doc_id, toks, len(toks) AS n
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    chunks AS (
+        SELECT doc_id, toks, n,
+               unnest(generate_series(
+                   0,
+                   CASE WHEN n <= {_CHUNK_W} THEN 0
+                        ELSE CAST(ceil((n - {_CHUNK_W}) / {_CHUNK_STRIDE}.0)
+                                  AS INT) END
+               )) AS chunk_idx
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_STRIDE} AS INT) AS chunk_start,
+           CAST(LEAST({_CHUNK_W}, n - chunk_idx * {_CHUNK_STRIDE}) AS INT)
+               AS chunk_len,
+           md5(array_to_string(
+               list_slice(toks,
+                          chunk_idx * {_CHUNK_STRIDE} + 1,
+                          chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_W}),
+               ' ')) AS chunk_hash
+    FROM chunks
+"""
+
+
+# ---------------------------------------------------------------- #
+# Matryoshka truncation + L2 norms (operators/vectors.py): per-row  #
+# vector folds only — no shuffle.                                   #
+# ---------------------------------------------------------------- #
+_TRUNC_DIM = 16
+
+
+def q_embedding_truncate_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.vectors import truncate_normalize
+
+    t = register_testdata(spark, sf_dir)
+    return truncate_normalize(t["embeddings"], "vec_id", "embedding", _TRUNC_DIM)
+
+
+QUERIES["embedding_truncate_norm"] = q_embedding_truncate_norm
+ORACLES["embedding_truncate_norm"] = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    t AS (
+        SELECT vec_id, v, list_slice(v, 1, {_TRUNC_DIM}) AS tv,
+               CAST(len(v) AS INT) AS full_dim
+        FROM e
+    )
+    SELECT vec_id, full_dim,
+           ROUND(sqrt(list_dot_product(v, v)), 6) AS full_norm,
+           ROUND(sqrt(list_dot_product(tv, tv)), 6) AS trunc_norm,
+           ROUND(tv[1] / CASE WHEN sqrt(list_dot_product(tv, tv)) = 0
+                              THEN 1.0
+                              ELSE sqrt(list_dot_product(tv, tv)) END, 6)
+               AS lead_component
+    FROM t
+"""

@@ -550,3 +550,51 @@ def component_summary(components: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("size"),
         F.sum("node").alias("id_sum"),
     )
+
+
+def select_canonical(
+    components: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Per duplicate cluster, pick the single doc to KEEP: highest
+    ``quality_col``, ties to the lowest id (a total order, so the choice
+    is deterministic). This is the collapse step after
+    :func:`connected_components` — the cluster membership says "these
+    are one document"; this says which physical copy survives.
+
+    Output: one row per component —
+    ``(component_id, kept_id, kept_quality, n_dropped, dropped_id_sum)``
+    (the id-sum checksum pins the exact dropped set without O(cluster)
+    output rows).
+
+    Scale: one broadcast-or-shuffle join components ⋈ docs on the id,
+    then a single map-side-combinable aggregation; the argmax rides the
+    same aggregate as the counters (max over (quality, -id) structs), so
+    no window / second pass over the corpus.
+    """
+    member = components.join(
+        docs.select(
+            F.col(id_col).alias("node"), F.col(quality_col).alias("__q")
+        ),
+        "node",
+    )
+    best = F.max(F.struct(F.col("__q"), (-F.col("node")).alias("__negid")))
+    return (
+        member.groupBy("component_id")
+        .agg(
+            best.alias("__b"),
+            F.count(F.lit(1)).alias("__sz"),
+            F.sum("node").alias("__idsum"),
+        )
+        .select(
+            "component_id",
+            (-F.col("__b.__negid")).cast("bigint").alias("kept_id"),
+            F.col("__b.__q").alias("kept_quality"),
+            (F.col("__sz") - F.lit(1)).cast("bigint").alias("n_dropped"),
+            (F.col("__idsum") + F.col("__b.__negid")).cast("bigint").alias(
+                "dropped_id_sum"
+            ),
+        )
+    )

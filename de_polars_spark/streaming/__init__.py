@@ -16,6 +16,7 @@ from de_polars_spark.streaming.cost_alerts import (
     windowed_costs,
 )
 from de_polars_spark.streaming.dedup_stream import dedup_stream
+from de_polars_spark.streaming.enrich import enrich_stream
 from de_polars_spark.streaming.interval_join import interval_join_backward
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
@@ -29,6 +30,7 @@ __all__ = [
     "sessionize_stateful",
     "dedup_stream",
     "interval_join_backward",
+    "enrich_stream",
     "windowed_hll_registers",
     "hll_estimate",
     "idempotent_parquet_sink",

@@ -71,6 +71,15 @@ class DataExporter:
         writer.parquet(file_path)
 
     @staticmethod
+    def export_to_orc(df: DataFrame, file_path: str, partition_by=None) -> None:
+        """Distributed ORC sink (beyond reference — same layout options
+        as the parquet sink, for ORC-standardized downstream stacks)."""
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.orc(file_path)
+
+    @staticmethod
     def export_to_excel(
         df: DataFrame,
         file_path: str,

@@ -130,3 +130,40 @@ def test_list_partitions(spark, tmp_path):
     )
     engine = SparkEngine(spark, cfg)
     assert engine.list_partitions() == ["2024-01", "2024-02"]
+
+
+def test_register_orc_roundtrip(spark, tmp_path):
+    """ORC source + sink (beyond reference): write events slice as ORC,
+    re-register, and query — pushdown/pruning parity with parquet."""
+    from de_polars_spark.engine.core import SparkEngine
+    from de_polars_spark.utils.exports import DataExporter
+
+    src = spark.createDataFrame(
+        [(1, "view", 2.5), (2, "click", 1.0), (3, "view", 4.0)],
+        "event_id int, event_type string, value double",
+    )
+    path = str(tmp_path / "events_orc")
+    DataExporter.export_to_orc(src, path, partition_by=["event_type"])
+    engine = SparkEngine(spark)
+    df = engine.register_orc("orc_events", path)
+    assert df.count() == 3
+    got = spark.sql(
+        "SELECT SUM(value) FROM orc_events WHERE event_type = 'view'"
+    ).collect()[0][0]
+    assert got == 6.5
+    # partition pruning: the filtered scan must read only the view/ dir
+    plan = spark.sql(
+        "SELECT * FROM orc_events WHERE event_type = 'view'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "event_type" in plan
+
+
+def test_register_json_lines(spark, tmp_path):
+    from de_polars_spark.engine.core import SparkEngine
+
+    path = tmp_path / "rows.jsonl"
+    path.write_text('{"id": 1, "v": "a"}\n{"id": 2, "v": "b"}\n')
+    engine = SparkEngine(spark)
+    df = engine.register_json("json_table", str(path))
+    assert df.count() == 2
+    assert spark.sql("SELECT SUM(id) FROM json_table").collect()[0][0] == 3

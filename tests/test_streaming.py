@@ -226,3 +226,47 @@ def test_idempotent_sink_skips_replayed_batches(spark, tmp_path):
     sink(spark.createDataFrame([(4, "d")], "id int, v string"), 2)
     got = {r.id for r in spark.read.parquet(out).collect()}
     assert got == {1, 2, 3, 4}
+
+
+def test_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment == the same join on batch."""
+    from de_polars_spark.streaming import enrich_stream, run_stream_to_memory
+
+    e_schema = "event_id int, user_id int, value double"
+    events = [(1, 7, 2.0), (2, 8, 3.0), (3, 9, 5.0)]
+    dim = spark.createDataFrame(
+        [(7, "gold"), (8, "silver")], "user_id int, tier string"
+    )
+    spark.createDataFrame(events, e_schema).write.parquet(str(tmp_path / "e"))
+
+    batch = enrich_stream(
+        spark.read.schema(e_schema).parquet(str(tmp_path / "e")), dim, ["user_id"]
+    ).collect()
+    assert {(r.event_id, r.tier) for r in batch} == {
+        (1, "gold"), (2, "silver"), (3, None)
+    }
+
+    streamed = enrich_stream(
+        spark.readStream.schema(e_schema).parquet(str(tmp_path / "e")),
+        dim,
+        ["user_id"],
+    )
+    q = run_stream_to_memory(streamed, "enr_t", output_mode="append")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT event_id, tier FROM enr_t").collect()
+    finally:
+        q.stop()
+    assert {(r.event_id, r.tier) for r in got} == {(r.event_id, r.tier) for r in batch}
+
+
+def test_enrich_stream_rejects_streaming_dim(spark, tmp_path):
+    from de_polars_spark.streaming import enrich_stream
+
+    e_schema = "event_id int, user_id int"
+    spark.createDataFrame([(1, 7)], e_schema).write.parquet(str(tmp_path / "e2"))
+    s = spark.readStream.schema(e_schema).parquet(str(tmp_path / "e2"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="static"):
+        enrich_stream(s, s, ["user_id"])
