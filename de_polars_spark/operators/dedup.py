@@ -293,12 +293,15 @@ def ngram_jaccard_pairs(
     recomputation — not data volume — dominates otherwise. Call
     :func:`release_cached` after collecting if memory matters.
     """
-    # shingles are 60-bit md5 hashes, not strings: every downstream
+    # shingles are 64-bit hashes, not strings: every downstream
     # shuffle/sort/intersect works on fixed-width bigints (measured ~2x on
     # the verification joins at sf0.1). Exact string-Jaccard semantics
-    # modulo 60-bit collisions (P < 1e-10 per block at 1e4 distinct
-    # shingles); the md5-based hash is engine-reproducible if an oracle
-    # ever needs to hash too.
+    # modulo 64-bit collisions (P < 1e-11 per block at 1e4 distinct
+    # shingles). xxhash64, not the md5-based hash60: these hashes never
+    # leave the operator (the oracle computes string Jaccard directly),
+    # so the engine-reproducibility md5 buys is unused here and xxhash64
+    # is a single native codegen call per shingle instead of
+    # md5 -> substring -> base-16 conv.
     docs = df.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
@@ -307,7 +310,8 @@ def ngram_jaccard_pairs(
         id_col,
         "block",
         F.transform(
-            TX.shingles_from_tokens(F.col("__toks"), shingle_n), TX.hash60
+            TX.shingles_from_tokens(F.col("__toks"), shingle_n),
+            lambda s: F.xxhash64(s),
         ).alias("shingles"),
     ).persist()
     _PERSISTED.append(docs)
