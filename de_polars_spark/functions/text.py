@@ -218,3 +218,11 @@ def sorted_word_fingerprint(text: Column) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set (near-dup docs with shuffled word order collide)."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical text form for hashing/dedup: lowercase, all whitespace
+    runs collapsed to single spaces, leading/trailing space stripped.
+    Pure per-row expression (codegen), identical semantics in DuckDB via
+    ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))``."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

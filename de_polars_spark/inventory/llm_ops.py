@@ -1488,3 +1488,131 @@ ORACLES["embedding_truncate_norm"] = f"""
                AS lead_component
     FROM t
 """
+
+
+# ---------------------------------------------------------------- #
+# Cross-document boilerplate: token windows recurring in >=2 docs   #
+# (chunk-level dedup target even when the documents are not         #
+# duplicates). Map + explode feeding one map-side-combinable        #
+# groupBy on the chunk hash.                                        #
+# ---------------------------------------------------------------- #
+def q_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.chunking import duplicate_chunks
+
+    t = register_testdata(spark, sf_dir)
+    return duplicate_chunks(
+        t["documents"], "doc_id", "text",
+        window=_CHUNK_W, overlap=_CHUNK_OV, min_docs=2,
+    )
+
+
+QUERIES["chunk_boilerplate"] = q_chunk_boilerplate
+ORACLES["chunk_boilerplate"] = f"""
+    WITH sized AS (
+        SELECT doc_id, toks, len(toks) AS n
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        WHERE len(toks) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(LEAST({_CHUNK_W}, n - chunk_idx * {_CHUNK_STRIDE}) AS INT)
+                   AS chunk_len,
+               md5(array_to_string(
+                   list_slice(toks,
+                              chunk_idx * {_CHUNK_STRIDE} + 1,
+                              chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_W}),
+                   ' ')) AS chunk_hash
+        FROM (
+            SELECT doc_id, toks, n,
+                   unnest(generate_series(
+                       0,
+                       CASE WHEN n <= {_CHUNK_W} THEN 0
+                            ELSE CAST(ceil((n - {_CHUNK_W})
+                                           / {_CHUNK_STRIDE}.0) AS INT) END
+                   )) AS chunk_idx
+            FROM sized
+        )
+    )
+    SELECT chunk_hash,
+           MAX(chunk_len) AS chunk_len,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id,
+           CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+# ---------------------------------------------------------------- #
+# Vocabulary coverage: fraction of corpus tokens covered by the     #
+# top-K words (tokenizer budget planning). Distributed top-k, never #
+# a full-vocabulary global sort.                                    #
+# ---------------------------------------------------------------- #
+_VOCAB_KS = (10, 100, 500, 1000)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.textrank import vocab_coverage
+
+    t = register_testdata(spark, sf_dir)
+    return vocab_coverage(t["documents"], "doc_id", "text", ks=_VOCAB_KS)
+
+
+QUERIES["vocab_coverage"] = q_vocab_coverage
+ORACLES["vocab_coverage"] = f"""
+    WITH tok AS (
+        SELECT unnest({_TOKS}) AS w FROM documents
+    ),
+    counts AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    ranked AS (
+        SELECT w, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rank,
+               SUM(c) OVER (ORDER BY c DESC, w ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+        FROM counts
+    ),
+    total AS (SELECT COUNT(*) AS total_tokens FROM tok)
+    SELECT CAST(k.k AS INT) AS k,
+           CAST(r.cum AS BIGINT) AS covered_tokens,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           ROUND(r.cum / CAST(t.total_tokens AS DOUBLE), 6) AS coverage
+    FROM (SELECT unnest([{", ".join(str(k) for k in _VOCAB_KS)}]) AS k) k
+    JOIN ranked r
+      ON r.rank = LEAST(k.k, {max(_VOCAB_KS)},
+                        (SELECT MAX(rank) FROM ranked))
+    CROSS JOIN total t
+    ORDER BY k
+"""
+
+
+# ---------------------------------------------------------------- #
+# Canonical text normalization: lowercase + whitespace collapse     #
+# (the hash-input form for exact dedup across formatting variants). #
+# Pure per-row expressions.                                         #
+# ---------------------------------------------------------------- #
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    norm = TX.normalize_text(F.col("text"))
+    return t["documents"].select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).alias("n_chars_norm"),
+        (F.length(norm) != F.length("text")).alias("changed"),
+    )
+
+
+QUERIES["text_normalize"] = q_text_normalize
+ORACLES["text_normalize"] = """
+    WITH n AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id, md5(norm) AS norm_hash,
+           CAST(length(norm) AS INT) AS n_chars_norm,
+           length(norm) != length(text) AS changed
+    FROM n
+"""

@@ -74,3 +74,37 @@ def chunk_documents(
             ).alias("chunk_hash"),
         )
     )
+
+
+def duplicate_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    overlap: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Boilerplate detection: token windows whose exact content recurs
+    across ``min_docs``+ distinct documents (headers, footers, license
+    blocks, navigation chrome — the spans chunk-level dedup should drop
+    even when the *documents* are not duplicates).
+
+    One groupBy on the chunk hash over the chunk stream — map +
+    generator explode feeding a single map-side-combinable shuffle.
+
+    Output per recurring window:
+    ``(chunk_hash, chunk_len, n_docs, n_occurrences, first_doc_id,
+    doc_id_sum)`` — the checksum pins the exact membership.
+    """
+    chunks = chunk_documents(df, id_col, text_col, window, overlap)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.max("chunk_len").alias("chunk_len"),
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col(id_col)).alias("first_doc_id"),
+            F.sum(F.col(id_col)).alias("doc_id_sum"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )

@@ -23,6 +23,8 @@ produce identical rows.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -166,3 +168,65 @@ def inverted_index(
         .where(F.col("df") >= min_df)
     )
     return postings.orderBy("term")
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ks: Sequence[int] = (100, 500, 1000),
+) -> DataFrame:
+    """Tokenizer-budget planning: what fraction of all corpus tokens the
+    top-K most frequent words cover, for each K in ``ks``.
+
+    Scale shape: one token-explode + word-count shuffle, then a
+    DISTRIBUTED top-max(K) (orderBy + limit = per-partition top-k and a
+    single-partition merge of max(K) rows — never a global sort of the
+    full vocabulary), and the cumulative sum runs over those max(K)
+    rows only. The corpus-total token count rides a separate scalar
+    aggregate, cross-joined (1 row). A 100 TB corpus with a billions-row
+    vocabulary never materializes more than max(K) rows outside the
+    counting shuffle.
+
+    Output per K: ``(k, covered_tokens, total_tokens, coverage)``
+    (coverage rounded to 6dp; ties on count broken by word so the
+    top-K cut is deterministic).
+    """
+    kmax = max(ks)
+    toks = df.select(F.explode(_tokens(text_col)).alias("w"))
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        counts.orderBy(F.desc("c"), F.asc("w"))
+        .limit(kmax)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w"))),
+        )
+        .withColumn(
+            "cum",
+            F.sum("c").over(
+                Window.orderBy(F.desc("c"), F.asc("w")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    # a vocabulary smaller than K must still produce a row: the cut rank
+    # is min(K, |vocab|). nv is an aggregate over the <=kmax top rows.
+    nv = top.agg(F.max("rank").alias("__nv"))
+    cuts = F.array(*[F.lit(int(k)) for k in ks])
+    return (
+        top.crossJoin(total)
+        .crossJoin(nv)
+        .withColumn("k", F.explode(cuts))
+        .where(F.col("rank") == F.least(F.col("k"), F.lit(kmax), F.col("__nv")))
+        .where(F.col("k").isin(*[int(k) for k in ks]))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("cum").cast("bigint").alias("covered_tokens"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.col("cum") / F.col("total_tokens"), 6).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -84,3 +84,53 @@ def test_truncate_normalize_values(spark):
     z = out[2]
     assert z.trunc_norm == 0.0 and z.lead_component == 0.0
     assert not math.isnan(z.lead_component)
+
+
+def test_duplicate_chunks_finds_cross_doc_boilerplate(spark):
+    from de_polars_spark.operators.chunking import duplicate_chunks
+
+    footer = "c1 c2 c3 c4"
+    df = spark.createDataFrame(
+        [(1, "a b " + footer), (2, "x y z " + footer), (3, "unique words only")],
+        "doc_id int, text string",
+    )
+    out = duplicate_chunks(df, "doc_id", "text", window=4, overlap=0).collect()
+    # the 4-token footer window recurs in docs 1 and 2 (doc 1: tokens
+    # 2..5 != window boundary, so craft: doc1 has 6 tokens -> windows
+    # [a b c1 c2], [c3 c4]; doc2 7 tokens -> [x y z c1], [c2 c3 c4];
+    # no shared full window => expect empty
+    assert out == []
+    # align the footer on a window boundary in both docs
+    df2 = spark.createDataFrame(
+        [(1, footer + " a b c d"), (2, footer + " e f g h")],
+        "doc_id int, text string",
+    )
+    rows = duplicate_chunks(df2, "doc_id", "text", window=4, overlap=0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 2 and r.n_occurrences == 2
+    assert r.first_doc_id == 1 and r.doc_id_sum == 3
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from de_polars_spark.operators.textrank import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d")], "doc_id int, text string"
+    )
+    rows = {r.k: r for r in vocab_coverage(df, "doc_id", "text", ks=(1, 2, 10)).collect()}
+    assert rows[1].covered_tokens == 4          # 'a' x4
+    assert rows[2].covered_tokens == 4 + 3      # + 'b' x3
+    assert rows[10].coverage == 1.0             # k > |vocab| covers all
+    assert rows[1].total_tokens == 10
+
+
+def test_normalize_text_collapses_whitespace(spark):
+    from de_polars_spark.functions.text import normalize_text
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("  Hello   WORLD\t x \n",), ("hello world x",)], "t string"
+    )
+    out = df.select(normalize_text(F.col("t")).alias("n")).collect()
+    assert out[0].n == out[1].n == "hello world x"
