@@ -20,7 +20,11 @@ from de_polars_spark.streaming.enrich import enrich_stream
 from de_polars_spark.streaming.interval_join import interval_join_backward
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
-from de_polars_spark.streaming.sketch_stream import hll_estimate, windowed_hll_registers
+from de_polars_spark.streaming.sketch_stream import (
+    hll_estimate,
+    windowed_cms_cells,
+    windowed_hll_registers,
+)
 
 __all__ = [
     "windowed_costs",
@@ -33,5 +37,6 @@ __all__ = [
     "enrich_stream",
     "windowed_hll_registers",
     "hll_estimate",
+    "windowed_cms_cells",
     "idempotent_parquet_sink",
 ]

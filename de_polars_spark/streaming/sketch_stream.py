@@ -94,3 +94,49 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         ).alias("estimate"),
         "n_registers",
     )
+
+
+_CMS_DEPTH, _CMS_WIDTH = 4, 512
+
+
+def windowed_cms_cells(
+    stream: DataFrame,
+    time_col: str,
+    key_col: str,
+    window_duration: str = "1 day",
+    watermark: str = "2 days",
+    depth: int = _CMS_DEPTH,
+    width: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Streaming Count-Min sketch: (window_start, j, cell, n) counts.
+
+    State is at most ``depth x width`` rows per window regardless of key
+    cardinality (the CMS guarantee) — the streaming analog of the batch
+    `heavy_hitters_cms` (inventory/relational_ext.py), same md5-derived
+    cell hash, so the cell table is integer-exact in any engine and
+    batch == stream row-for-row.
+
+    Point query: for key k, estimate = min over j of the (j, cell_j(k))
+    counts — run on the sink side against the materialized cell table.
+    """
+    if stream.isStreaming:
+        stream = stream.withWatermark(time_col, watermark)
+    # explode the depth dimension BEFORE the aggregate: one stateful
+    # operator total (a union of per-row groupBys would be `depth`
+    # separate state stores, which streaming restricts and batch would
+    # scan `depth` times)
+    cell = F.expr(
+        "CAST(conv(substring(md5(CAST(__cms_key AS STRING) || '#' "
+        "|| CAST(j AS STRING)), 1, 15), 16, 10) AS BIGINT) % " + str(width)
+    )
+    return (
+        stream.withColumn("__cms_key", F.col(key_col))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))))
+        .groupBy(
+            F.window(F.col(time_col), window_duration).alias("w"),
+            F.col("j"),
+            cell.alias("cell"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "j", "cell", "n")
+    )

@@ -270,3 +270,50 @@ def test_enrich_stream_rejects_streaming_dim(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="static"):
         enrich_stream(s, s, ["user_id"])
+
+
+def test_windowed_cms_stream_matches_batch(spark, tmp_path):
+    """Streaming CMS cell table == batch cell table, and the point-query
+    min-over-rows bounds the true count from above (CMS guarantee)."""
+    from de_polars_spark.streaming import run_stream_to_memory
+    from de_polars_spark.streaming.sketch_stream import windowed_cms_cells
+
+    schema = "uid int, grp string, ts timestamp"
+    rows = [
+        (7, "A", datetime(2025, 3, 1, 10, m)) for m in range(10)
+    ] + [(8, "A", datetime(2025, 3, 1, 10, 30))]
+    spark.createDataFrame(rows, schema).write.parquet(str(tmp_path / "cms"))
+
+    batch_df = windowed_cms_cells(
+        spark.read.schema(schema).parquet(str(tmp_path / "cms")),
+        "ts", "uid", "1 hour", depth=4, width=64,
+    )
+    batch = {(r.window_start, r.j, r.cell): r.n for r in batch_df.collect()}
+    # per depth row j, total cell mass == number of events
+    from collections import Counter
+    per_j = Counter()
+    for (w, j, c), n in batch.items():
+        per_j[j] += n
+    assert all(v == 11 for v in per_j.values())
+    # point query for uid 7: min over its 4 cells >= true count (10)
+    import hashlib
+    def cell_of(key, j, width=64):
+        h = int(hashlib.md5(f"{key}#{j}".encode()).hexdigest()[:15], 16)
+        return h % width
+    est = min(batch[(w, j, cell_of(7, j))] for (w, j, c) in list(batch)[:1] for j in range(4))
+    assert est >= 10
+
+    streamed = windowed_cms_cells(
+        spark.readStream.schema(schema).parquet(str(tmp_path / "cms")),
+        "ts", "uid", "1 hour", depth=4, width=64,
+    )
+    q = run_stream_to_memory(streamed, "cms_t", output_mode="complete")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.j, r.cell): r.n
+            for r in spark.sql("SELECT * FROM cms_t").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
