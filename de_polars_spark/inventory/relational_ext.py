@@ -1044,3 +1044,94 @@ ORACLES["median_abs_deviation"] = """
     FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
     GROUP BY l.l_returnflag, m.median
 """
+
+
+# --------------------------------------------------------------------- #
+# Mergeable approximate quantiles: fixed 128-bin equi-width histogram    #
+# over a known value range + linear interpolation inside the hit bin.    #
+# The 100 TB alternative to exact percentiles (which need a full sort /  #
+# two-phase global rank): histogram state is 128 integer counts per      #
+# group — map-side combinable, mergeable across partitions/streams, and  #
+# integer-exact in any engine, so the approximate answer itself          #
+# hash-matches the oracle. Error <= bin width (range/128).               #
+# --------------------------------------------------------------------- #
+_HB_N = 128
+
+
+def _hist_quantile_sql() -> str:
+    # o_totalprice at any SF is bounded by [0, 600000) for TPC-H-ish data;
+    # the bin formula clamps so range drift degrades accuracy, not safety
+    return f"""
+    WITH binned AS (
+        SELECT o_orderpriority,
+               LEAST({_HB_N - 1},
+                     CAST(FLOOR(o_totalprice / (600000.0 / {_HB_N})) AS INT))
+                   AS bin
+        FROM orders
+    ),
+    hist AS (
+        SELECT o_orderpriority, bin, COUNT(*) AS c
+        FROM binned GROUP BY o_orderpriority, bin
+    ),
+    cum AS (
+        SELECT o_orderpriority, bin, c,
+               SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_c,
+               SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+        FROM hist
+    ),
+    hit AS (
+        SELECT o_orderpriority, bin, c, cum_c, n,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY bin) AS rk
+        FROM cum
+        WHERE cum_c >= 0.5 * n
+    )
+    SELECT o_orderpriority,
+           CAST(n AS BIGINT) AS n_orders,
+           ROUND(CAST((bin + (CAST(n AS DOUBLE) * 0.5 - (cum_c - c)) / c)
+                      * (600000.0 / {_HB_N}) AS DOUBLE), 6) AS p50_estimate
+    FROM hit WHERE rk = 1
+    """
+
+
+_common("histogram_median_mergeable", _hist_quantile_sql())
+
+
+# --------------------------------------------------------------------- #
+# Incremental dedup: a NEW batch of documents arrives; which survive     #
+# exact-dedup against the fingerprints of the EXISTING corpus AND        #
+# within the batch itself? The production shape: the corpus fingerprint  #
+# table is the only state touched (anti join on the hash — broadcast or  #
+# shuffle-on-hash, never a text comparison), so the check scales with    #
+# the BATCH, not the corpus. Base = even doc_ids, batch = odd (a         #
+# deterministic split of the test table standing in for "yesterday's     #
+# corpus" and "today's crawl").                                          #
+# --------------------------------------------------------------------- #
+_common(
+    "dedup_incremental_batch",
+    """
+    WITH base_fp AS (
+        SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 2 = 1
+    ),
+    fresh AS (
+        SELECT b.doc_id, b.fp FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM base_fp e WHERE e.fp = b.fp)
+    ),
+    kept AS (
+        SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_batch_copies
+        FROM fresh GROUP BY fp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(keep_id) AS BIGINT) AS keep_id_sum,
+           CAST(SUM(n_batch_copies - 1) AS BIGINT) AS n_batch_dups,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM batch)
+               - CAST(COUNT(*) AS BIGINT)
+               - CAST(SUM(n_batch_copies - 1) AS BIGINT) AS n_vs_base_dups
+    FROM kept
+    """,
+)
