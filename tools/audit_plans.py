@@ -47,6 +47,9 @@ CROSS_JOIN_OK = {
     # k-means assignment: every vector scores against all k centroids by
     # construction — broadcast of the k-row centroid frame, scale-safe
     "kmeans_embeddings",
+    # two 1-row scalar broadcasts (corpus token total + vocab size)
+    # crossJoined into the <=max(K)-row top-k frame — scale-safe
+    "vocab_coverage",
     # 1-row corpus scalars (total token count, vocab size) crossJoined
     # into the scored relation — BuildRight on a single row, scale-safe
     "text_unigram_logprob",
