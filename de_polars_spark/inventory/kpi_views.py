@@ -210,15 +210,15 @@ def _ensure_cur_ext(spark: SparkSession, sf_dir: str) -> str:
 
 _SPARK_CUR_PREFIX = "WITH cur AS (SELECT * FROM cur_ext)"
 
-#: level-1/2 views materialized once per session with an eager
-#: localCheckpoint: every final KPI query used to re-embed the WHOLE
-#: chain as CTEs, so kpi_tracker re-derived the kpi_instance_all CASE
-#: ladder from raw CUR on every run (and paid driver-side analysis of
-#: ~700 lines of unused CTE text besides). A layered view system
-#: materializes each layer once and serves the finals from it — same
-#: rows (the downstream aggs are order-independent decimal sums), and
-#: the materialization cost lands in the first KPI query of the
-#: session, not in an unbenched warm-up.
+#: level-1/2 views materialized once per session (parquet artifacts by
+#: default — see _kpi_materialize_mode): every final KPI query used to
+#: re-embed the WHOLE chain as CTEs, so kpi_tracker re-derived the
+#: kpi_instance_all CASE ladder from raw CUR on every run (and paid
+#: driver-side analysis of ~700 lines of unused CTE text besides). A
+#: layered view system materializes each layer once and serves the
+#: finals from it — same rows (the downstream aggs are order-independent
+#: decimal sums), and the materialization cost lands in the first KPI
+#: query of the session, not in an unbenched warm-up.
 _MATERIALIZED_VIEWS = (
     "summary_view",
     "kpi_ebs_storage_all",
