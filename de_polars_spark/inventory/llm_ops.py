@@ -1616,3 +1616,80 @@ ORACLES["text_normalize"] = """
            length(norm) != length(text) AS changed
     FROM n
 """
+
+
+# ---------------------------------------------------------------- #
+# Per-source corpus profile: the mixture-dashboard rollup every     #
+# curation run starts from — doc/token volume, language mix, and    #
+# quality-gate pass rate per source. One map-side-combinable        #
+# aggregation over per-row expressions (the same quality features   #
+# as text_quality; no second corpus scan per metric).               #
+# ---------------------------------------------------------------- #
+def q_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    feats = TX.quality_features(F.col("text"))
+    per_doc = t["documents"].select(
+        "source",
+        "lang",
+        "doc_id",
+        feats["n_tokens"].alias("n_tokens"),
+        TX.quality_score(F.col("text")).alias("q"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_english"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+            F.sum(F.when(F.col("q") >= 0.7, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["quality_by_source"] = q_quality_by_source
+ORACLES["quality_by_source"] = f"""
+    WITH feat AS (
+        SELECT source, lang, doc_id,
+               len(toks) AS n_tokens,
+               ROUND(len(list_distinct(toks))
+                     / NULLIF(CAST(len(toks) AS DOUBLE), 0), 6) AS distinct_ratio,
+               ROUND(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                     / NULLIF(CAST(length(text) AS DOUBLE), 0), 6) AS punct_ratio
+        FROM (SELECT source, lang, doc_id, text, {_TOKS} AS toks FROM documents)
+    ),
+    scored AS (
+        SELECT source, lang, doc_id, n_tokens,
+               ROUND(
+                   (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 0.4
+                         WHEN n_tokens >= 5 THEN 0.2 ELSE 0.0 END)
+                 + (CASE WHEN distinct_ratio >= 0.5 THEN 0.3
+                         ELSE ROUND(distinct_ratio * 0.6, 6) END)
+                 + (CASE WHEN punct_ratio <= 0.2 THEN 0.3 ELSE 0.1 END), 6) AS q
+        FROM feat
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_english,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+               AS avg_quality,
+           CAST(SUM(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+"""
