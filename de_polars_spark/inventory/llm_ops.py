@@ -1693,3 +1693,49 @@ ORACLES["quality_by_source"] = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------- #
+# MinHash signature-agreement estimate: the 100 TB verification     #
+# fast path (O(n_hashes) per candidate pair, never a shingle-set    #
+# intersection). Unbiased estimate of Jaccard with stderr           #
+# ~ sqrt(J(1-J)/n); exact verification (dedup_ngram_jaccard) is     #
+# the precision path.                                               #
+# ---------------------------------------------------------------- #
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.minhash_estimate_pairs(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+    )
+
+
+def _minhash_estimate_oracle() -> str:
+    matches = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(_N_HASHES)
+    )
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    docs2 AS (
+        SELECT doc_id, {_shingles(2)} AS shingles
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    sigs2 AS (
+        SELECT doc_id,
+               {", ".join(
+                   "list_aggregate(list_transform(shingles, s -> md5(s || '#%d')), 'min') AS mh%d"
+                   % (i, i) for i in range(_N_HASHES)
+               )}
+        FROM docs2
+    )
+    SELECT p.id_a, p.id_b,
+           CAST({matches} AS INT) AS n_match,
+           ROUND(({matches}) / {_N_HASHES}.0, 6) AS jaccard_est
+    FROM pairs p
+    JOIN sigs2 sa ON p.id_a = sa.doc_id
+    JOIN sigs2 sb ON p.id_b = sb.doc_id
+    """
+
+
+QUERIES["dedup_minhash_estimate"] = q_dedup_minhash_estimate
+ORACLES["dedup_minhash_estimate"] = _minhash_estimate_oracle()

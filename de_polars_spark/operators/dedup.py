@@ -602,3 +602,87 @@ def select_canonical(
             ),
         )
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_n: int = 2,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs with the SIGNATURE-AGREEMENT Jaccard estimate
+    (matching minhash slots / n_hashes) instead of exact verification.
+
+    This is the 100 TB fast path next to :func:`ngram_jaccard_pairs`:
+    the estimator touches only the n_hashes-slot signatures — fixed-width
+    rows, no shingle-set join, no ``array_intersect`` over full shingle
+    arrays — so the verification cost per candidate pair is O(n_hashes)
+    regardless of document length. The estimate is unbiased with
+    stderr ~ sqrt(J(1-J)/n_hashes); exact verification remains the
+    precision path.
+
+    The signature relation is persisted (consumed by banding AND the
+    pair-side joins); call :func:`release_cached` after collecting.
+    """
+    assert n_hashes % band_size == 0
+    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
+    sig = toks.select(
+        F.col(id_col),
+        TX.minhash_array(
+            TX.shingles_from_tokens(F.col("__toks"), shingle_n), n_hashes
+        ).alias("__sig"),
+    ).persist()
+    _PERSISTED.append(sig)
+
+    n_bands = n_hashes // band_size
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(
+                F.concat(
+                    *[
+                        F.element_at("__sig", b * band_size + j + 1)
+                        for j in range(band_size)
+                    ]
+                )
+            ).alias("band_key"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = (
+        sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
+        .select(id_col, "band.band_id", "band.band_key")
+        .filter(F.col("band_key").isNotNull())
+    )
+    buckets = bands.groupBy("band_id", "band_key").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    pairs = (
+        buckets.filter(F.size("ids") > 1)
+        .select(F.explode(_bucket_pairs(F.col("ids"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_match.cast("int").alias("n_match"),
+            F.round(n_match / F.lit(float(n_hashes)), 6).alias("jaccard_est"),
+        )
+    )
