@@ -195,3 +195,87 @@ def test_exact_quantiles_match_numpy(spark, values):
         expect = float(np.percentile(values, p * 100))
         assert abs(row[col] - expect) < 1e-4, (p, row[col], expect, values)
     assert row["n_items"] == len(values)
+
+
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=30).map(
+            lambda ws: " ".join(ws)
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    window=st.integers(2, 8),
+    overlap=st.integers(0, 3),
+)
+@settings(**_SETTINGS)
+def test_chunking_matches_model(spark, texts, window, overlap):
+    """Every chunk reproduces a slice of the token list; union of chunks
+    covers every token; stride spacing holds."""
+    from de_polars_spark.operators.chunking import chunk_documents
+
+    if overlap >= window:
+        overlap = window - 1
+    stride = window - overlap
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    rows = chunk_documents(df, "doc_id", "text", window, overlap).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    import hashlib
+
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        got = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        if not toks:
+            assert got == []
+            continue
+        covered = set()
+        for r in got:
+            assert r.chunk_start == r.chunk_idx * stride
+            assert r.chunk_len == min(window, len(toks) - r.chunk_start) > 0
+            piece = " ".join(toks[r.chunk_start : r.chunk_start + window])
+            assert r.chunk_hash == hashlib.md5(piece.encode()).hexdigest()
+            covered |= set(range(r.chunk_start, r.chunk_start + r.chunk_len))
+        assert covered == set(range(len(toks)))
+        # chunk count is exactly the model's
+        import math
+        n = len(toks)
+        expect = 1 if n <= window else 1 + math.ceil((n - window) / stride)
+        assert len(got) == expect
+
+
+@given(
+    members=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 2), st.integers(0, 5)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda x: x[0],
+    ),
+)
+@settings(**_SETTINGS)
+def test_select_canonical_matches_model(spark, members):
+    """Per component: keeper = max quality, ties to lowest id."""
+    from de_polars_spark.operators.dedup import select_canonical
+
+    comps = spark.createDataFrame(
+        [(n, c) for n, c, _ in members], "node bigint, component_id bigint"
+    )
+    docs = spark.createDataFrame(
+        [(n, q) for n, _, q in members], "doc_id bigint, q bigint"
+    )
+    got = {
+        r.component_id: (r.kept_id, r.kept_quality, r.n_dropped, r.dropped_id_sum)
+        for r in select_canonical(comps, docs, "doc_id", "q").collect()
+    }
+    from collections import defaultdict
+
+    model = defaultdict(list)
+    for n, c, q in members:
+        model[c].append((n, q))
+    for c, lst in model.items():
+        best = max(lst, key=lambda x: (x[1], -x[0]))
+        dropped = [n for n, _ in lst if n != best[0]]
+        assert got[c] == (best[0], best[1], len(dropped), sum(dropped))
