@@ -14,6 +14,14 @@ user queries run unchanged:
 - ``FROM 'path.parquet'`` literals  → `` FROM parquet.`path.parquet` ``
   (reference usage: README.md:343-367)
 - double-quoted identifiers         → backtick identifiers
+- ``SELECT * EXCLUDE (c)``          → ``SELECT * EXCEPT (c)``
+- ``LIST(x)`` aggregate             → ``collect_list(x)``
+- ``a // b`` integer division       → ``a div b``
+- ``strftime(x, '%Y-%m')``          → ``date_format(x, 'yyyy-MM')``
+  (the %Y %m %d %H %M %S subset; unknown tokens pass through and fail
+  in the analyzer rather than silently emitting a wrong format).
+  ``GROUP BY ALL`` and ``ILIKE`` need no rewrite — Spark SQL supports
+  both natively.
 
 This is string rewriting at the API edge — no Catalyst extension is needed
 for parity (SURVEY.md §4). Rewrites skip single-quoted string literals.
@@ -70,6 +78,31 @@ _FROM_PARQUET_LITERAL = re.compile(
 )
 
 
+_EXCLUDE = re.compile(r"(?<=\*)\s+EXCLUDE\s*\(", re.IGNORECASE)
+_LIST_AGG = re.compile(r"\bLIST\s*\(", re.IGNORECASE)
+_INT_DIV = re.compile(r"(?<=[\w)\s])//(?=[\w(\s])")
+
+#: strftime '%X' tokens → Spark date_format pattern letters (the common
+#: subset the reference's assets use; unknown tokens are left alone and
+#: surface as an analyzer error rather than silently wrong output)
+_STRFTIME_MAP = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss",
+}
+_STRFTIME = re.compile(
+    r"strftime\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*"
+    r"(?P<fmt>'(?:[^']|'')*')\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _strftime_repl(m: re.Match) -> str:
+    fmt = m.group("fmt")
+    for tok, spark in _STRFTIME_MAP.items():
+        fmt = fmt.replace(tok, spark)
+    return f"date_format({m.group('expr').strip()}, {fmt})"
+
+
 def _rewrite_segment(seg: str) -> str:
     """Apply rewrites to a segment known to contain no string literals,
     except the FROM-'path' / regex patterns which this runs before
@@ -78,6 +111,12 @@ def _rewrite_segment(seg: str) -> str:
     while prev != seg:  # nested :: casts resolve innermost-out
         prev = seg
         seg = _PG_CAST.sub(lambda m: f"CAST({m.group('expr')} AS {m.group('type')})", seg)
+    # DuckDB star-EXCLUDE -> Spark star-EXCEPT
+    seg = _EXCLUDE.sub(" EXCEPT (", seg)
+    # DuckDB LIST(x) aggregate -> collect_list
+    seg = _LIST_AGG.sub("collect_list(", seg)
+    # DuckDB integer division -> Spark div
+    seg = _INT_DIV.sub(" div ", seg)
     return seg
 
 
@@ -88,6 +127,9 @@ def translate_duckdb_sql(sql: str) -> str:
         lambda m: f"CAST({m.group('expr')} AS {m.group('type')})", sql
     )
     sql = _SUBSTR_FROM.sub(lambda m: f"regexp_extract({m.group('col')}, {m.group('pat')}, 1)", sql)
+    # strftime carries its format as a string literal, so it must run
+    # before tokenization (like the path/regex rewrites above)
+    sql = _STRFTIME.sub(_strftime_repl, sql)
     sql = _READ_PARQUET_ONE.sub(lambda m: f"parquet.`{m.group('path')}`", sql)
 
     def _list_repl(m: re.Match) -> str:

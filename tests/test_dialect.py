@@ -68,3 +68,48 @@ def test_map_access_cast():
         t("SELECT product['region']::string FROM CUR")
         == "SELECT CAST(product['region'] AS string) FROM CUR"
     )
+
+
+def test_star_exclude_to_except():
+    assert t("SELECT * EXCLUDE (a, b) FROM x") == "SELECT * EXCEPT (a, b) FROM x"
+    assert t("SELECT t.* EXCLUDE (a) FROM t") == "SELECT t.* EXCEPT (a) FROM t"
+    # inside a string literal: untouched
+    assert t("SELECT 'EXCLUDE (x)' FROM t") == "SELECT 'EXCLUDE (x)' FROM t"
+
+
+def test_list_aggregate_to_collect_list():
+    assert t("SELECT LIST(v) FROM x GROUP BY k") == (
+        "SELECT collect_list(v) FROM x GROUP BY k"
+    )
+    # list_* functions are NOT the LIST aggregate
+    assert "list_filter" in t("SELECT list_filter(a, x -> x) FROM t")
+
+
+def test_integer_division_to_div():
+    assert t("SELECT a // 2 FROM x") == "SELECT a  div  2 FROM x"
+    assert t("SELECT '// not div' FROM x") == "SELECT '// not div' FROM x"
+
+
+def test_strftime_to_date_format():
+    assert t("SELECT strftime(ts, '%Y-%m') FROM e") == (
+        "SELECT date_format(ts, 'yyyy-MM') FROM e"
+    )
+    assert t("SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS d FROM e") == (
+        "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') AS d FROM e"
+    )
+
+
+def test_translated_duckdb_sql_runs_on_spark(spark, sf_dir):
+    """End-to-end: DuckDB-dialect SQL through the engine's translate path."""
+    from de_polars_spark.sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir)
+    rows = spark.sql(
+        t(
+            "SELECT event_type, strftime(ts, '%Y-%m') AS month, "
+            "COUNT(*)::bigint AS n, LIST(event_id) AS ids "
+            "FROM events WHERE event_id // 2 < 50 "
+            "GROUP BY event_type, strftime(ts, '%Y-%m') LIMIT 5"
+        )
+    ).collect()
+    assert rows and all(r.n == len(r.ids) for r in rows)
