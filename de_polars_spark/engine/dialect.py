@@ -20,6 +20,10 @@ user queries run unchanged:
 - ``strftime(x, '%Y-%m')``          → ``date_format(x, 'yyyy-MM')``
   (the %Y %m %d %H %M %S subset; unknown tokens pass through and fail
   in the analyzer rather than silently emitting a wrong format).
+- name-only function renames: ``string_split``/``list_distinct``/
+  ``list_contains``/``list_sort``/``list_transform``/``list_filter``/
+  ``array_to_string`` → their Spark equivalents (same signatures;
+  different-signature functions are deliberately left to fail loudly).
   ``GROUP BY ALL`` and ``ILIKE`` need no rewrite — Spark SQL supports
   both natively.
 
@@ -78,6 +82,24 @@ _FROM_PARQUET_LITERAL = re.compile(
 )
 
 
+#: DuckDB function names whose Spark equivalent differs only in name —
+#: rewritten at word boundary before an open paren. Functions with
+#: different signatures (list_aggregate, len's string/list overload) are
+#: deliberately NOT mapped: a silent argument mismatch is worse than an
+#: unresolved-function error.
+_FN_MAP = {
+    "string_split": "split",
+    "list_distinct": "array_distinct",
+    "list_contains": "array_contains",
+    "list_sort": "array_sort",
+    "array_to_string": "array_join",
+    "list_transform": "transform",
+    "list_filter": "filter",
+}
+_FN_CALL = re.compile(
+    r"\b(" + "|".join(_FN_MAP) + r")\s*\(", re.IGNORECASE
+)
+
 _EXCLUDE = re.compile(r"(?<=\*)\s+EXCLUDE\s*\(", re.IGNORECASE)
 _LIST_AGG = re.compile(r"\bLIST\s*\(", re.IGNORECASE)
 _INT_DIV = re.compile(r"(?<=[\w)\s])//(?=[\w(\s])")
@@ -117,6 +139,8 @@ def _rewrite_segment(seg: str) -> str:
     seg = _LIST_AGG.sub("collect_list(", seg)
     # DuckDB integer division -> Spark div
     seg = _INT_DIV.sub(" div ", seg)
+    # name-only function renames (list_* family etc.)
+    seg = _FN_CALL.sub(lambda m: _FN_MAP[m.group(1).lower()] + "(", seg)
     return seg
 
 

@@ -81,8 +81,11 @@ def test_list_aggregate_to_collect_list():
     assert t("SELECT LIST(v) FROM x GROUP BY k") == (
         "SELECT collect_list(v) FROM x GROUP BY k"
     )
-    # list_* functions are NOT the LIST aggregate
-    assert "list_filter" in t("SELECT list_filter(a, x -> x) FROM t")
+    # list_* functions are NOT the LIST aggregate - they rename to the
+    # Spark higher-order equivalents instead
+    assert t("SELECT list_filter(a, x -> x) FROM t") == (
+        "SELECT filter(a, x -> x) FROM t"
+    )
 
 
 def test_integer_division_to_div():
@@ -113,3 +116,23 @@ def test_translated_duckdb_sql_runs_on_spark(spark, sf_dir):
         )
     ).collect()
     assert rows and all(r.n == len(r.ids) for r in rows)
+
+
+def test_list_function_family_renames(spark, sf_dir):
+    assert t("SELECT list_distinct(string_split(text, ' ')) FROM d") == (
+        "SELECT array_distinct(split(text, ' ')) FROM d"
+    )
+    assert t("SELECT array_to_string(list_sort(a), ',') FROM d") == (
+        "SELECT array_join(array_sort(a), ',') FROM d"
+    )
+    # runnable end-to-end on Spark
+    from de_polars_spark.sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir)
+    n = spark.sql(
+        t(
+            "SELECT doc_id, list_contains(list_distinct(string_split(text, ' ')), 'the') AS has_the "
+            "FROM documents LIMIT 3"
+        )
+    ).count()
+    assert n == 3
