@@ -1739,3 +1739,38 @@ def _minhash_estimate_oracle() -> str:
 
 QUERIES["dedup_minhash_estimate"] = q_dedup_minhash_estimate
 ORACLES["dedup_minhash_estimate"] = _minhash_estimate_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Per-doc duplicated-span profile: fraction of a doc's distinct     #
+# 8-grams appearing in other docs — the exact-substring-dedup       #
+# filtering signal (docs built from spans seen elsewhere are        #
+# boilerplate/near-copies even without a whole-doc match).          #
+# ---------------------------------------------------------------- #
+_DUPNG_N = 8
+
+
+def q_ngram_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.ngram_duplication_profile(
+        t["documents"], "doc_id", "text", n=_DUPNG_N, min_docs=2
+    )
+
+
+QUERIES["ngram_dup_profile"] = q_ngram_dup_profile
+ORACLES["ngram_dup_profile"] = f"""
+    WITH d AS (
+        SELECT doc_id, {_shingles(_DUPNG_N)} AS gs
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    ex AS (SELECT doc_id, unnest(gs) AS g FROM d),
+    shared AS (
+        SELECT g FROM ex GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT e.doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(COUNT(s.g) AS BIGINT) AS n_shared,
+           ROUND(COUNT(s.g) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio
+    FROM ex e LEFT JOIN shared s ON e.g = s.g
+    GROUP BY e.doc_id
+"""

@@ -686,3 +686,55 @@ def minhash_estimate_pairs(
             F.round(n_match / F.lit(float(n_hashes)), 6).alias("jaccard_est"),
         )
     )
+
+
+def ngram_duplication_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span signal: the fraction of a doc's
+    distinct word n-grams that also appear in other documents — the
+    filtering feature exact-substring dedup pipelines threshold on
+    (docs mostly made of spans seen elsewhere are boilerplate or
+    near-copies even when no whole-document match exists).
+
+    Shape: explode distinct n-grams (xxhash64 — internal key, the
+    output is counts), one groupBy marking grams in >= ``min_docs``
+    docs, one join back, one per-doc aggregation. All shuffles on the
+    fixed-width gram hash; at corpus scale add a frequency cap upstream
+    if a handful of universal grams dominate the posting lists.
+
+    Output: ``(id, n_ngrams, n_shared, dup_ratio)``; docs with fewer
+    than ``n`` tokens have no n-grams and emit no row.
+    """
+    docs = df.select(
+        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        id_col,
+        F.transform(
+            TX.shingles_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
+        ).alias("__g"),
+    )
+    ex = docs.select(id_col, F.explode("__g").alias("g"))
+    shared = (
+        ex.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+    )
+    return (
+        ex.join(shared, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.count("__nd").cast("bigint").alias("n_shared"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_ngrams"), 6).alias("dup_ratio"),
+        )
+    )
