@@ -1135,3 +1135,41 @@ _common(
     FROM kept
     """,
 )
+
+
+# --------------------------------------------------------------------- #
+# Cohort retention: users grouped by first-activity month, tracked       #
+# across subsequent months. Two aggregations (first-touch per user, then #
+# cohort x month rollup) joined on user_id — both shuffles on the user   #
+# key, AQE reuses the partitioning; the retention denominator rides a    #
+# window MAX over the cohort partition instead of a third self-join.     #
+# --------------------------------------------------------------------- #
+_common(
+    "cohort_retention",
+    """
+    WITH first_touch AS (
+        SELECT user_id, MIN(MONTH_STR(ts)) AS cohort_month
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, MONTH_STR(ts) AS activity_month
+        FROM events
+    ),
+    cells AS (
+        SELECT f.cohort_month, a.activity_month,
+               COUNT(*) AS n_active
+        FROM first_touch f
+        JOIN activity a ON f.user_id = a.user_id
+        GROUP BY f.cohort_month, a.activity_month
+    )
+    SELECT cohort_month, activity_month, n_active,
+           CAST(MAX(CASE WHEN activity_month = cohort_month
+                         THEN n_active END)
+                OVER (PARTITION BY cohort_month) AS BIGINT) AS cohort_size,
+           ROUND(n_active / CAST(MAX(CASE WHEN activity_month = cohort_month
+                                          THEN n_active END)
+                                 OVER (PARTITION BY cohort_month) AS DOUBLE),
+                 6) AS retention
+    FROM cells
+    """,
+)
