@@ -16,6 +16,7 @@ from de_polars_spark.streaming.cost_alerts import (
     windowed_costs,
 )
 from de_polars_spark.streaming.dedup_stream import dedup_stream
+from de_polars_spark.streaming.dedup_ingest import dedup_ingest_sink
 from de_polars_spark.streaming.enrich import enrich_stream
 from de_polars_spark.streaming.interval_join import interval_join_backward
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
@@ -35,6 +36,7 @@ __all__ = [
     "dedup_stream",
     "interval_join_backward",
     "enrich_stream",
+    "dedup_ingest_sink",
     "windowed_hll_registers",
     "hll_estimate",
     "windowed_cms_cells",

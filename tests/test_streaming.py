@@ -317,3 +317,59 @@ def test_windowed_cms_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert got == batch
+
+
+def test_dedup_ingest_across_batches_and_replay(spark, tmp_path):
+    """Streaming ingest dedups against ALL history; a replayed batch_id
+    is a no-op (exactly-once content on replay)."""
+    from de_polars_spark.streaming.dedup_ingest import dedup_ingest_sink
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ingest = dedup_ingest_sink("doc_id", "text", state, out)
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],  # 3 dups 1 in-batch
+        "doc_id int, text string",
+    )
+    ingest(b0, 0)
+    got0 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got0 == {1, 2}  # min-id keeper for 'alpha'
+
+    b1 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma")],  # beta seen in history
+        "doc_id int, text string",
+    )
+    ingest(b1, 1)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 2, 5}
+
+    # replay batch 1 (same id) — committed dirs detected, nothing changes
+    ingest(b1, 1)
+    again = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert sorted(again) == [1, 2, 5]
+    # state holds exactly the three distinct fingerprints
+    assert spark.read.parquet(state).select("fp").distinct().count() == 3
+
+
+def test_dedup_ingest_runs_as_stream(spark, tmp_path):
+    from de_polars_spark.streaming.dedup_ingest import dedup_ingest_sink
+
+    src = str(tmp_path / "src")
+    schema = "doc_id int, text string"
+    spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "x")], schema
+    ).write.parquet(src)
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(dedup_ingest_sink("doc_id", "text", state, out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
