@@ -1173,3 +1173,71 @@ _common(
     FROM cells
     """,
 )
+
+
+# --------------------------------------------------------------------- #
+# RFM segmentation: recency / frequency / monetary quartiles per         #
+# customer. One orders aggregation, then NTILE windows over a TOTAL      #
+# order (metric + custkey tiebreak) so bucket assignment is              #
+# deterministic and engine-independent.                                  #
+# --------------------------------------------------------------------- #
+_common(
+    "rfm_segmentation",
+    """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(MAX(o_orderdate) AS DATE) AS last_order,
+               COUNT(*) AS frequency,
+               DSUM(o_totalprice) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey,
+               CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey)
+                    AS INT) AS r_quartile,
+               CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey)
+                    AS INT) AS f_quartile,
+               CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey)
+                    AS INT) AS m_quartile
+        FROM per_cust
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           COUNT(*) AS n_customers,
+           CAST(SUM(o_custkey) AS BIGINT) AS custkey_checksum
+    FROM scored
+    GROUP BY r_quartile, f_quartile, m_quartile
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# Co-purchase lift: brand pairs inside one order, support counted over   #
+# distinct (order, brand) rows, lift vs independent brand frequencies.   #
+# The within-order self-join is an equi-join on the order key (order     #
+# sizes are bounded, so the pair expansion is too); the brand totals     #
+# are a tiny dimension cross-joined as scalars.                          #
+# --------------------------------------------------------------------- #
+_common(
+    "basket_copurchase_lift",
+    """
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT okey) AS n FROM ob),
+    brand_freq AS (SELECT brand, COUNT(*) AS nb FROM ob GROUP BY brand),
+    pair_support AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS support
+        FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    )
+    SELECT p.brand_a, p.brand_b, p.support,
+           ROUND(CAST(p.support AS DOUBLE) * n.n
+                 / (fa.nb * CAST(fb.nb AS DOUBLE)), 6) AS lift
+    FROM pair_support p
+    JOIN brand_freq fa ON p.brand_a = fa.brand
+    JOIN brand_freq fb ON p.brand_b = fb.brand
+    CROSS JOIN n_orders n
+    WHERE p.support >= 5
+    """,
+)
