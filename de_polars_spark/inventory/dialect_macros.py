@@ -47,6 +47,12 @@ MACROS: dict[str, dict[str, str]] = {
     # normalize a money expression to DECIMAL(24,8) (exact for values
     # < 1e16; all branch types here are scale <= 8 so the cast never rounds)
     "MONEY8": {"*": "CAST({0} AS DECIMAL(24,8))"},
+    # whole days from {1} to {0} as an integer (Spark's DATE minus DATE
+    # yields INTERVAL DAY; DuckDB's yields BIGINT — macro pins integer)
+    "DAYS_BETWEEN": {
+        "spark": "datediff(CAST({0} AS DATE), CAST({1} AS DATE))",
+        "duckdb": "(CAST({0} AS DATE) - CAST({1} AS DATE))",
+    },
     # hex-string (md5 prefix) -> BIGINT
     "HEX2INT": {
         "spark": "CAST(conv({0}, 16, 10) AS BIGINT)",

@@ -1241,3 +1241,30 @@ _common(
     WHERE p.support >= 5
     """,
 )
+
+
+# --------------------------------------------------------------------- #
+# Time-to-event: order -> first ship latency. One orders ⋈ lineitem      #
+# equi-join, a per-order MIN, then exact interpolated percentiles over   #
+# the latency (PCTL macro) — the fulfillment-SLA profile every ops       #
+# dashboard carries.                                                     #
+# --------------------------------------------------------------------- #
+_common(
+    "ship_latency_profile",
+    """
+    WITH first_ship AS (
+        SELECT o.o_orderkey, o.o_orderpriority,
+               DAYS_BETWEEN(MIN(l.l_shipdate), o.o_orderdate) AS days_to_ship
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(MIN(days_to_ship) AS BIGINT) AS min_days,
+           ROUND(PCTL(CAST(days_to_ship AS DOUBLE), 0.5), 6) AS p50_days,
+           ROUND(PCTL(CAST(days_to_ship AS DOUBLE), 0.95), 6) AS p95_days,
+           CAST(MAX(days_to_ship) AS BIGINT) AS max_days
+    FROM first_ship
+    GROUP BY o_orderpriority
+    """,
+)
