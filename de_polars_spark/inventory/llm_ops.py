@@ -1774,3 +1774,112 @@ ORACLES["ngram_dup_profile"] = f"""
     FROM ex e LEFT JOIN shared s ON e.g = s.g
     GROUP BY e.doc_id
 """
+
+
+# ---------------------------------------------------------------- #
+# Split-leakage check: fingerprints appearing in BOTH train and an  #
+# eval split. The safety gate after any split: a doc_id-hash split  #
+# puts exact duplicates on both sides of the wall, leaking eval     #
+# content into training — dedup must run BEFORE splitting, and this #
+# query is the assertion. One fingerprint groupBy over the split-   #
+# labeled corpus (map-side combinable), no self-join.               #
+# ---------------------------------------------------------------- #
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    split = sampling.split_train_val_test(
+        t["documents"], "doc_id", val_fraction=0.05, test_fraction=0.05
+    )
+    fp = split.select(
+        F.md5("text").alias("fp"),
+        "split",
+        "doc_id",
+    )
+    per_fp = fp.groupBy("fp").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") != "train", 1).otherwise(0)).alias("in_eval"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    leaked = per_fp.where((F.col("in_train") == 1) & (F.col("in_eval") == 1))
+    return leaked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_leaked_fingerprints"),
+        F.coalesce(F.sum("n_copies"), F.lit(0)).cast("bigint").alias("n_leaked_docs"),
+        F.coalesce(F.sum("id_sum"), F.lit(0)).cast("bigint").alias("id_checksum"),
+    )
+
+
+QUERIES["split_leakage_check"] = q_split_leakage_check
+ORACLES["split_leakage_check"] = f"""
+    WITH labeled AS (
+        SELECT doc_id, md5(text) AS fp,
+               CASE WHEN {_U32} < 0.05 THEN 'val'
+                    WHEN {_U32} < 0.10 THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    ),
+    per_fp AS (
+        SELECT fp,
+               MAX(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+               MAX(CASE WHEN split != 'train' THEN 1 ELSE 0 END) AS in_eval,
+               COUNT(*) AS n_copies,
+               SUM(doc_id) AS id_sum
+        FROM labeled GROUP BY fp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_leaked_fingerprints,
+           CAST(COALESCE(SUM(n_copies), 0) AS BIGINT) AS n_leaked_docs,
+           CAST(COALESCE(SUM(id_sum), 0) AS BIGINT) AS id_checksum
+    FROM per_fp WHERE in_train = 1 AND in_eval = 1
+"""
+
+
+# ---------------------------------------------------------------- #
+# PII density per source: emails/phones per 1k whitespace tokens —  #
+# which feeds need scrubbing hardest. Pure per-row regexp counting  #
+# into one rollup (RE2-compatible patterns, same as text_pii_scrub).#
+# ---------------------------------------------------------------- #
+def q_pii_density_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    per_doc = t["documents"].select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), 0)).alias("n_phone"),
+        F.size(TX.tokens(F.col("text"))).alias("n_toks"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_emails"),
+            F.sum("n_phone").cast("bigint").alias("n_phones"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.round(
+                (F.sum("n_email") + F.sum("n_phone"))
+                * 1000.0
+                / F.sum("n_toks"),
+                6,
+            ).alias("pii_per_1k_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["pii_density_by_source"] = q_pii_density_by_source
+ORACLES["pii_density_by_source"] = f"""
+    WITH per_doc AS (
+        SELECT source,
+               len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+               len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+               len({_TOKS}) AS n_toks
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           ROUND((SUM(n_email) + SUM(n_phone)) * 1000.0 / SUM(n_toks), 6)
+               AS pii_per_1k_tokens
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+"""
