@@ -50,3 +50,51 @@ def test_cobucketed_join_has_no_shuffle(spark, bucketed_pair):
         assert got == plain and len(got) == 97
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """Spark's runtime bloom filter injects a might_contain prune on the
+    fact side of a selective shuffle join — at 100 TB this is the
+    row-level skipping that keeps a selective dim filter from paying a
+    full fact shuffle. (With a broadcastable dim the broadcast join
+    already prunes, so the test pins the shuffle-join path.)"""
+    from de_polars_spark.sources.registry import register_testdata
+
+    register_testdata(spark, sf_dir)
+    keys = [
+        "spark.sql.optimizer.runtime.bloomFilter.enabled",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        spark.conf.set(keys[0], "true")
+        spark.conf.set(keys[1], "0")
+        spark.conf.set(keys[2], "-1")
+        spark.conf.set(keys[3], "-1")
+        df = spark.sql(
+            "SELECT l.l_orderkey, l.l_extendedprice FROM lineitem l "
+            "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderpriority = '1-URGENT'"
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloom" in plan or "might_contain" in plan
+        # and the result is still correct vs the unfiltered-plan count
+        n = df.count()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    expect = spark.sql(
+        "SELECT COUNT(*) FROM lineitem l JOIN orders o "
+        "ON l.l_orderkey = o.o_orderkey WHERE o.o_orderpriority = '1-URGENT'"
+    ).collect()[0][0]
+    assert n == expect
