@@ -50,6 +50,9 @@ CROSS_JOIN_OK = {
     # two 1-row scalar broadcasts (corpus token total + vocab size)
     # crossJoined into the <=max(K)-row top-k frame — scale-safe
     "vocab_coverage",
+    # 1-row distinct-order-count scalar crossJoined into the pair-support
+    # frame for the lift denominator — scale-safe
+    "basket_copurchase_lift",
     # 1-row corpus scalars (total token count, vocab size) crossJoined
     # into the scored relation — BuildRight on a single row, scale-safe
     "text_unigram_logprob",
