@@ -224,7 +224,14 @@ _MATERIALIZED_VIEWS = (
     "kpi_ebs_storage_all",
     "kpi_ebs_snap",
     "kpi_s3_storage_all",
-    "kpi_instance_all",
+    # the instance layer is pinned at ROLLUP grain (views/kpi.py
+    # KPI_INSTANCE_ROLLUP_BODY): every aggregate consumer (the tracker's
+    # instance sub-query, kpi_view_instance_all) reads the small decimal-
+    # partial cube instead of the 26-key detail, whose ~205k rows x ~70
+    # columns (sf0.1) dominated both the artifact write and the tracker's
+    # sub-aggregation. The detail view kpi_instance_all stays registered
+    # (virtual) for ad-hoc API queries.
+    "kpi_instance_rollup",
 )
 #: applicationId -> sf_dir whose views are CURRENTLY materialized (a dict,
 #: not an accumulating set, so an sf_dir switch-back forces a rebuild)
@@ -383,7 +390,7 @@ _bind(
                AS lambda_graviton_cost,
            CAST(SUM(CAST(dynamodb_committed_cost AS DECIMAL(38,8))) AS DOUBLE)
                AS dynamodb_committed_cost
-    FROM kpi_instance_all
+    FROM kpi_instance_rollup
     GROUP BY 1, 2, 3, 4, 5, 6
     """,
 )

@@ -524,6 +524,72 @@ SELECT p.*,
 FROM kpi_prep p
 """
 
+#: money measures of kpi_instance_all consumed at aggregate grain by the
+#: tracker's instance sub-query and the kpi_view_instance_all final select
+_ROLLUP_MONEY_COLS: tuple[str, ...] = (
+    "amortized_cost", "adjusted_amortized_cost",
+    "sagemaker_all_cost", "sagemaker_usage_cost", "sagemaker_ondemand_cost",
+    "sagemaker_commit_savings", "sagemaker_commit_potential_savings",
+    "compute_all_cost", "compute_usage_cost", "compute_ondemand_cost",
+    "compute_commit_savings", "compute_commit_potential_savings",
+    "ec2_all_cost", "ec2_usage_cost", "ec2_spot_cost",
+    "ec2_previous_generation_cost", "ec2_graviton_eligible_cost",
+    "ec2_graviton_cost", "ec2_amd_eligible_cost", "ec2_amd_cost",
+    "ec2_spot_potential_savings", "ec2_spot_savings",
+    "ec2_previous_generation_potential_savings",
+    "ec2_graviton_potential_savings", "ec2_amd_potential_savings",
+    "rds_all_cost", "rds_ondemand_cost", "rds_graviton_eligible_cost",
+    "rds_graviton_cost", "rds_graviton_potential_savings",
+    "rds_commit_savings", "rds_commit_potential_savings",
+    "rds_oracle_cost", "rds_sql_server_cost",
+    "elasticache_all_cost", "elasticache_usage_cost",
+    "elasticache_ondemand_cost", "elasticache_commit_savings",
+    "elasticache_commit_potential_savings",
+    "elasticache_graviton_eligible_cost", "elasticache_graviton_cost",
+    "elasticache_graviton_potential_savings",
+    "opensearch_all_cost", "opensearch_usage_cost",
+    "opensearch_ondemand_cost", "opensearch_commit_savings",
+    "opensearch_commit_potential_savings",
+    "opensearch_graviton_eligible_cost", "opensearch_graviton_cost",
+    "opensearch_graviton_potential_savings",
+    "redshift_all_cost", "redshift_usage_cost", "redshift_ondemand_cost",
+    "redshift_commit_savings", "redshift_commit_potential_savings",
+    "dynamodb_all_cost", "dynamodb_committed_cost", "dynamodb_usage_cost",
+    "dynamodb_ondemand_cost", "dynamodb_commit_savings",
+    "dynamodb_commit_potential_savings",
+    "lambda_all_cost", "lambda_usage_cost",
+    "lambda_graviton_eligible_cost", "lambda_graviton_cost",
+    "lambda_graviton_potential_savings",
+)
+
+#: level-2.5: kpi_instance_rollup — the materialization grain for every
+#: aggregate consumer of kpi_instance_all. Keys are the UNION of the
+#: tracker sub-query's 4 spine keys and kpi_view_instance_all's extra
+#: dimensions; measures are DECIMAL(38,8) PARTIAL sums (never cast back
+#: to double), so any downstream DSUM8 over the rollup equals the same
+#: DSUM8 over the detail rows exactly — decimal addition is associative
+#: and CAST(DECIMAL(38,8) AS DECIMAL(38,8)) is the identity. license
+#: counts ride along as BIGINT partials for the tracker's two COUNT-CASE
+#: columns. At 100 TB this is the classic pre-aggregation cube: the
+#: 26-key detail never has to be rescanned (or even materialized) for
+#: dashboard-grain queries.
+KPI_INSTANCE_ROLLUP_BODY = (
+    "SELECT billing_period, payer_account_id, linked_account_id, tags_json,\n"
+    "       product_code, purchase_option, adjusted_processor,\n"
+    + ",\n".join(
+        f"  CAST(SUM(CAST({c} AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS {c}"
+        for c in _ROLLUP_MONEY_COLS
+    )
+    + """,
+  CAST(SUM(CASE WHEN license_model IN ('License included', 'Bring your own license')
+           THEN 1 ELSE 0 END) AS BIGINT) AS rds_license_n,
+  CAST(SUM(CASE WHEN license_model LIKE 'No license required' THEN 1 ELSE 0 END)
+      AS BIGINT) AS rds_no_license_n
+FROM kpi_instance_all
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+)
+
 #: level-3: kpi_tracker spine — 4-column composite-key LEFT JOINs
 #: (kpi_tracker.sql:84-230)
 KPI_TRACKER_BODY = """
@@ -597,10 +663,8 @@ LEFT JOIN (
           DSUM8(rds_graviton_potential_savings) AS rds_graviton_potential_savings,
           DSUM8(rds_commit_potential_savings) AS rds_commit_potential_savings,
           DSUM8(rds_commit_savings) AS rds_commit_savings,
-          CAST(SUM(CASE WHEN license_model IN ('License included', 'Bring your own license')
-                   THEN 1 ELSE 0 END) AS BIGINT) AS rds_license,
-          CAST(SUM(CASE WHEN license_model LIKE 'No license required' THEN 1 ELSE 0 END)
-              AS BIGINT) AS rds_no_license,
+          CAST(SUM(rds_license_n) AS BIGINT) AS rds_license,
+          CAST(SUM(rds_no_license_n) AS BIGINT) AS rds_no_license,
           DSUM8(rds_sql_server_cost) AS rds_sql_server_cost,
           DSUM8(rds_oracle_cost) AS rds_oracle_cost,
           DSUM8(elasticache_all_cost) AS elasticache_all_cost,
@@ -641,7 +705,7 @@ LEFT JOIN (
           DSUM8(lambda_graviton_cost) AS lambda_graviton_cost,
           DSUM8(lambda_graviton_eligible_cost) AS lambda_graviton_eligible_cost,
           DSUM8(lambda_graviton_potential_savings) AS lambda_graviton_potential_savings
-   FROM kpi_instance_all
+   FROM kpi_instance_rollup
    GROUP BY 1, 2, 3, 4
 ) instance_all
   ON instance_all.linked_account_id = spend_all.linked_account_id
@@ -702,6 +766,7 @@ VIEW_CHAIN: list[tuple[str, str]] = [
     ("joined", _JOINED),
     ("kpi_prep", KPI_PREP_BODY),
     ("kpi_instance_all", KPI_INSTANCE_ALL_BODY),
+    ("kpi_instance_rollup", KPI_INSTANCE_ROLLUP_BODY),
     ("kpi_tracker", KPI_TRACKER_BODY),
 ]
 
