@@ -37,7 +37,7 @@ by construction at scale).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from de_polars_spark.functions import text as TX
@@ -701,35 +701,48 @@ def ngram_duplication_profile(
     (docs mostly made of spans seen elsewhere are boilerplate or
     near-copies even when no whole-document match exists).
 
-    Shape: explode distinct n-grams (xxhash64 — internal key, the
-    output is counts), one groupBy marking grams in >= ``min_docs``
-    docs, one join back, one per-doc aggregation. All shuffles on the
-    fixed-width gram hash; at corpus scale add a frequency cap upstream
-    if a handful of universal grams dominate the posting lists.
+    Shape: explode distinct n-gram hashes (xxhash64 — internal key, the
+    output is counts), then ONE shuffle on the gram hash: because each
+    doc's grams are distinct, a per-gram window ``count(*)`` IS the
+    containing-doc count, so no ``count_distinct``, no groupBy+join-back
+    (which re-evaluated the whole shingle explode a second time —
+    measured 2x the query), and the postings stream stays a single
+    pass into the final per-doc aggregation. At corpus scale a handful
+    of universal grams would make hot window partitions; add an
+    upstream frequency cap if the gram distribution is Zipfian.
 
     Output: ``(id, n_ngrams, n_shared, dup_ratio)``; docs with fewer
     than ``n`` tokens have no n-grams and emit no row.
     """
-    docs = df.select(
-        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
-    ).select(
-        id_col,
-        F.transform(
-            TX.shingles_from_tokens(F.col("__toks"), n), lambda s: F.xxhash64(s)
-        ).alias("__g"),
+    # n-grams via posexplode + LEAD window, NOT the array-HOF shingle
+    # build: higher-order-function lambdas evaluate interpreted (outside
+    # whole-stage codegen) and dominated this query's runtime; the window
+    # form stays codegen'd end to end (one id_col shuffle; same trick as
+    # benchmark_contamination, measured ~5x there)
+    tok = df.select(
+        F.col(id_col), F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok")
     )
-    ex = docs.select(id_col, F.explode("__g").alias("g"))
-    shared = (
-        ex.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .where(F.col("__nd") >= min_docs)
+    wd = Window.partitionBy(id_col).orderBy("p")
+    leads = [F.lead("tok", i).over(wd) for i in range(1, n)]
+    ex = (
+        tok.select(
+            id_col,
+            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("g"),
+            leads[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .select(id_col, "g")
+        .distinct()
     )
+    w = Window.partitionBy("g")
     return (
-        ex.join(shared, "g", "left")
+        ex.withColumn("__nd", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
-            F.count("__nd").cast("bigint").alias("n_shared"),
+            F.sum((F.col("__nd") >= min_docs).cast("bigint"))
+            .cast("bigint")
+            .alias("n_shared"),
         )
         .select(
             id_col,
