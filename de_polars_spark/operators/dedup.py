@@ -156,16 +156,35 @@ def minhash_lsh_pairs(
 def simhash_groups(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:
-    """Per-doc ``bits``-bit SimHash; identical hashes are near-dup groups."""
-    hashed = df.select(
+    """Per-doc ``bits``-bit SimHash; identical hashes are near-dup groups.
+
+    Bit-votes are ``bits`` conditional SUMs over exploded distinct
+    tokens — one map-side-combinable groupBy, fully codegen'd — instead
+    of the per-token array fold (``functions.text.simhash_from_hashes``),
+    whose higher-order lambdas evaluate interpreted and dominated the
+    runtime (same class of fix as ngram_duplication_profile).
+    ``explode_outer`` keeps token-less docs: their votes are all -1 (the
+    NULL token row takes every WHEN's otherwise-branch), so they emit
+    simhash 0 exactly like the oracle's NULL list_aggregate votes."""
+    toks = df.select(
         F.col(id_col),
-        F.transform(
-            F.array_distinct(TX.tokens(F.col(text_col))), TX.hash60
-        ).alias("__h"),
+        F.explode_outer(F.array_distinct(TX.tokens(F.col(text_col)))).alias("__t"),
+    ).select(F.col(id_col), TX.hash60(F.col("__t")).alias("__h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1),
+                ).otherwise(F.lit(-1))
+            ).alias(f"__v{j}")
+            for j in range(bits)
+        ]
     )
-    return hashed.select(
-        F.col(id_col), TX.simhash_from_hashes(F.col("__h"), bits).alias("simhash")
-    )
+    out = F.lit(0)
+    for j in range(bits):
+        out = out + F.when(F.col(f"__v{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return votes.select(F.col(id_col), out.cast("bigint").alias("simhash"))
 
 
 def simhash_hamming_pairs(
@@ -288,8 +307,8 @@ def ngram_jaccard_pairs(
     block *before* prefix construction; ``max_bucket_size`` drops
     candidate buckets larger than the cap.
 
-    The shingled doc relation is persisted: it is consumed by three
-    branches (document frequencies, prefixes, verification) and
+    The distinct shingle postings are persisted: they are consumed by
+    three branches (document frequencies, prefixes, verification) and
     recomputation — not data volume — dominates otherwise. Call
     :func:`release_cached` after collecting if memory matters.
     """
@@ -302,20 +321,38 @@ def ngram_jaccard_pairs(
     # so the engine-reproducibility md5 buys is unused here and xxhash64
     # is a single native codegen call per shingle instead of
     # md5 -> substring -> base-16 conv.
-    docs = df.select(
+    #
+    # Gram construction is posexplode + LEAD over a per-doc window, not
+    # the array-HOF shingle build: higher-order-function lambdas evaluate
+    # interpreted (outside whole-stage codegen) and dominated the old
+    # plan's runtime; the window form pays one id_col shuffle and stays
+    # codegen'd (same trick as ngram_duplication_profile, ~5x there).
+    tok = df.select(
         F.col(id_col),
         F.col(block_col).alias("block"),
-        TX.tokens(F.col(text_col)).alias("__toks"),
-    ).select(
-        id_col,
-        "block",
-        F.transform(
-            TX.shingles_from_tokens(F.col("__toks"), shingle_n),
-            lambda s: F.xxhash64(s),
-        ).alias("shingles"),
-    ).persist()
-    _PERSISTED.append(docs)
-    ex = docs.select(id_col, "block", F.explode("shingles").alias("shingle"))
+        F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    if shingle_n > 1:
+        wd = Window.partitionBy(id_col).orderBy("p")
+        leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
+        grams = tok.select(
+            id_col,
+            "block",
+            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("shingle"),
+            leads[-1].alias("__last"),
+        ).where(F.col("__last").isNotNull())
+    else:
+        grams = tok.select(
+            id_col, "block", F.xxhash64("tok").alias("shingle")
+        )
+    ex = grams.select(id_col, "block", "shingle").distinct().persist()
+    _PERSISTED.append(ex)
+    # per-doc shingle sets for the verification join, rebuilt from the
+    # (already distinct) postings; docs with no shingles can never be
+    # candidates, so their absence here is harmless
+    docs = ex.groupBy(id_col, "block").agg(
+        F.collect_list("shingle").alias("shingles")
+    )
     dfreq = ex.groupBy("block", "shingle").agg(F.count(F.lit(1)).alias("df"))
     if max_df is not None:
         dfreq = dfreq.filter(F.col("df") <= max_df)
