@@ -89,6 +89,54 @@ def _bucket_pairs(ids: Column) -> Column:
     )
 
 
+def _gram_strings(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int
+) -> DataFrame:
+    """``(id, __g)`` word n-gram STRINGS, possibly repeated per doc.
+
+    posexplode + LEAD over a per-doc window instead of the array-HOF
+    shingle build: higher-order-function lambdas evaluate interpreted
+    (outside whole-stage codegen) and dominate at corpus scale; the
+    window form stays codegen'd and costs one ``id_col`` shuffle, which
+    the consumers' per-doc aggregations need anyway. Docs with fewer
+    than ``shingle_n`` tokens emit no rows."""
+    tok = df.select(
+        F.col(id_col), F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok")
+    )
+    if shingle_n == 1:
+        return tok.select(F.col(id_col), F.col("tok").alias("__g"))
+    wd = Window.partitionBy(id_col).orderBy("p")
+    leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
+    return (
+        tok.select(
+            F.col(id_col),
+            F.concat_ws(" ", F.col("tok"), *leads).alias("__g"),
+            leads[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+
+
+def _minhash_sig_df(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int, shingle_n: int
+) -> DataFrame:
+    """Per-doc MinHash signature as columns ``(id, mh0..mh{n-1})``.
+
+    Each slot is the lexicographic MIN of ``md5(gram || '#seed')`` over
+    the doc's grams — MIN over the repeated gram stream equals MIN over
+    the distinct set, so no dedup pass is needed. One map-side-combinable
+    groupBy; same values as ``functions.text.minhash_signature`` (the
+    interpreted array-fold form those docs now point here from)."""
+    grams = _gram_strings(df, id_col, text_col, shingle_n)
+    return grams.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("__g"), F.lit(f"#{i}")))).alias(f"mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -100,45 +148,35 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
-    shingle set → one-pass n-hash signature (array fold, zero shuffle) →
-    per-band md5 bucket keys → ONE groupBy collecting each bucket's ids →
-    in-bucket pair expansion → distinct. The classic shingle→minhash→
-    band→bucket pipeline with exactly two shuffles (bucket groupBy, final
-    distinct).
+    n-gram stream → per-doc n-hash signature (``n_hashes`` MIN
+    aggregates in one map-side-combinable groupBy — see
+    :func:`_minhash_sig_df`) → per-band md5 bucket keys → ONE groupBy
+    collecting each bucket's ids → in-bucket pair expansion → distinct.
+    The classic shingle→minhash→band→bucket pipeline, three shuffles
+    (signature groupBy, bucket groupBy, final distinct), all codegen'd.
 
     ``max_bucket_size`` drops buckets larger than the cap (boilerplate
     skew guard for production corpora: a bucket of B ids emits B² pairs).
     None = exact semantics (every bucket expanded)."""
     assert n_hashes % band_size == 0
     n_bands = n_hashes // band_size
-    toks = df.select(
-        F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks")
-    )
-    shingled = toks.select(
-        F.col(id_col),
-        TX.shingles_from_tokens(F.col("__toks"), shingle_n).alias("__sh"),
-    )
-    sig = shingled.select(
-        F.col(id_col), TX.minhash_array(F.col("__sh"), n_hashes).alias("__sig")
-    )
+    sig = _minhash_sig_df(df, id_col, text_col, n_hashes, shingle_n)
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
             F.md5(
                 F.concat(
-                    *[
-                        F.element_at("__sig", b * band_size + j + 1)
-                        for j in range(band_size)
-                    ]
+                    *[F.col(f"mh{b * band_size + j}") for j in range(band_size)]
                 )
             ).alias("band_key"),
         )
         for b in range(n_bands)
     ]
+    # docs with no shingles are already absent from sig (the gram
+    # explode emits nothing for them), so no NULL-key filter is needed
     bands = (
         sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
         .select(id_col, "band.band_id", "band.band_key")
-        .filter(F.col("band_key").isNotNull())
     )
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
@@ -665,13 +703,14 @@ def minhash_estimate_pairs(
     pair-side joins); call :func:`release_cached` after collecting.
     """
     assert n_hashes % band_size == 0
-    toks = df.select(F.col(id_col), TX.tokens(F.col(text_col)).alias("__toks"))
-    sig = toks.select(
-        F.col(id_col),
-        TX.minhash_array(
-            TX.shingles_from_tokens(F.col("__toks"), shingle_n), n_hashes
-        ).alias("__sig"),
-    ).persist()
+    sig = (
+        _minhash_sig_df(df, id_col, text_col, n_hashes, shingle_n)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("__sig"),
+        )
+        .persist()
+    )
     _PERSISTED.append(sig)
 
     n_bands = n_hashes // band_size
@@ -692,7 +731,6 @@ def minhash_estimate_pairs(
     bands = (
         sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band"))
         .select(id_col, "band.band_id", "band.band_key")
-        .filter(F.col("band_key").isNotNull())
     )
     buckets = bands.groupBy("band_id", "band_key").agg(
         F.array_sort(F.collect_set(id_col)).alias("ids")
