@@ -40,6 +40,11 @@ _NEVER_SAMPLED = (
     "nl_intent_router",
     "sample_weighted",
     "pipeline_corpus_curation",
+    "dedup_semantic",
+    "gopher_quality_filter",
+    "token_diversity_profile",
+    "quality_logreg_score",
+    "embedding_pool_chunks",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

@@ -1883,3 +1883,328 @@ ORACLES["pii_density_by_source"] = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------- #
+# SemDeDup-style semantic dedup (operators/semdedup.py): one        #
+# map-only k-means assignment buckets the embeddings, then cosine   #
+# near-dup pruning runs ONLY within each learned cluster — the      #
+# quadratic step never touches the full corpus. Greedy survivor     #
+# rule: drop a vector iff a lower-id in-cluster neighbor sits       #
+# within the threshold. Abbas et al. 2023 shape, engine-exact.      #
+# ---------------------------------------------------------------- #
+_SEM_K, _SEM_DIM, _SEM_THRESHOLD = 8, 64, 0.35
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.semdedup import semantic_dedup_summary
+
+    t = register_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    seed_rows = (
+        emb.where(F.col("vec_id") % 67 == 1)
+        .orderBy("vec_id")
+        .limit(_SEM_K)
+        .select("embedding")
+        .collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    return semantic_dedup_summary(
+        emb, "vec_id", "embedding", seeds, _SEM_THRESHOLD
+    )
+
+
+_SEM_DIST = (
+    "list_aggregate(list_transform(generate_series(1, {d}), "
+    "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])), 'sum')"
+).format(d=_SEM_DIM)
+_SEM_COS = _COS.format(a="a.v", b="b.v")
+QUERIES["dedup_semantic"] = q_dedup_semantic
+ORACLES["dedup_semantic"] = f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+        FROM (SELECT vec_id, v FROM e WHERE vec_id % 67 = 1
+              ORDER BY vec_id LIMIT {_SEM_K})
+    ),
+    a AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id ORDER BY {_SEM_DIST}, c.cid) AS rn
+            FROM e, c0 c
+        ) WHERE rn = 1
+    ),
+    m AS (SELECT a.vec_id, a.cid, e.v FROM a JOIN e USING (vec_id)),
+    pairs AS (
+        SELECT a.cid, b.vec_id AS id_b
+        FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE {_SEM_COS} >= {_SEM_THRESHOLD}
+    ),
+    members AS (SELECT cid, COUNT(*) AS n_members FROM a GROUP BY cid),
+    p AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cid),
+    d AS (
+        SELECT cid, COUNT(*) AS n_dropped, SUM(id_b) AS s
+        FROM (SELECT DISTINCT cid, id_b FROM pairs) GROUP BY cid
+    )
+    SELECT members.cid,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(COALESCE(n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(n_dropped, 0) AS BIGINT) AS n_dropped,
+           CAST(COALESCE(s, 0) AS BIGINT) AS dropped_id_sum
+    FROM members LEFT JOIN p USING (cid) LEFT JOIN d USING (cid)
+"""
+
+
+# ---------------------------------------------------------------- #
+# Gopher-style composite quality gate (Rae et al. 2021 heuristics,  #
+# integer-exact forms): word count bounds, mean word length bounds  #
+# (as integer cross-multiplication, no float division), alphabetic- #
+# word ratio, stopword presence. Per-source pass/fail profile in    #
+# one map-side-combinable aggregation — the corpus-intake gate.     #
+# ---------------------------------------------------------------- #
+_GOPHER_STOPS = ("the", "and", "of", "to", "a", "in", "is", "that")
+
+
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    from de_polars_spark.functions import text as _TX
+
+    toks = _TX.tokens(F.col("text"))
+    stops = [F.lit(s) for s in _GOPHER_STOPS]
+    feats = t["documents"].select(
+        "source",
+        F.size(toks).alias("n_toks"),
+        # sum of token lengths == chars that are not the split delimiter
+        F.length(F.translate(F.col("text"), " ", "")).alias("sum_len"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(toks, lambda x: F.lower(x).isin(list(_GOPHER_STOPS)))
+        ).alias("n_stop"),
+    )
+    flagged = feats.select(
+        "source",
+        (~F.col("n_toks").between(5, 50000)).alias("f_count"),
+        (
+            ~(
+                (F.col("sum_len") >= 2 * F.col("n_toks"))
+                & (F.col("sum_len") <= 12 * F.col("n_toks"))
+            )
+        ).alias("f_wordlen"),
+        (5 * F.col("n_alpha") < 4 * F.col("n_toks")).alias("f_alpha"),
+        (F.col("n_stop") < 1).alias("f_stop"),
+    )
+    agg = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.col("f_count").cast("int")).cast("bigint").alias("fail_word_count"),
+        F.sum(F.col("f_wordlen").cast("int")).cast("bigint").alias("fail_mean_word_len"),
+        F.sum(F.col("f_alpha").cast("int")).cast("bigint").alias("fail_alpha_ratio"),
+        F.sum(F.col("f_stop").cast("int")).cast("bigint").alias("fail_stopword"),
+        F.sum(
+            (
+                ~(
+                    F.col("f_count")
+                    | F.col("f_wordlen")
+                    | F.col("f_alpha")
+                    | F.col("f_stop")
+                )
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    return agg.orderBy("source")
+
+
+_GOPHER_STOP_LIST = "[" + ", ".join(f"'{s}'" for s in _GOPHER_STOPS) + "]"
+QUERIES["gopher_quality_filter"] = q_gopher_quality_filter
+ORACLES["gopher_quality_filter"] = f"""
+    WITH feats AS (
+        SELECT source,
+               len(toks) AS n_toks,
+               length(replace(text, ' ', '')) AS sum_len,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               len(list_filter(toks,
+                   x -> list_contains({_GOPHER_STOP_LIST}, lower(x)))) AS n_stop
+        FROM (SELECT source, text, {_TOKS} AS toks FROM documents)
+    ),
+    flagged AS (
+        SELECT source,
+               NOT (n_toks BETWEEN 5 AND 50000) AS f_count,
+               NOT (sum_len >= 2 * n_toks AND sum_len <= 12 * n_toks)
+                   AS f_wordlen,
+               5 * n_alpha < 4 * n_toks AS f_alpha,
+               n_stop < 1 AS f_stop
+        FROM feats
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN f_count THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_word_count,
+           CAST(SUM(CASE WHEN f_wordlen THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_mean_word_len,
+           CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_alpha_ratio,
+           CAST(SUM(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_stopword,
+           CAST(SUM(CASE WHEN NOT (f_count OR f_wordlen OR f_alpha OR f_stop)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flagged
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------- #
+# Token diversity profile: per-doc type-token structure as EXACT    #
+# integers — distinct count, top-token count, and the Simpson-index #
+# numerator sum(c_i^2) (with n_tokens^2 as the denominator, 1 -     #
+# simpson_num/n^2 is the repeated-token diversity) — the rational   #
+# cousin of token entropy, hash-exact across engines. Two map-side- #
+# combinable aggregations over exploded tokens.                     #
+# ---------------------------------------------------------------- #
+def q_token_diversity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.functions import text as _TX
+
+    t = register_testdata(spark, sf_dir)
+    ex = t["documents"].select(
+        "doc_id", F.explode(_TX.tokens(F.col("text"))).alias("tok")
+    )
+    cnt = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("distinct_tokens"),
+        F.max("c").cast("bigint").alias("top_token_count"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("simpson_num"),
+    )
+
+
+QUERIES["token_diversity_profile"] = q_token_diversity_profile
+ORACLES["token_diversity_profile"] = f"""
+    WITH ex AS (
+        SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS distinct_tokens,
+           CAST(MAX(c) AS BIGINT) AS top_token_count,
+           CAST(SUM(c * c) AS BIGINT) AS simpson_num
+    FROM cnt GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- #
+# Linear quality-classifier scoring with BROADCAST weights: the     #
+# fasttext-style model-scoring shape (per-doc features x a weight   #
+# vector that ships to every executor as data, not as recompiled    #
+# literals). Integer milli-weights keep the score exact; the accept #
+# decision is the training-corpus admission gate.                   #
+# ---------------------------------------------------------------- #
+_LOGREG_W = {"w0": -500, "w_tok": -2, "w_alpha": 3, "w_stop": 120}
+
+
+def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.functions import text as _TX
+
+    t = register_testdata(spark, sf_dir)
+    toks = _TX.tokens(F.col("text"))
+    feats = t["documents"].select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
+        F.size(
+            F.filter(toks, lambda x: F.lower(x).isin(list(_GOPHER_STOPS)))
+        ).alias("n_stop"),
+    )
+    w = _LOGREG_W
+    wdf = spark.createDataFrame(
+        [(w["w0"], w["w_tok"], w["w_alpha"], w["w_stop"])],
+        "w0 int, w_tok int, w_alpha int, w_stop int",
+    )
+    score = (
+        F.col("w0")
+        + F.col("w_tok") * F.col("n_toks")
+        + F.col("w_alpha") * F.col("n_alpha")
+        + F.col("w_stop") * F.col("n_stop")
+    ).cast("bigint")
+    return (
+        feats.crossJoin(F.broadcast(wdf))
+        .select(
+            "doc_id",
+            score.alias("score_milli"),
+            (score >= 0).cast("bigint").alias("accepted"),
+        )
+    )
+
+
+_LOGREG_VALUES = "({w0}, {w_tok}, {w_alpha}, {w_stop})".format(**_LOGREG_W)
+QUERIES["quality_logreg_score"] = q_quality_logreg_score
+ORACLES["quality_logreg_score"] = f"""
+    WITH w(w0, w_tok, w_alpha, w_stop) AS (VALUES {_LOGREG_VALUES}),
+    feats AS (
+        SELECT doc_id,
+               len(toks) AS n_toks,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               len(list_filter(toks,
+                   x -> list_contains({_GOPHER_STOP_LIST}, lower(x)))) AS n_stop
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )
+    SELECT doc_id,
+           CAST(w0 + w_tok * n_toks + w_alpha * n_alpha + w_stop * n_stop
+               AS BIGINT) AS score_milli,
+           CAST(CASE WHEN w0 + w_tok * n_toks + w_alpha * n_alpha
+                          + w_stop * n_stop >= 0
+                THEN 1 ELSE 0 END AS BIGINT) AS accepted
+    FROM feats CROSS JOIN w
+"""
+
+
+# ---------------------------------------------------------------- #
+# Chunk -> document embedding average pooling                       #
+# (operators/vectors.py average_pool): consecutive chunk vectors    #
+# (vec_id // 5) pooled element-wise — the long-document retrieval   #
+# representation. Same shuffle shape as the k-means centroid        #
+# update; decimal-quantized means keep the floats engine-exact.     #
+# ---------------------------------------------------------------- #
+_POOL_GROUP = 5
+
+
+def q_embedding_pool_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.vectors import average_pool
+
+    t = register_testdata(spark, sf_dir)
+    chunks = t["embeddings"].select(
+        F.expr(f"vec_id div {_POOL_GROUP}").alias("gid"), "embedding"
+    )
+    return average_pool(chunks, "gid", "embedding")
+
+
+QUERIES["embedding_pool_chunks"] = q_embedding_pool_chunks
+ORACLES["embedding_pool_chunks"] = f"""
+    WITH e AS (
+        SELECT vec_id, vec_id // {_POOL_GROUP} AS gid,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT gid, t.i AS dim, v[t.i] AS val
+        FROM e CROSS JOIN generate_series(1, {_SEM_DIM}) t(i)
+    ),
+    dims AS (
+        SELECT gid, dim,
+               CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m,
+               COUNT(*) AS n
+        FROM ex GROUP BY 1, 2
+    )
+    SELECT gid,
+           CAST(MAX(n) AS BIGINT) AS n_members,
+           ROUND(sqrt(CAST(SUM(CAST(m * m AS DECIMAL(38,6))) AS DOUBLE)), 6)
+               AS pooled_norm,
+           ROUND(CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE), 6) AS pooled_sum
+    FROM dims GROUP BY gid
+"""

@@ -57,3 +57,54 @@ def truncate_normalize(
             6,
         ).alias("lead_component"),
     )
+
+
+def average_pool(
+    df: DataFrame, group_col: str, vec_col: str
+) -> DataFrame:
+    """Element-wise average pooling of vectors per group — the chunk→doc
+    embedding rollup (a document's embedding as the mean of its chunks'
+    embeddings, the standard long-document retrieval representation).
+
+    Shape: ``posexplode`` to (group, dim, value) — embarrassingly
+    parallel — then ONE map-side-combinable aggregation per (group, dim)
+    and a second tiny one per group. Mirrors the k-means centroid-update
+    shuffle (operators/kmeans.py): nothing driver-side, nothing
+    quadratic, state per group is dim-bounded.
+
+    Determinism: per-dim means are decimal-quantized sums over counts
+    (order-independent, engine-exact); the norm/sum reductions over the
+    dim-indexed means re-quantize each product so the cross-dim sums are
+    order-independent too.
+
+    Output: ``(gid, n_members, pooled_norm, pooled_sum)`` — the pooled
+    vector's L2 norm and component sum (rounded 6dp), with the full
+    pooled vector recoverable by skipping the final rollup.
+    """
+    ex = df.select(
+        F.col(group_col).alias("gid"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    dims = ex.groupBy("gid", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return dims.groupBy("gid").agg(
+        F.max("n").cast("bigint").alias("n_members"),
+        F.round(
+            F.sqrt(
+                F.sum((F.col("m") * F.col("m")).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+            ),
+            6,
+        ).alias("pooled_norm"),
+        F.round(
+            F.sum(F.col("m").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("pooled_sum"),
+    )

@@ -261,3 +261,58 @@ def test_hash_bernoulli_is_a_pure_filter(spark):
     # no shuffle in the plan: a pure filter over the scan
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_semantic_dedup_summary(spark):
+    from de_polars_spark.operators.semdedup import semantic_dedup_summary
+
+    # two well-separated seed directions; ids 3 and 4 are near-copies of
+    # their cluster-mates and must be greedily dropped
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.99, 0.01, 0.0]),   # ~cos 1.0 with id 1 -> dropped
+        (4, [0.01, 0.995, 0.0]),  # ~cos 1.0 with id 2 -> dropped
+        (5, [-0.2, 0.9, 0.3]),    # same cluster as 2 but below threshold
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_summary(
+        df, "vec_id", "embedding", seeds=[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+        threshold=0.95,
+    )
+    got = {r["cid"]: r for r in out.collect()}
+    assert got[0]["n_members"] == 2 and got[0]["n_dropped"] == 1
+    assert got[0]["dropped_id_sum"] == 3
+    assert got[1]["n_members"] == 3 and got[1]["n_dropped"] == 1
+    assert got[1]["dropped_id_sum"] == 4
+
+
+def test_semantic_dedup_max_cluster_size_cap(spark):
+    from de_polars_spark.operators.semdedup import semantic_dedup_summary
+
+    rows = [(i, [1.0, 0.0]) for i in range(5)] + [(10, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup_summary(
+        df, "vec_id", "embedding", seeds=[[1.0, 0.0], [0.0, 1.0]],
+        threshold=0.9, max_cluster_size=3,
+    ).collect()
+    got = {r["cid"]: r for r in out}
+    # oversized cluster 0 is skipped by the quadratic step (skew guard)
+    # but still reports its membership
+    assert got[0]["n_members"] == 5 and got[0]["n_dup_pairs"] == 0
+    assert got[1]["n_members"] == 1 and got[1]["n_dropped"] == 0
+
+
+def test_average_pool(spark):
+    from de_polars_spark.operators.vectors import average_pool
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (0, [3.0, 0.0]),   # group 0 mean = [2, 0] -> norm 2, sum 2
+        (1, [0.0, 5.0]),   # singleton group
+    ]
+    df = spark.createDataFrame(rows, "gid long, embedding array<double>")
+    got = {r["gid"]: r for r in average_pool(df, "gid", "embedding").collect()}
+    assert got[0]["n_members"] == 2
+    assert got[0]["pooled_norm"] == 2.0 and got[0]["pooled_sum"] == 2.0
+    assert got[1]["n_members"] == 1 and got[1]["pooled_norm"] == 5.0
