@@ -45,6 +45,7 @@ _NEVER_SAMPLED = (
     "token_diversity_profile",
     "quality_logreg_score",
     "embedding_pool_chunks",
+    "ann_recall_eval",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

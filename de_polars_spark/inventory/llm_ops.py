@@ -2208,3 +2208,96 @@ ORACLES["embedding_pool_chunks"] = f"""
            ROUND(CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE), 6) AS pooled_sum
     FROM dims GROUP BY gid
 """
+
+
+# ---------------------------------------------------------------- #
+# ANN index-quality gate: recall@k of the IVF index against the     #
+# exact brute-force neighbors — the evaluation loop every ANN       #
+# deployment needs before trusting an index at corpus scale. Both   #
+# sides are deterministic (identical tiebreaks + cosine rounding),  #
+# so per-query recall is engine-exact. Spark: one equi-join of the  #
+# two neighbor sets on (query, neighbor) + a per-query count.       #
+# ---------------------------------------------------------------- #
+_RECALL_K = 3
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.cosine_topk(
+        corpus, queries, "vec_id", "embedding", k=_RECALL_K
+    ).select("query_id", "neighbor_id")
+    cents = similarity.fit_centroids_sample(
+        corpus, "vec_id", "embedding", nlist=8, mod=67, rem=1
+    )
+    approx = similarity.ivf_topk(
+        corpus, queries, "vec_id", "embedding", cents, k=_RECALL_K, nprobe=2
+    ).select("query_id", "neighbor_id")
+    hits = (
+        approx.join(exact, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qn = exact.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return qn.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("k").cast("double"), 6
+        ).alias("recall"),
+    )
+
+
+QUERIES["ann_recall_eval"] = q_ann_recall_eval
+ORACLES["ann_recall_eval"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_QE_COS} DESC, e.vec_id) AS rank
+            FROM q JOIN e ON q.vec_id <> e.vec_id
+        ) WHERE rank <= {_RECALL_K}
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 67 = 1 ORDER BY vec_id LIMIT 8),
+    assign AS (
+        SELECT vec_id, v, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM e x CROSS JOIN cents c) a
+        WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM (SELECT * FROM e WHERE vec_id % 100 = 0) x
+            CROSS JOIN cents c) p
+        WHERE rn <= 2),
+    ivf AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_COS.format(a="p.qv", b="a.v")} DESC,
+                                a.vec_id) AS rank
+            FROM probes p JOIN assign a
+              ON p.cell = a.cell AND p.query_id <> a.vec_id
+        ) WHERE rank <= {_RECALL_K}
+    ),
+    hits AS (
+        SELECT i.query_id, COUNT(*) AS c
+        FROM ivf i JOIN exact x USING (query_id, neighbor_id)
+        GROUP BY 1
+    ),
+    qn AS (SELECT query_id, COUNT(*) AS k FROM exact GROUP BY 1)
+    SELECT qn.query_id,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(c, 0) / CAST(k AS DOUBLE), 6) AS recall
+    FROM qn LEFT JOIN hits USING (query_id)
+"""
