@@ -33,116 +33,9 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
 
 
-def shingles_from_tokens(toks: Column, n: int = 2) -> Column:
-    """Distinct word n-grams from an ALREADY MATERIALIZED token array column.
-
-    Pass a plain column reference, not the ``tokens(...)`` expression:
-    each ``element_at`` re-evaluates its array argument during interpreted
-    HOF evaluation, so an inlined tokenizer would be recomputed
-    O(tokens × n) times per row (measured 8× slowdown at sf0.1)."""
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-    )
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(0), F.size(toks) - n), gram)
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
-def word_shingles(text: Column, n: int = 2) -> Column:
-    """Distinct word n-grams as strings (shingle set for MinHash/Jaccard).
-
-    Convenience single-expression form; for hot paths materialize tokens
-    first and use :func:`shingles_from_tokens` (see note there)."""
-    return shingles_from_tokens(tokens(text), n)
-
-
 def hash60(s: Column) -> Column:
     """60-bit integer hash reproducible in any md5-capable engine."""
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
-
-
-def minhash_signature(shingles: Column, n_hashes: int) -> list[Column]:
-    """MinHash signature: per seed, the minimum md5 of (shingle # seed).
-
-    Lexicographic min over hex strings is a valid uniform min-hash and
-    needs no integer conversion; computed per-row via array transforms
-    (no explode, no shuffle)."""
-    def one(seed: int) -> Column:
-        # NB: the lambda must take exactly one arg — pyspark treats a
-        # second parameter (even a defaulted one) as the array index.
-        tag = F.lit(f"#{seed}")
-        return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(s, tag)))
-        ).alias(f"mh{seed}")
-
-    return [one(i) for i in range(n_hashes)]
-
-
-def minhash_array(shingles: Column, n_hashes: int) -> Column:
-    """All ``n_hashes`` MinHash values in ONE pass over the shingle array.
-
-    Per shingle, the n seeded md5s are built as a small array; an
-    elementwise ``least`` fold keeps the running minima. One traversal of
-    the (expensive) shingle array instead of ``n_hashes`` traversals —
-    same values as :func:`minhash_signature`, 8× faster measured.
-    NULL when the shingle set is empty (array_min semantics)."""
-    tags = [F.lit(f"#{i}") for i in range(n_hashes)]
-
-    def merge(acc: Column, s: Column) -> Column:
-        cand = F.array(*[F.md5(F.concat(s, t)) for t in tags])
-        return F.zip_with(acc, cand, lambda a, b: F.least(a, b))
-
-    # 'g' sorts after every hex char, so it acts as +infinity for the fold
-    init = F.array(*[F.lit("g")] * n_hashes)
-    return F.when(F.size(shingles) > 0, F.aggregate(shingles, init, merge))
-
-
-def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
-    """``bits``-bit SimHash from an ALREADY MATERIALIZED array of 60-bit
-    token hashes. One fold accumulates all bit-votes at once (array of
-    counters), so each token hash is visited once — not ``bits`` times.
-    ``bits`` <= 60 (the token-hash width); wider fingerprints separate
-    near-identical corpora far better (16-bit is oracle-friendly, 32+ is
-    the production setting)."""
-    def merge(acc: Column, h: Column) -> Column:
-        votes = F.array(
-            *[
-                F.when(
-                    F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1))
-                for j in range(bits)
-            ]
-        )
-        return F.zip_with(acc, votes, lambda a, v: a + v)
-
-    init = F.array(*[F.lit(0)] * bits)
-    bit_votes = F.aggregate(hashes, init, merge)
-    out = F.lit(0)
-    for j in range(bits):
-        out = out + F.when(F.element_at(bit_votes, j + 1) > 0, F.lit(2**j)).otherwise(
-            F.lit(0)
-        )
-    return out.cast("bigint")
-
-
-def simhash16_from_hashes(hashes: Column) -> Column:
-    """16-bit SimHash (see :func:`simhash_from_hashes`)."""
-    return simhash_from_hashes(hashes, 16)
-
-
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over distinct whitespace tokens.
-
-    Per bit j: sum +1/-1 over tokens by bit j of the token's 60-bit hash;
-    simhash bit j is 1 when the sum is positive. 16 bits keeps the
-    all-SQL oracle tractable. Convenience single-expression form — hot
-    paths should materialize token hashes and use
-    :func:`simhash16_from_hashes`."""
-    toks = F.array_distinct(tokens(text))
-    return simhash16_from_hashes(F.transform(toks, hash60))
 
 
 def lang_scores(text: Column) -> dict[str, Column]:

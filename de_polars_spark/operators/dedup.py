@@ -126,8 +126,8 @@ def _minhash_sig_df(
     Each slot is the lexicographic MIN of ``md5(gram || '#seed')`` over
     the doc's grams — MIN over the repeated gram stream equals MIN over
     the distinct set, so no dedup pass is needed. One map-side-combinable
-    groupBy; same values as ``functions.text.minhash_signature`` (the
-    interpreted array-fold form those docs now point here from)."""
+    groupBy; same values as the interpreted per-row array-fold form this
+    replaced (seeded md5 minima over the distinct shingle set)."""
     grams = _gram_strings(df, id_col, text_col, shingle_n)
     return grams.groupBy(id_col).agg(
         *[
@@ -198,9 +198,9 @@ def simhash_groups(
 
     Bit-votes are ``bits`` conditional SUMs over exploded distinct
     tokens — one map-side-combinable groupBy, fully codegen'd — instead
-    of the per-token array fold (``functions.text.simhash_from_hashes``),
-    whose higher-order lambdas evaluate interpreted and dominated the
-    runtime (same class of fix as ngram_duplication_profile).
+    of a per-token array fold, whose higher-order lambdas evaluate
+    interpreted and dominated the runtime (same class of fix as
+    ngram_duplication_profile).
     ``explode_outer`` keeps token-less docs: their votes are all -1 (the
     NULL token row takes every WHEN's otherwise-branch), so they emit
     simhash 0 exactly like the oracle's NULL list_aggregate votes."""
