@@ -92,26 +92,25 @@ def semantic_dedup_summary(
         )
         .filter(F.col("cosine") >= threshold)
     )
-    pair_stats = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
-    dropped = (
-        pairs.select("cid", "id_b")
-        .distinct()
-        .groupBy("cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_dropped"),
-            F.sum("id_b").alias("dropped_id_sum"),
-        )
+    # ONE pass over the pair stream: grouping by (cid, id_b) first gives
+    # both the pair count (sum of per-victim counts) and the distinct
+    # dropped set (one row per victim) without a second scan — the naive
+    # two-branch form (count agg + distinct agg) re-ran the whole
+    # quadratic cosine join twice
+    per_victim = pairs.groupBy("cid", "id_b").agg(
+        F.count(F.lit(1)).alias("__k")
     )
-    return (
-        members.join(pair_stats, "cid", "left")
-        .join(dropped, "cid", "left")
-        .select(
-            "cid",
-            F.col("n_members").cast("long").alias("n_members"),
-            F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
-            F.coalesce("dropped_id_sum", F.lit(0)).cast("long").alias(
-                "dropped_id_sum"
-            ),
-        )
+    stats = per_victim.groupBy("cid").agg(
+        F.sum("__k").alias("n_dup_pairs"),
+        F.count(F.lit(1)).alias("n_dropped"),
+        F.sum("id_b").alias("dropped_id_sum"),
+    )
+    return members.join(stats, "cid", "left").select(
+        "cid",
+        F.col("n_members").cast("long").alias("n_members"),
+        F.coalesce("n_dup_pairs", F.lit(0)).cast("long").alias("n_dup_pairs"),
+        F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        F.coalesce("dropped_id_sum", F.lit(0)).cast("long").alias(
+            "dropped_id_sum"
+        ),
     )

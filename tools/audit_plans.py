@@ -56,6 +56,16 @@ CROSS_JOIN_OK = {
     # 1-row corpus scalars (total token count, vocab size) crossJoined
     # into the scored relation — BuildRight on a single row, scale-safe
     "text_unigram_logprob",
+    # k-means-style assignment: 1-row broadcast of the k x dim centroid
+    # array crossJoined into the map-side argmin (operators/kmeans.py
+    # _with_assignment); the pair join itself is a cid SortMergeJoin
+    "dedup_semantic",
+    # 1-row broadcast of the model weight vector crossJoined into the
+    # per-doc scoring projection — data, not recompiled literals
+    "quality_logreg_score",
+    # composes the intentional brute-force baseline (ann_cosine_topk's
+    # BroadcastNestedLoopJoin) with the IVF path to measure its recall
+    "ann_recall_eval",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
