@@ -46,6 +46,7 @@ _NEVER_SAMPLED = (
     "quality_logreg_score",
     "embedding_pool_chunks",
     "ann_recall_eval",
+    "per_source_cap",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

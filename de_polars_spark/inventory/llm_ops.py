@@ -2301,3 +2301,70 @@ ORACLES["ann_recall_eval"] = f"""
            ROUND(COALESCE(c, 0) / CAST(k AS DOUBLE), 6) AS recall
     FROM qn LEFT JOIN hits USING (query_id)
 """
+
+
+# ---------------------------------------------------------------- #
+# Per-source document cap: every pretraining mix bounds how much    #
+# any one domain may contribute (no single crawl swamping the mix). #
+# Deterministic "keep" set: rank docs within each source by         #
+# (md5(doc_id), doc_id) — a seeded uniform order — and keep the     #
+# first N. One window shuffle on source; the summary is the         #
+# audit artifact (kept/dropped volumes per source).                 #
+# ---------------------------------------------------------------- #
+_SOURCE_CAP = 18
+
+
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = t["documents"].select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("__rk"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("__rk") <= _SOURCE_CAP).cast("int"))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(
+            F.when(F.col("__rk") <= _SOURCE_CAP, F.col("doc_id")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kept_id_sum"),
+        F.sum(
+            F.when(F.col("__rk") <= _SOURCE_CAP, F.col("n_chars")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    ).orderBy("source")
+
+
+QUERIES["per_source_cap"] = q_per_source_cap
+ORACLES["per_source_cap"] = f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN doc_id ELSE 0 END)
+               AS BIGINT) AS kept_id_sum,
+           CAST(SUM(CASE WHEN rk <= {_SOURCE_CAP} THEN n_chars ELSE 0 END)
+               AS BIGINT) AS kept_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+"""
