@@ -47,6 +47,7 @@ _NEVER_SAMPLED = (
     "embedding_pool_chunks",
     "ann_recall_eval",
     "per_source_cap",
+    "ann_multiprobe_topk",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

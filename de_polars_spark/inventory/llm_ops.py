@@ -2368,3 +2368,57 @@ ORACLES["per_source_cap"] = f"""
     GROUP BY source
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------- #
+# Multi-probe LSH top-k (operators/similarity.py lsh_multiprobe_    #
+# topk): each query probes its own sign-bit bucket plus all buckets #
+# at Hamming distance 1 — the standard recall fix (Lv et al. 2007)  #
+# that costs probe-key fan-out on the SMALL query side only; the    #
+# corpus keeps one bucket per row.                                  #
+# ---------------------------------------------------------------- #
+def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    out = similarity.lsh_multiprobe_topk(
+        corpus, queries, "vec_id", "embedding", k=3, bucket_dims=(1, 17, 33, 49)
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _multiprobe_oracle() -> str:
+    n_bits = 4
+    flips = []
+    for i in range(1, n_bits + 1):
+        flips.append(
+            "SELECT vec_id, v, "
+            f"substr(bucket, 1, {i - 1}) || "
+            f"(CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr(bucket, {i + 1}, {n_bits - i}) AS bucket FROM q0"
+        )
+    probe_union = "\n        UNION ALL\n        ".join(
+        ["SELECT vec_id, v, bucket FROM q0"] + flips
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, {_BUCKET} AS bucket
+               FROM embeddings),
+    q0 AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+    probes AS (
+        {probe_union}
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, {_QE_COS} AS cosine
+        FROM probes q JOIN e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) ranked
+    WHERE rank <= 3
+"""
+
+
+QUERIES["ann_multiprobe_topk"] = q_ann_multiprobe_topk
+ORACLES["ann_multiprobe_topk"] = _multiprobe_oracle()

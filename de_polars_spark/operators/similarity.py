@@ -186,3 +186,69 @@ def lsh_bucketed_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    bucket_dims: tuple[int, ...] = (1, 17, 33, 49),
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS every
+    bucket at Hamming distance 1 (one sign bit flipped).
+
+    The standard recall fix for sign-bit LSH (Lv et al. 2007): a true
+    neighbor straddling one hyperplane lands one bit away, so probing the
+    ``len(bucket_dims)`` adjacent buckets recovers it without adding hash
+    tables. Cost: the query side explodes to ``1 + len(bucket_dims)``
+    probe keys (queries are the small side — the corpus still carries ONE
+    bucket per row and is never replicated), then the same bucket
+    equi-join + per-query top-k as :func:`lsh_bucketed_topk`. The probe
+    explosion is a UNION of bucket keys, not a new algorithm — at 100 TB
+    the corpus-side layout (partitioned by bucket) is unchanged.
+    """
+    dims = list(bucket_dims)
+    n_bits = len(dims)
+
+    def flips(bucket):  # bucket: Column of '0'/'1' strings, len n_bits
+        variants = [bucket]
+        for i in range(1, n_bits + 1):
+            flipped_bit = F.when(
+                F.substring(bucket, i, 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1"))
+            variants.append(
+                F.concat(
+                    F.substring(bucket, 1, i - 1),
+                    flipped_bit,
+                    F.substring(bucket, i + 1, n_bits - i),
+                )
+            )
+        return F.array_distinct(F.array(*variants))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        VX.as_double(F.col(vec_col)).alias("cv"),
+        VX.sign_bucket(F.col(vec_col), dims).alias("bucket"),
+    ).select("neighbor_id", "cv", "bucket", VX.norm(F.col("cv")).alias("cn"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        VX.as_double(F.col(vec_col)).alias("qv"),
+        F.explode(flips(VX.sign_bucket(F.col(vec_col), dims))).alias("bucket"),
+    ).select("query_id", "qv", "bucket", VX.norm(F.col("qv")).alias("qn"))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (c["bucket"] == q["bucket"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                VX.dot(q["qv"], c["cv"]) / (q["qn"] * c["cn"]), 6
+            ).alias("cosine"),
+        )
+    )
+    return _ranked_topk(scored, k)
