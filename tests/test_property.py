@@ -279,3 +279,60 @@ def test_select_canonical_matches_model(spark, members):
         best = max(lst, key=lambda x: (x[1], -x[0]))
         dropped = [n for n, _ in lst if n != best[0]]
         assert got[c] == (best[0], best[1], len(dropped), sum(dropped))
+
+
+# tokens drawn from a tiny vocabulary so duplicate grams and shared
+# shingles across docs actually occur
+_token = st.sampled_from(["a", "bb", "ccc", "d", "e"])
+_doc = st.lists(_token, min_size=0, max_size=10)
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_minhash_signature_matches_python_model(spark, docs):
+    """The LEAD-window + MIN-aggregate signature must equal the naive
+    per-doc python minhash over distinct 2-gram strings."""
+    import hashlib
+
+    from de_polars_spark.operators.dedup import _minhash_sig_df
+
+    n_hashes = 4
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(n_hashes)]
+        for r in _minhash_sig_df(df, "doc_id", "text", n_hashes, 2).collect()
+    }
+    for i, toks in enumerate(docs):
+        grams = {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+        if not grams:
+            assert i not in got  # gram-less docs emit no signature
+            continue
+        expect = [
+            min(hashlib.md5(f"{g}#{s}".encode()).hexdigest() for g in grams)
+            for s in range(n_hashes)
+        ]
+        assert got[i] == expect, f"doc {i}"
+
+
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_simhash_matches_python_model(spark, docs):
+    """The conditional-SUM bit-vote form must equal the naive python
+    SimHash over distinct tokens (md5-based 60-bit token hash)."""
+    import hashlib
+
+    from de_polars_spark.operators.dedup import simhash_groups
+
+    bits = 16
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["simhash"] for r in simhash_groups(df, "doc_id", "text", bits).collect()}
+    for i, toks in enumerate(docs):
+        votes = [0] * bits
+        for tok in set(toks):
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(bits):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        expect = sum(2**j for j in range(bits) if votes[j] > 0)
+        assert got[i] == expect, f"doc {i}"
