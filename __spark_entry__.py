@@ -48,6 +48,7 @@ _NEVER_SAMPLED = (
     "ann_recall_eval",
     "per_source_cap",
     "ann_multiprobe_topk",
+    "ann_ivf_kmeans_topk",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

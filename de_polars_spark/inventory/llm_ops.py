@@ -1178,7 +1178,10 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_chain() -> tuple[str, str, str]:
+    """Unrolled-Lloyd WITH-clause text shared by the k-means oracle and
+    the kmeans-fit IVF oracle. Returns (cte_text, final_assign_cte,
+    final_centroid_cte)."""
     dist = (
         "list_aggregate(list_transform(generate_series(1, {d}), "
         "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])), 'sum')"
@@ -1232,18 +1235,23 @@ def _kmeans_oracle() -> str:
         parts.append(update(aname, prev_c, cname))
         prev_c = cname
     parts.append(assign(prev_c, f"a{_KM_ITERS}"))
-    parts.append(
-        f"""
+    return "".join(parts), f"a{_KM_ITERS}", prev_c
+
+
+def _kmeans_oracle() -> str:
+    ctes, final_a, final_c = _kmeans_chain()
+    return (
+        ctes
+        + f"""
     SELECT a.cid, COUNT(*) AS n_members,
            CAST(SUM(a.vec_id) AS BIGINT) AS id_sum,
            ROUND(sqrt(list_aggregate(list_transform(
                generate_series(1, {_KM_DIM}), i -> c.v[i] * c.v[i]),
                'sum')), 6) AS centroid_norm
-    FROM a{_KM_ITERS} a JOIN {prev_c} c ON a.cid = c.cid
+    FROM {final_a} a JOIN {final_c} c ON a.cid = c.cid
     GROUP BY a.cid, c.v
     """
     )
-    return "".join(parts)
 
 
 QUERIES["kmeans_embeddings"] = q_kmeans_embeddings
@@ -2422,3 +2430,81 @@ def _multiprobe_oracle() -> str:
 
 QUERIES["ann_multiprobe_topk"] = q_ann_multiprobe_topk
 ORACLES["ann_multiprobe_topk"] = _multiprobe_oracle()
+
+
+# ---------------------------------------------------------------- #
+# IVF with a k-means-fitted coarse quantizer — the production path  #
+# the sample-seeded ann_ivf_topk stands in for: 2 Lloyd rounds fit  #
+# the centroids (operators/kmeans.py, decimal-exact), then the      #
+# same map-only cell assignment + nprobe probing serve the top-k.   #
+# End-to-end engine-exact: the oracle unrolls the identical Lloyd   #
+# chain (shared _kmeans_chain CTEs) before the IVF stage.           #
+# ---------------------------------------------------------------- #
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.kmeans import kmeans_iterations
+
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    seed_rows = (
+        corpus.where(F.col("vec_id") % 67 == 1)
+        .orderBy("vec_id")
+        .limit(_KM_K)
+        .select("embedding")
+        .collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    _, cents = kmeans_iterations(
+        corpus, "vec_id", "embedding", seeds, iterations=_KM_ITERS
+    )
+    out = similarity.ivf_topk(
+        corpus,
+        queries,
+        "vec_id",
+        "embedding",
+        list(enumerate(cents)),
+        k=3,
+        nprobe=2,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _ivf_kmeans_oracle() -> str:
+    ctes, _final_a, final_c = _kmeans_chain()
+    return (
+        ctes
+        + f""",
+    cents AS (SELECT cid, v AS cv FROM {final_c}),
+    assign AS (
+        SELECT vec_id, v, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM e x CROSS JOIN cents c) a
+        WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM (SELECT * FROM e WHERE vec_id % 100 = 0) x
+            CROSS JOIN cents c) p
+        WHERE rn <= 2),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_COS.format(a="p.qv", b="a.v")} AS cosine
+        FROM probes p JOIN assign a
+          ON p.cell = a.cell AND p.query_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM scored
+    ) ranked
+    WHERE rank <= 3
+"""
+    )
+
+
+QUERIES["ann_ivf_kmeans_topk"] = q_ann_ivf_kmeans_topk
+ORACLES["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle()
