@@ -66,6 +66,9 @@ CROSS_JOIN_OK = {
     # composes the intentional brute-force baseline (ann_cosine_topk's
     # BroadcastNestedLoopJoin) with the IVF path to measure its recall
     "ann_recall_eval",
+    # k-means fit feeding the IVF index: same centroid-broadcast shape
+    # as kmeans_embeddings (1-row k x dim array crossJoin, scale-safe)
+    "ann_ivf_kmeans_topk",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
