@@ -373,3 +373,67 @@ def test_dedup_ingest_runs_as_stream(spark, tmp_path):
     finally:
         q.stop()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+
+def test_quota_ingest_enforces_lifetime_cap(spark, tmp_path):
+    """Per-source admission stops at the cap across batches; admission
+    within a batch is deterministic (lowest ids win); replay is a no-op."""
+    from de_polars_spark.streaming.quota_ingest import quota_ingest_sink
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    ingest = quota_ingest_sink("doc_id", "source", 2, state, out)
+
+    b0 = spark.createDataFrame(
+        [(3, "a"), (1, "a"), (2, "a"), (10, "b")],
+        "doc_id int, source string",
+    )
+    ingest(b0, 0)
+    got0 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got0 == {1, 2, 10}  # a capped at 2, lowest ids
+
+    b1 = spark.createDataFrame(
+        [(4, "a"), (11, "b"), (12, "b"), (20, "c")],
+        "doc_id int, source string",
+    )
+    ingest(b1, 1)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    # a already full; b admits 1 more (lowest id 11); c admits 1
+    assert got1 == {1, 2, 10, 11, 20}
+
+    ingest(b1, 1)  # replay: committed batch dirs detected, no change
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == got1
+    from pyspark.sql import functions as SF
+
+    per_src = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("source")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    assert all(v <= 2 for v in per_src.values())
+
+
+def test_quota_ingest_runs_as_stream(spark, tmp_path):
+    from de_polars_spark.streaming.quota_ingest import quota_ingest_sink
+
+    src = str(tmp_path / "src")
+    schema = "doc_id int, source string"
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], schema
+    ).write.parquet(src)
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            quota_ingest_sink("doc_id", "source", 2, state, out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 4}
