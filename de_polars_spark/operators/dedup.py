@@ -391,15 +391,19 @@ def ngram_jaccard_pairs(
     docs = ex.groupBy(id_col, "block").agg(
         F.collect_list("shingle").alias("shingles")
     )
-    dfreq = ex.groupBy("block", "shingle").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window count over the (already per-doc
+    # distinct) postings — one (block, shingle) shuffle instead of a
+    # groupBy + join-back (the join re-shuffled the postings a second
+    # time on the same key)
+    wfreq = Window.partitionBy("block", "shingle")
+    exf = ex.withColumn("df", F.count(F.lit(1)).over(wfreq))
     if max_df is not None:
-        dfreq = dfreq.filter(F.col("df") <= max_df)
+        exf = exf.filter(F.col("df") <= max_df)
     prefix_len = (
         F.size("ordered") - F.ceil(F.lit(threshold) * F.size("ordered")) + 1
     ).cast("int")
     pre = (
-        ex.join(dfreq, ["block", "shingle"])
-        .groupBy(id_col, "block")
+        exf.groupBy(id_col, "block")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "shingle"))),
