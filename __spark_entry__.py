@@ -49,6 +49,7 @@ _NEVER_SAMPLED = (
     "per_source_cap",
     "ann_multiprobe_topk",
     "ann_ivf_kmeans_topk",
+    "embedding_norm_profile",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

@@ -2508,3 +2508,51 @@ def _ivf_kmeans_oracle() -> str:
 
 QUERIES["ann_ivf_kmeans_topk"] = q_ann_ivf_kmeans_topk
 ORACLES["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Embedding-norm profile: the broken-encoder gate. A batch of       #
+# near-zero or wildly-scaled vectors (a crashed encoder shard, a    #
+# normalization bug) poisons cosine math silently; this profiles    #
+# per-label norm percentiles (exact rank-interpolation quantiles,   #
+# operators/quantiles.py) plus near-zero counts in one pass over    #
+# per-row norm folds.                                               #
+# ---------------------------------------------------------------- #
+def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.functions import vectors as VXF
+    from de_polars_spark.operators.quantiles import exact_quantiles
+
+    t = register_testdata(spark, sf_dir)
+    norms = t["embeddings"].select(
+        "label",
+        F.round(VXF.norm(VXF.as_double(F.col("embedding"))), 6).alias("nrm"),
+    )
+    q = exact_quantiles(norms, ["label"], "nrm", [0.25, 0.5, 0.75])
+    extra = norms.groupBy("label").agg(
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum((F.col("nrm") < 0.01).cast("int")).cast("bigint").alias(
+            "n_near_zero"
+        ),
+    )
+    return q.join(extra, "label")
+
+
+QUERIES["embedding_norm_profile"] = q_embedding_norm_profile
+ORACLES["embedding_norm_profile"] = """
+    WITH norms AS (
+        SELECT label, ROUND(sqrt(list_dot_product(v, v)), 6) AS nrm
+        FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    )
+    SELECT label,
+           ROUND(quantile_cont(nrm, 0.25), 6) AS p25,
+           ROUND(quantile_cont(nrm, 0.5), 6) AS p50,
+           ROUND(quantile_cont(nrm, 0.75), 6) AS p75,
+           COUNT(*) AS n_items,
+           ROUND(MIN(nrm), 6) AS min_norm,
+           ROUND(MAX(nrm), 6) AS max_norm,
+           CAST(SUM(CASE WHEN nrm < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near_zero
+    FROM norms
+    GROUP BY label
+"""
