@@ -50,6 +50,7 @@ _NEVER_SAMPLED = (
     "ann_multiprobe_topk",
     "ann_ivf_kmeans_topk",
     "embedding_norm_profile",
+    "fuzzy_part_names",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

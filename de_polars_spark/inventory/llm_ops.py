@@ -2556,3 +2556,40 @@ ORACLES["embedding_norm_profile"] = """
     FROM norms
     GROUP BY label
 """
+
+
+# ---------------------------------------------------------------- #
+# Fuzzy entity matching (operators/fuzzy.py): edit-distance pairs   #
+# within a blocking key — the record-linkage step for catalog /     #
+# author / address dedup. Blocked + length-banded candidates, one   #
+# JVM levenshtein per survivor (engine parity with DuckDB verified  #
+# value-exact). Oracle is the brute-force in-block comparison, so   #
+# the green row proves the pruning is lossless.                     #
+# ---------------------------------------------------------------- #
+_FUZZY_K = 2
+
+
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.fuzzy import edit_distance_pairs
+
+    t = register_testdata(spark, sf_dir)
+    return edit_distance_pairs(
+        t["part"], "p_partkey", "p_name", "p_brand", k=_FUZZY_K
+    )
+
+
+QUERIES["fuzzy_part_names"] = q_fuzzy_part_names
+ORACLES["fuzzy_part_names"] = f"""
+    WITH g AS (
+        SELECT p_brand AS block, lower(p_name) AS nm,
+               MIN(p_partkey) AS gid, COUNT(*) AS cnt
+        FROM part GROUP BY 1, 2
+    )
+    SELECT a.gid AS id_a, b.gid AS id_b,
+           CAST(a.cnt AS BIGINT) AS n_a,
+           CAST(b.cnt AS BIGINT) AS n_b,
+           CAST(a.cnt * b.cnt AS BIGINT) AS n_pairs,
+           CAST(levenshtein(a.nm, b.nm) AS INT) AS distance
+    FROM g a JOIN g b ON a.block = b.block AND a.gid < b.gid
+    WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND {_FUZZY_K}
+"""
