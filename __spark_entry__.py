@@ -51,6 +51,7 @@ _NEVER_SAMPLED = (
     "ann_ivf_kmeans_topk",
     "embedding_norm_profile",
     "fuzzy_part_names",
+    "join_key_skew_report",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

@@ -2593,3 +2593,61 @@ ORACLES["fuzzy_part_names"] = f"""
     FROM g a JOIN g b ON a.block = b.block AND a.gid < b.gid
     WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND {_FUZZY_K}
 """
+
+
+# ---------------------------------------------------------------- #
+# Join-key skew report: the pre-flight check before shuffling 100   #
+# TB on a key — per candidate key column, cardinality and the       #
+# hottest key's share (permille, integer-exact). A top share of     #
+# 250permille means one reducer gets a quarter of the table: salt   #
+# (operators/skew.py) or AQE skew-join before running the real job. #
+# One stacked pass over the fact table, two map-side-combinable     #
+# aggregations.                                                     #
+# ---------------------------------------------------------------- #
+_SKEW_KEY_COLS = ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+
+
+def q_join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    stacked = t["lineitem"].select(
+        F.expr(
+            "stack({n}, {args}) AS (key_col, v)".format(
+                n=len(_SKEW_KEY_COLS),
+                args=", ".join(
+                    f"'{c}', CAST({c} AS STRING)" for c in _SKEW_KEY_COLS
+                ),
+            )
+        )
+    )
+    per_key = stacked.groupBy("key_col", "v").agg(F.count(F.lit(1)).alias("c"))
+    return per_key.groupBy("key_col").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("max_key_count"),
+        F.expr("div(1000 * max(c), sum(c))")
+        .cast("bigint")
+        .alias("top_share_permille"),
+    ).orderBy("key_col")
+
+
+_SKEW_UNION = "\n        UNION ALL\n        ".join(
+    f"SELECT '{c}' AS key_col, CAST({c} AS VARCHAR) AS v FROM lineitem"
+    for c in _SKEW_KEY_COLS
+)
+QUERIES["join_key_skew_report"] = q_join_key_skew_report
+ORACLES["join_key_skew_report"] = f"""
+    WITH stacked AS (
+        {_SKEW_UNION}
+    ),
+    per_key AS (
+        SELECT key_col, v, COUNT(*) AS c FROM stacked GROUP BY 1, 2
+    )
+    SELECT key_col,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_key_count,
+           CAST((1000 * MAX(c)) // SUM(c) AS BIGINT) AS top_share_permille
+    FROM per_key
+    GROUP BY key_col
+    ORDER BY key_col
+"""
