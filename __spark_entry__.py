@@ -52,6 +52,7 @@ _NEVER_SAMPLED = (
     "embedding_norm_profile",
     "fuzzy_part_names",
     "join_key_skew_report",
+    "histogram_equidepth_price",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

@@ -2651,3 +2651,51 @@ ORACLES["join_key_skew_report"] = f"""
     GROUP BY key_col
     ORDER BY key_col
 """
+
+
+# ---------------------------------------------------------------- #
+# Equi-depth histogram: NTILE buckets over a total order (value,    #
+# tiebreak id) — the optimizer-statistics companion to the equal-   #
+# width histogram_price. Per bucket: bounds + count + decimal-exact #
+# sum. One sort shuffle + one aggregation.                          #
+# ---------------------------------------------------------------- #
+_EDH_BUCKETS = 8
+
+
+def q_histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    t = register_testdata(spark, sf_dir)
+    w = _W.orderBy(F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber"))
+    bucketed = t["lineitem"].select(
+        "l_extendedprice",
+        F.ntile(_EDH_BUCKETS).over(w).alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.min("l_extendedprice"), 2).alias("lo"),
+        F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("bucket_sum"),
+    ).orderBy("bucket")
+
+
+QUERIES["histogram_equidepth_price"] = q_histogram_equidepth_price
+ORACLES["histogram_equidepth_price"] = f"""
+    WITH bucketed AS (
+        SELECT l_extendedprice,
+               NTILE({_EDH_BUCKETS}) OVER (
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS bucket
+        FROM lineitem
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS lo,
+           ROUND(MAX(l_extendedprice), 2) AS hi,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS bucket_sum
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+"""
