@@ -2656,8 +2656,12 @@ ORACLES["join_key_skew_report"] = f"""
 # ---------------------------------------------------------------- #
 # Equi-depth histogram: NTILE buckets over a total order (value,    #
 # tiebreak id) — the optimizer-statistics companion to the equal-   #
-# width histogram_price. Per bucket: bounds + count + decimal-exact #
-# sum. One sort shuffle + one aggregation.                          #
+# width histogram_price. NB the unpartitioned NTILE window is a     #
+# single-task sort — exact and fine at test scale, but the 100 TB   #
+# path is two-phase: bucket BOUNDARIES from the distributed exact   #
+# quantiles (operators/quantiles.py, the machinery behind           #
+# quantile_price_profile / embedding_norm_profile), then a map-only #
+# range assignment against the broadcast boundary list.             #
 # ---------------------------------------------------------------- #
 _EDH_BUCKETS = 8
 
