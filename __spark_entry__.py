@@ -53,6 +53,7 @@ _NEVER_SAMPLED = (
     "fuzzy_part_names",
     "join_key_skew_report",
     "histogram_equidepth_price",
+    "dedup_graph_stats",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

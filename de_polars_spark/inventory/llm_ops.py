@@ -2703,3 +2703,82 @@ ORACLES["histogram_equidepth_price"] = f"""
     GROUP BY bucket
     ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------- #
+# Dedup-graph structure: nodes/edges/wedges/triangles of the        #
+# MinHash pair graph. Near-dup clusters should look near-clique     #
+# (high closure); a star-shaped cluster (hub template document      #
+# touching many unrelated docs) is boilerplate, not duplication —   #
+# this one-row profile is the cheap discriminator. Triangles via    #
+# the ordered-edge join (x<y<z): two equi-joins on node ids, no     #
+# explosion beyond the triangle count itself; wedges are a degree   #
+# aggregation. 3*n_triangles / n_wedges is the global clustering    #
+# coefficient, left as exact integers.                              #
+# ---------------------------------------------------------------- #
+def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+    ).select(
+        F.col("id_a").cast("bigint").alias("a"),
+        F.col("id_b").cast("bigint").alias("b"),
+    )
+    pairs = pairs.persist()
+    dedup._PERSISTED.append(pairs)
+    deg = (
+        pairs.select(F.col("a").alias("n"))
+        .unionAll(pairs.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("bigint").alias("n_wedges"),
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    ).alias("e2")
+    closing = pairs.select(
+        F.col("a").alias("ta"), F.col("b").alias("tc")
+    )
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            closing,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+            "left_semi",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    edges = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return node_stats.crossJoin(edges).crossJoin(tri)
+
+
+QUERIES["dedup_graph_stats"] = q_dedup_graph_stats
+ORACLES["dedup_graph_stats"] = f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    deg AS (
+        SELECT n, COUNT(*) AS d FROM (
+            SELECT id_a AS n FROM pairs
+            UNION ALL
+            SELECT id_b AS n FROM pairs
+        ) GROUP BY n
+    ),
+    node_stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    tri AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM pairs e1
+        JOIN (SELECT id_a AS b, id_b AS c FROM pairs) e2 ON e1.id_b = e2.b
+        WHERE EXISTS (SELECT 1 FROM pairs t
+                      WHERE t.id_a = e1.id_a AND t.id_b = e2.c)
+    ),
+    edges AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs)
+    SELECT n_nodes, n_wedges, n_edges, n_triangles
+    FROM node_stats, edges, tri
+"""
