@@ -54,6 +54,7 @@ _NEVER_SAMPLED = (
     "join_key_skew_report",
     "histogram_equidepth_price",
     "dedup_graph_stats",
+    "dedup_cluster_size_histogram",
     "dedup_pagerank",
     "benchmark_contamination",
     "text_repetition_stats",

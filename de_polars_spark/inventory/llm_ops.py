@@ -2782,3 +2782,56 @@ ORACLES["dedup_graph_stats"] = f"""
     SELECT n_nodes, n_wedges, n_edges, n_triangles
     FROM node_stats, edges, tri
 """
+
+
+# ---------------------------------------------------------------- #
+# Duplicate-cluster size histogram: how much of the corpus sits in  #
+# clusters of each size — the before/after headline of any dedup    #
+# run (and the denominator of "dedup will remove X% of docs":       #
+# removable = sum over sizes of (size-1)*n_clusters). Rides the     #
+# connected-components labels with two tiny aggregations.           #
+# ---------------------------------------------------------------- #
+def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+    )
+    comps = dedup.connected_components(pairs)
+    sizes = comps.groupBy("component_id").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("size").cast("bigint").alias("n_docs"),
+        ((F.col("size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    ).orderBy("size")
+
+
+QUERIES["dedup_cluster_size_histogram"] = q_dedup_cluster_size_histogram
+ORACLES["dedup_cluster_size_histogram"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component_id
+        FROM reach GROUP BY u
+    ),
+    sizes AS (
+        SELECT component_id, COUNT(*) AS size FROM comp GROUP BY component_id
+    )
+    SELECT size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(size) AS BIGINT) AS n_docs,
+           CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
+    FROM sizes
+    GROUP BY size
+    ORDER BY size
+"""
