@@ -69,6 +69,9 @@ CROSS_JOIN_OK = {
     # k-means fit feeding the IVF index: same centroid-broadcast shape
     # as kmeans_embeddings (1-row k x dim array crossJoin, scale-safe)
     "ann_ivf_kmeans_topk",
+    # final assembly of three 1-row aggregates (node stats x edge count
+    # x triangle count) — scalar cross joins, scale-safe
+    "dedup_graph_stats",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
