@@ -23,61 +23,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries the driver has never sampled (absent from CORRECTNESS_r01/r02,
-# which both drew the first ~50 names): list them FIRST so round 3's
-# sample adjudicates the remaining inventory — notably kpi_view_tracker
-# (the flagship), the pricing joins, and the driver-math family.
+# Round-4 head: the two queries whose LATEST driver row is red (both fixed
+# and strict-hash green locally — they only need resampling), followed by the
+# 32 queries that have never appeared in any CORRECTNESS_r01..r03 sample
+# (computed as set(QUERIES) − union of r1-r3 keys). 34 names ≤ the driver's
+# 50-query sample, so this round gives every one of the 142 inventory
+# queries a current green driver row.
 _NEVER_SAMPLED = (
-    "kpi_view_tracker",
-    "pricing_efficiency_join",
-    "pricing_sp_coverage",
-    "pricing_cheapest_option",
-    "forecast_linear_seasonal",
-    "forecast_naive_next_month",
-    "forecast_regression",
-    "volatility_classification",
-    "commitment_roi_sim",
-    "nl_intent_router",
-    "sample_weighted",
-    "pipeline_corpus_curation",
-    "dedup_semantic",
-    "gopher_quality_filter",
-    "token_diversity_profile",
-    "quality_logreg_score",
-    "embedding_pool_chunks",
-    "ann_recall_eval",
-    "per_source_cap",
-    "ann_multiprobe_topk",
-    "ann_ivf_kmeans_topk",
-    "embedding_norm_profile",
-    "fuzzy_part_names",
-    "join_key_skew_report",
-    "histogram_equidepth_price",
-    "dedup_graph_stats",
-    "dedup_cluster_size_histogram",
-    "dedup_pagerank",
-    "benchmark_contamination",
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "shard_packing",
-    "kmeans_embeddings",
-    "text_unigram_logprob",
-    "mixture_resample_sqrt",
-    "streaming_windowed_costs",
-    "session_window_agg",
-    "interval_join_attribution",
-    "rollup_returnflag_status",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "quantile_price_profile",
-    "rolling_frame_avg",
-    "semi_anti_open_only_customers",
-    "window_rank_suite",
-    "pivot_orders_status",
-    "unpivot_revenue_metrics",
-    "asof_purchase_attribution",
-    "range_join_error_burst",
-    "tfidf_top_terms",
+    # latest driver row red; root causes fixed in r2/r3, awaiting resample
+    "finops_tag_compliance",
+    "dedup_simhash_hamming",
+    # never driver-sampled (strict-hash green locally)
     "bm25_search",
     "inverted_index",
     "approx_distinct_hll",
@@ -93,6 +49,23 @@ _NEVER_SAMPLED = (
     "funnel_view_click_purchase",
     "topk_with_ties",
     "median_abs_deviation",
+    "dedup_keep_best",
+    "chunk_documents",
+    "embedding_truncate_norm",
+    "chunk_boilerplate",
+    "vocab_coverage",
+    "text_normalize",
+    "quality_by_source",
+    "dedup_minhash_estimate",
+    "ngram_dup_profile",
+    "split_leakage_check",
+    "pii_density_by_source",
+    "histogram_median_mergeable",
+    "dedup_incremental_batch",
+    "cohort_retention",
+    "rfm_segmentation",
+    "basket_copurchase_lift",
+    "ship_latency_profile",
 )
 
 
