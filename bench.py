@@ -57,6 +57,11 @@ def main() -> None:
     # must be paid (and measured) inside this run, not inherited from a
     # previous session's .cache
     clear_kpi_artifacts(sf_dir)
+    # same honesty rule for the shared MinHash pair-graph artifact: the
+    # first graph-family query in bench order pays the build
+    from de_polars_spark.inventory.llm_ops import clear_dedup_pair_artifacts
+
+    clear_dedup_pair_artifacts(sf_dir)
 
     from de_polars_spark.operators.dedup import release_cached
 
