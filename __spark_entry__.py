@@ -66,6 +66,8 @@ _NEVER_SAMPLED = (
     "rfm_segmentation",
     "basket_copurchase_lift",
     "ship_latency_profile",
+    # new in round 4 (no driver row yet)
+    "bloom_join_prefilter",
 )
 
 

@@ -1268,3 +1268,88 @@ _common(
     GROUP BY o_orderpriority
     """,
 )
+
+
+# --------------------------------------------------------------------- #
+# Bloom-filter join pre-filter (operators/bloom.py): build the bit set   #
+# over the filtered dim's keys, flag the probe side map-side, and audit  #
+# the filter against true membership. n_missed MUST be 0 — a Bloom       #
+# filter has no false negatives — and the oracle recomputes the exact    #
+# same md5-derived bit set, so n_false_positives matches exactly too.    #
+# --------------------------------------------------------------------- #
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+def q_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators import bloom
+
+    t = register_testdata(spark, sf_dir)
+    dim = (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("key"))
+        .distinct()
+    )
+    bits = bloom.bloom_bits(dim, "key", m=_BLOOM_M, k=_BLOOM_K)
+    flagged = bloom.bloom_flag(
+        t["orders"].select("o_orderkey", "o_custkey"),
+        "o_custkey",
+        bits,
+        m=_BLOOM_M,
+        k=_BLOOM_K,
+    )
+    actual = dim.select(F.col("key").alias("o_custkey"), F.lit(1).alias("__in_dim"))
+    out = flagged.join(F.broadcast(actual), "o_custkey", "left")
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+        F.sum(F.when(F.col("__in_dim").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.sum(
+            F.when(F.col("__in_dim").isNotNull() & ~F.col("bloom_hit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_missed"),
+        F.sum(
+            F.when(F.col("bloom_hit") & F.col("__in_dim").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_false_positives"),
+    )
+
+
+def _bloom_pos_sql(arg: str, i: int) -> str:
+    return (
+        f"CAST('0x' || substring(md5(CAST({arg} AS VARCHAR) || '#b{i}'), 1, 15)"
+        f" AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+QUERIES["bloom_join_prefilter"] = q_bloom_join_prefilter
+ORACLES["bloom_join_prefilter"] = f"""
+    WITH dim AS (
+        SELECT DISTINCT c_custkey AS key FROM customer
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+        {" UNION ".join(f"SELECT DISTINCT {_bloom_pos_sql('key', i)} AS pos FROM dim" for i in range(_BLOOM_K))}
+    ),
+    probe AS (
+        SELECT o_orderkey, o_custkey,
+               {" AND ".join(f"({_bloom_pos_sql('o_custkey', i)}) IN (SELECT pos FROM bits)" for i in range(_BLOOM_K))}
+                   AS bloom_hit,
+               o_custkey IN (SELECT key FROM dim) AS in_dim
+        FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN in_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+           CAST(SUM(CASE WHEN in_dim AND NOT bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missed,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT in_dim THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_false_positives
+    FROM probe
+"""

@@ -18,7 +18,8 @@ Plan shape (audited):
 - ``bloom_flag``: k broadcast LEFT joins against the ≤ m-row bit table —
   map-only on the probe side, no shuffle, no explode, whole-stage
   codegen throughout. False negatives are impossible (asserted by the
-  ``n_missed`` column in the inventory query).
+  ``n_missed = 0`` column of the oracle-checked ``bloom_join_prefilter``
+  inventory query, ``inventory/relational_ext.py``).
 """
 
 from __future__ import annotations

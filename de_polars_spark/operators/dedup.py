@@ -99,7 +99,14 @@ def _gram_strings(
     (outside whole-stage codegen) and dominate at corpus scale; the
     window form stays codegen'd and costs one ``id_col`` shuffle, which
     the consumers' per-doc aggregations need anyway. Docs with fewer
-    than ``shingle_n`` tokens emit no rows."""
+    than ``shingle_n`` tokens emit no rows.
+
+    PRECONDITION: ``id_col`` must be unique in ``df`` (one text per id).
+    The LEAD window partitions on the id alone, so duplicate-id rows
+    would interleave their token positions and fabricate cross-row
+    n-grams — unlike the old per-row array form, which was immune. All
+    in-repo callers (minhash/simhash/profile builders) pass a
+    primary-key id; dedupe first if yours is not."""
     tok = df.select(
         F.col(id_col), F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok")
     )
@@ -324,6 +331,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 2,
     max_df: int | None = None,
     max_bucket_size: int | None = None,
+    minhash_prefilter: int | None = None,
+    minhash_prefilter_margin: float = 0.15,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing a blocking key,
     via prefix filtering (the AllPairs/PPJoin candidate bound).
@@ -344,6 +353,19 @@ def ngram_jaccard_pairs(
     ``max_df`` drops shingles appearing in more than that many docs per
     block *before* prefix construction; ``max_bucket_size`` drops
     candidate buckets larger than the cap.
+
+    ``minhash_prefilter`` (opt-in, default None = exact) prescreens the
+    surviving candidate pairs with a k-hash MinHash signature-agreement
+    estimate before the exact ``array_intersect`` verification: pairs
+    whose estimated Jaccard falls below ``threshold -
+    minhash_prefilter_margin`` skip verification. This is the standard
+    production play at corpus scale — exact verification of billions of
+    candidate pairs dominates, and an Arrow-free k-column agreement
+    check over a broadcast-size signature table is ~free — but it is
+    APPROXIMATE: a true pair is dropped when its estimate undershoots
+    by more than the margin, P ≈ binomial tail P(Bin(k, J) < k·(t−m)),
+    e.g. k=16, J=t=0.3, m=0.15: ~7%. Leave it None wherever oracle
+    exactness matters (the inventory query does).
 
     The distinct shingle postings are persisted: they are consumed by
     three branches (document frequencies, prefixes, verification) and
@@ -371,7 +393,10 @@ def ngram_jaccard_pairs(
         F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok"),
     )
     if shingle_n > 1:
-        wd = Window.partitionBy(id_col).orderBy("p")
+        # block joins id_col in the partition key so the same id listed
+        # under two blocks windows separately (LEAD would otherwise
+        # fabricate cross-row shingles from the interleaved positions)
+        wd = Window.partitionBy(id_col, "block").orderBy("p")
         leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
         grams = tok.select(
             id_col,
@@ -470,6 +495,35 @@ def ngram_jaccard_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if minhash_prefilter is not None:
+        # k-slot signature agreement as a Jaccard estimator: each slot
+        # agrees with probability J, so mean agreement estimates J with
+        # sd sqrt(J(1-J)/k). Signatures ride a broadcast-size per-doc
+        # table (k bigint-ish columns); the prescreen is two broadcast
+        # joins + one comparison column — no extra shuffle on the pairs.
+        k = minhash_prefilter
+        sig = _minhash_sig_df(df, id_col, text_col, k, shingle_n)
+        agree = sum(
+            F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+            for i in range(k)
+        )
+        sig_a = sig.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(k)],
+        )
+        sig_b = sig.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(k)],
+        )
+        candidates = (
+            candidates.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .filter(
+                agree / F.lit(float(k))
+                >= F.lit(threshold - minhash_prefilter_margin)
+            )
+            .select("id_a", "id_b")
+        )
     sa = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     jac = F.round(
@@ -801,18 +855,23 @@ def ngram_duplication_profile(
     tok = df.select(
         F.col(id_col), F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok")
     )
-    wd = Window.partitionBy(id_col).orderBy("p")
-    leads = [F.lead("tok", i).over(wd) for i in range(1, n)]
-    ex = (
-        tok.select(
-            id_col,
-            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("g"),
-            leads[-1].alias("__last"),
+    if n == 1:
+        # unigrams need no LEAD window (and leads[-1] below would not
+        # exist): hash each token directly — same branch as _gram_strings
+        ex = tok.select(id_col, F.xxhash64("tok").alias("g")).distinct()
+    else:
+        wd = Window.partitionBy(id_col).orderBy("p")
+        leads = [F.lead("tok", i).over(wd) for i in range(1, n)]
+        ex = (
+            tok.select(
+                id_col,
+                F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("g"),
+                leads[-1].alias("__last"),
+            )
+            .where(F.col("__last").isNotNull())
+            .select(id_col, "g")
+            .distinct()
         )
-        .where(F.col("__last").isNotNull())
-        .select(id_col, "g")
-        .distinct()
-    )
     w = Window.partitionBy("g")
     return (
         ex.withColumn("__nd", F.count(F.lit(1)).over(w))

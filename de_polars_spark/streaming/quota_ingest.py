@@ -18,6 +18,15 @@ directory protocol of ``sink.idempotent_parquet_sink``. A crash between
 the output write and the state write replays the SAME batch against
 unchanged state, recomputing and committing the same rows — neither
 double-admission nor quota leakage survives a restart.
+
+LOCAL-FILESYSTEM REQUIREMENT: ``state_dir`` (and the sink dirs) must be
+a driver-visible local path. State detection walks the directory with
+``os.listdir`` on the driver — the same constraint as
+``idempotent_parquet_sink`` and ``dedup_ingest``, but it matters more
+here: on an object store (s3://, hdfs://) the check would silently
+report no state, reset ``__used`` to 0, and over-admit past the
+lifetime cap. Porting to such stores means replacing the listing (and
+the sinks' commit protocol) with the Hadoop FileSystem API.
 """
 
 from __future__ import annotations

@@ -47,6 +47,32 @@ def test_ngram_jaccard_exact_similarity(docs):
     assert not any(5 in p for p in sim)  # different block never compared
 
 
+def test_ngram_jaccard_minhash_prefilter(docs):
+    exact = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5
+    )
+    exact_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+    # margin >= threshold prunes nothing: output identical to exact
+    loose = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5,
+        minhash_prefilter=8, minhash_prefilter_margin=0.5,
+    )
+    assert {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in loose.collect()
+    } == exact_pairs
+    # any margin: prefiltered output is a subset of the exact output,
+    # and surviving pairs carry identical exact Jaccard values
+    tight = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", block_col="lang", threshold=0.5,
+        minhash_prefilter=8, minhash_prefilter_margin=0.1,
+    )
+    tight_pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in tight.collect()}
+    assert set(tight_pairs) <= set(exact_pairs)
+    assert all(exact_pairs[p] == v for p, v in tight_pairs.items())
+    # identical docs agree on every hash slot: never pruned
+    assert (1, 2) in tight_pairs
+
+
 def test_simhash_identical_docs_same_hash(docs):
     out = dedup.simhash_groups(docs, "doc_id", "text").collect()
     h = {r["doc_id"]: r["simhash"] for r in out}
@@ -316,3 +342,34 @@ def test_average_pool(spark):
     assert got[0]["n_members"] == 2
     assert got[0]["pooled_norm"] == 2.0 and got[0]["pooled_sum"] == 2.0
     assert got[1]["n_members"] == 1 and got[1]["pooled_norm"] == 5.0
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    from de_polars_spark.operators import bloom
+
+    dim = spark.createDataFrame([(k,) for k in range(0, 50, 5)], ["key"])
+    probe = spark.createDataFrame([(i, i % 60) for i in range(200)], ["rid", "key"])
+    bits = bloom.bloom_bits(dim, "key", m=256, k=3)
+    assert bits.count() <= 30  # <= k * n_dim_keys distinct positions
+    flagged = bloom.bloom_flag(probe, "key", bits, m=256, k=3)
+    assert flagged.count() == 200  # broadcast joins never duplicate rows
+    rows = {r["rid"]: r["bloom_hit"] for r in flagged.collect()}
+    dim_keys = set(range(0, 50, 5))
+    for rid in range(200):
+        if rid % 60 in dim_keys:
+            assert rows[rid], f"false negative at rid={rid}"
+
+
+def test_ngram_duplication_profile_unigrams(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "x y z")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["n_shared"])
+        for r in dedup.ngram_duplication_profile(
+            docs, "doc_id", "text", n=1
+        ).collect()
+    }
+    assert out[1] == (3, 2)  # a, b shared with doc 2
+    assert out[2] == (3, 2)
+    assert out[3] == (3, 0)
