@@ -68,6 +68,8 @@ _NEVER_SAMPLED = (
     "ship_latency_profile",
     # new in round 4 (no driver row yet)
     "bloom_join_prefilter",
+    "ann_ivf_index_build",
+    "ann_ivf_index_query",
 )
 
 

@@ -57,27 +57,42 @@ def main() -> None:
     # must be paid (and measured) inside this run, not inherited from a
     # previous session's .cache
     clear_kpi_artifacts(sf_dir)
-    # same honesty rule for the shared MinHash pair-graph artifact: the
-    # first graph-family query in bench order pays the build
-    from de_polars_spark.inventory.llm_ops import clear_dedup_pair_artifacts
+    # same honesty rule for the shared MinHash pair-graph artifact and
+    # the persisted IVF index: the first consumer in bench order pays
+    # the build
+    from de_polars_spark.inventory.llm_ops import (
+        clear_dedup_pair_artifacts,
+        clear_ivf_index_artifacts,
+    )
 
     clear_dedup_pair_artifacts(sf_dir)
+    clear_ivf_index_artifacts(sf_dir)
 
     from de_polars_spark.operators.dedup import release_cached
 
     import gc
 
+    # single pass by default (the driver's recording). Individual query
+    # timings vary up to ~2.4x between contended and uncontended runs
+    # while totals agree within ~15%; SPARK_GRAFT_BENCH_REPS=2 (or more)
+    # times each query that many times and reports the per-query MIN —
+    # the low-variance number for like-for-like regression comparison.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        release_cached()  # dedup ops persist internally; no cross-query reuse
-        # drop py4j refs promptly so ContextCleaner can release finished
-        # queries' RDDs/broadcasts — a 100-query session otherwise carries
-        # a cleanup backlog into the tail queries (measured as multi-second
-        # jitter on the late KPI queries)
-        gc.collect()
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+            release_cached()  # dedup ops persist internally; no cross-query reuse
+            # drop py4j refs promptly so ContextCleaner can release finished
+            # queries' RDDs/broadcasts — a 100-query session otherwise carries
+            # a cleanup backlog into the tail queries (measured as multi-second
+            # jitter on the late KPI queries)
+            gc.collect()
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -98,18 +113,17 @@ def main() -> None:
     # with only the slowest 10 per-query timings, so the final 2 KB of
     # stdout always contain one complete parseable JSON record.
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_suite_total",
-                "value": total,
-                "unit": "sec",
-                "sf": sf,
-                "n_queries": len(timings),
-                "queries": slowest,
-            }
-        )
-    )
+    compact = {
+        "metric": "inventory_suite_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": slowest,
+    }
+    if reps > 1:
+        compact["min_of"] = reps
+    print(json.dumps(compact))
     spark.stop()
 
 

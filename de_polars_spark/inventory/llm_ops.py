@@ -2567,6 +2567,132 @@ ORACLES["ann_ivf_kmeans_topk"] = _ivf_kmeans_oracle()
 
 
 # ---------------------------------------------------------------- #
+# IVF index persistence — build-once / query-many. The fit +        #
+# assignment scan lands in cell-partitioned parquet artifacts       #
+# (operators/similarity.py build_ivf_index / load_ivf_index);       #
+# ann_ivf_index_build audits the inverted lists (per-cell counts    #
+# + id checksums vs the oracle's unrolled Lloyd chain), and         #
+# ann_ivf_index_query serves the EXACT ann_ivf_kmeans_topk result   #
+# from the artifact — proving the persisted index is semantically   #
+# identical to the inline fit+assign path.                          #
+# ---------------------------------------------------------------- #
+def _fit_km_centroids(corpus) -> list:
+    from de_polars_spark.operators.kmeans import kmeans_iterations
+
+    seed_rows = (
+        corpus.where(F.col("vec_id") % 67 == 1)
+        .orderBy("vec_id")
+        .limit(_KM_K)
+        .select("embedding")
+        .collect()
+    )
+    seeds = [[float(x) for x in r["embedding"]] for r in seed_rows]
+    _, cents = kmeans_iterations(
+        corpus, "vec_id", "embedding", seeds, iterations=_KM_ITERS
+    )
+    return list(enumerate(cents))
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    import hashlib
+    import inspect
+    import os
+
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".cache",
+    )
+    impl = (
+        inspect.getsource(similarity.build_ivf_index)
+        + inspect.getsource(similarity._centroid_scores)
+        + inspect.getsource(_fit_km_centroids)
+    )
+    tag = hashlib.md5(
+        f"{impl}|{_KM_K}|{_KM_ITERS}".encode()
+    ).hexdigest()[:8]
+    return os.path.join(
+        cache_dir,
+        f"ivf_index_{os.path.basename(os.path.normpath(sf_dir))}_{tag}",
+    )
+
+
+def clear_ivf_index_artifacts(sf_dir: str) -> None:
+    """bench.py warm-up hook: the build query must pay (and measure)
+    the index construction inside the run."""
+    import shutil
+
+    shutil.rmtree(_ivf_index_dir(sf_dir), ignore_errors=True)
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import shutil
+
+    path = _ivf_index_dir(sf_dir)
+    if not os.path.exists(path):
+        t = register_testdata(spark, sf_dir)
+        cents = _fit_km_centroids(t["embeddings"])
+        tmp = f"{path}.tmp-{os.getpid()}"
+        similarity.build_ivf_index(t["embeddings"], "vec_id", "embedding", cents, tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent session won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return path
+
+
+def q_ann_ivf_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ensure_ivf_index(spark, sf_dir)
+    _, postings = similarity.load_ivf_index(spark, path)
+    return postings.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("neighbor_id").cast("bigint").alias("id_checksum"),
+        F.min("neighbor_id").cast("bigint").alias("min_id"),
+    )
+
+
+def _ivf_index_build_oracle() -> str:
+    ctes, _final_a, final_c = _kmeans_chain()
+    return (
+        ctes
+        + f""",
+    cents AS (SELECT cid, v AS cv FROM {final_c}),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT x.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM e x CROSS JOIN cents c) a
+        WHERE rn = 1)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+           CAST(MIN(vec_id) AS BIGINT) AS min_id
+    FROM assign GROUP BY cell
+"""
+    )
+
+
+QUERIES["ann_ivf_index_build"] = q_ann_ivf_index_build
+ORACLES["ann_ivf_index_build"] = _ivf_index_build_oracle()
+
+
+def q_ann_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    path = _ensure_ivf_index(spark, sf_dir)
+    cents, postings = similarity.load_ivf_index(spark, path)
+    queries = t["embeddings"].filter(F.col("vec_id") % 100 == 0)
+    out = similarity.ivf_topk_from_index(
+        postings, cents, queries, "vec_id", "embedding", k=3, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+QUERIES["ann_ivf_index_query"] = q_ann_ivf_index_query
+ORACLES["ann_ivf_index_query"] = _ivf_kmeans_oracle()
+
+
+# ---------------------------------------------------------------- #
 # Embedding-norm profile: the broken-encoder gate. A batch of       #
 # near-zero or wildly-scaled vectors (a crashed encoder shard, a    #
 # normalization bug) poisons cosine math silently; this profiles    #

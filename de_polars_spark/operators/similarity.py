@@ -151,6 +151,98 @@ def fit_centroids_sample(
     return [(r["cid"], list(r["cv"])) for r in rows]
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    path: str,
+) -> None:
+    """Persist a fitted IVF index as parquet artifacts under ``path``:
+    ``postings/`` (cell-partitioned ``(neighbor_id, cv, cn)``) and
+    ``centroids/`` (the coarse quantizer, ``(cid, cv)``).
+
+    This turns ``ivf_topk``'s fit+assign+query into build-once /
+    query-many — the shape a production embedding store needs: the
+    assignment scan runs once, ``partitionBy(cell)`` lays each inverted
+    list out as its own parquet partition (so a probe reads ONLY its
+    cells — Spark prunes the partition dirs via dynamic partition
+    pruning on the broadcast cell join), and per-vector norms are paid
+    at build time, not per query."""
+    import os
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
+    ).select(
+        "neighbor_id",
+        "cv",
+        VX.norm(F.col("cv")).alias("cn"),
+        F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias("cell"),
+    )
+    c.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "postings")
+    )
+    cdf = corpus.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
+        "cid bigint, cv array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+
+def load_ivf_index(spark, path: str) -> tuple[list, DataFrame]:
+    """Load a persisted IVF index: ``(centroids, postings)``.
+
+    Centroids come back driver-side (tiny by construction, exact float64
+    parquet round-trip); postings stay a cell-partitioned DataFrame."""
+    import os
+
+    cents = sorted(
+        (int(r["cid"]), list(r["cv"]))
+        for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+    )
+    postings = spark.read.parquet(os.path.join(path, "postings"))
+    return cents, postings
+
+
+def ivf_topk_from_index(
+    postings: DataFrame,
+    centroids: list,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k served from a persisted index (``build_ivf_index``).
+
+    Identical output to ``ivf_topk`` over the same corpus and centroids —
+    the index is just the materialized assignment — but the per-query
+    cost drops to probing ``nprobe`` inverted lists; no corpus scan, no
+    re-assignment, no norm recomputation."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), VX.as_double(F.col(vec_col)).alias("qv")
+    )
+    q = q.select(
+        "query_id",
+        "qv",
+        VX.norm(F.col("qv")).alias("qn"),
+        F.explode(
+            F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "qv", "qn", F.col("probe")["cid"].alias("cell"))
+    scored = postings.join(
+        F.broadcast(q),
+        (postings["cell"] == q["cell"]) & (F.col("query_id") != F.col("neighbor_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            VX.dot(q["qv"], postings["cv"]) / (q["qn"] * postings["cn"]), 6
+        ).alias("cosine"),
+    )
+    return _ranked_topk(scored, k)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

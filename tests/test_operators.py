@@ -373,3 +373,31 @@ def test_ngram_duplication_profile_unigrams(spark):
     assert out[1] == (3, 2)  # a, b shared with doc 2
     assert out[2] == (3, 2)
     assert out[3] == (3, 0)
+
+
+def test_ivf_index_roundtrip(spark, tmp_path):
+    from de_polars_spark.operators import similarity
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.95, 0.05, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, ["emb_id", "vec"])
+    cents = [(1, [1.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0])]
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "emb_id", "vec", cents, path)
+    loaded_cents, postings = similarity.load_ivf_index(spark, path)
+    assert loaded_cents == [(1, [1.0, 0.0, 0.0]), (10, [0.0, 1.0, 0.0])]
+    assert postings.count() == 5
+    # served result identical to the inline fit+assign path
+    queries = emb.filter(F.col("emb_id") == 2)
+    inline = similarity.ivf_topk(emb, queries, "emb_id", "vec", cents, k=4, nprobe=1)
+    from_idx = similarity.ivf_topk_from_index(
+        postings, loaded_cents, queries, "emb_id", "vec", k=4, nprobe=1
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, from_idx.collect())
+    )

@@ -336,3 +336,141 @@ def test_simhash_matches_python_model(spark, docs):
                 votes[j] += 1 if (h >> j) & 1 else -1
         expect = sum(2**j for j in range(bits) if votes[j] > 0)
         assert got[i] == expect, f"doc {i}"
+
+
+# ---- round-4 additions: fuzzy / semdedup / weighted sampling ---------- #
+
+_name = st.text(alphabet="ab", min_size=0, max_size=4)
+_fuzzy_row = st.tuples(st.integers(0, 1), _name)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(rows=st.lists(_fuzzy_row, min_size=1, max_size=10), k=st.integers(1, 3))
+@settings(**_SETTINGS)
+def test_edit_distance_pairs_matches_model(spark, rows, k):
+    """The blocked + name-collapsed + length-banded plan must equal the
+    naive all-pairs model — proving the length-band prune lossless
+    (|len(a)-len(b)| <= levenshtein(a,b) always) and the identical-name
+    collapse exact."""
+    from de_polars_spark.operators.fuzzy import edit_distance_pairs
+
+    data = [(i, blk, nm) for i, (blk, nm) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, blk int, name string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_a"], r["n_b"], r["n_pairs"], r["distance"])
+        for r in edit_distance_pairs(df, "rid", "name", "blk", k).collect()
+    }
+    # model: group by (block, lowered name), min-id rep, then all pairs
+    groups: dict = {}
+    for i, blk, nm in data:
+        g = groups.setdefault((blk, nm.lower()), [])
+        g.append(i)
+    reps = [
+        (blk, nm, min(ids), len(ids)) for (blk, nm), ids in groups.items()
+    ]
+    expect = {}
+    for ai in range(len(reps)):
+        for bi in range(len(reps)):
+            (ba, na, ga, ca), (bb, nb, gb, cb) = reps[ai], reps[bi]
+            if ba == bb and ga < gb:
+                d = _lev(na, nb)
+                if 1 <= d <= k:
+                    expect[(ga, gb)] = (ca, cb, ca * cb, d)
+    assert got == expect
+
+
+_vec = st.tuples(st.integers(-2, 2), st.integers(-2, 2)).filter(
+    lambda v: v != (0, 0)
+)
+
+
+@given(
+    vecs=st.lists(_vec, min_size=1, max_size=8),
+    threshold=st.sampled_from([0.5, 0.8, 0.95]),
+)
+@settings(**_SETTINGS)
+def test_semantic_dedup_matches_model(spark, vecs, threshold):
+    """Cluster-bucketed greedy prune vs the naive in-cluster all-pairs
+    model (assignment: squared-euclidean argmin, ties to lower cid;
+    cosine rounded half-up at 6 decimals before thresholding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from de_polars_spark.operators.semdedup import semantic_dedup_summary
+
+    seeds = [[1.0, 0.0], [0.0, 1.0]]
+    data = [(i, [float(x), float(y)]) for i, (x, y) in enumerate(vecs)]
+    df = spark.createDataFrame(data, "vid long, vec array<double>")
+    got = {
+        r["cid"]: (r["n_members"], r["n_dup_pairs"], r["n_dropped"], r["dropped_id_sum"])
+        for r in semantic_dedup_summary(df, "vid", "vec", seeds, threshold).collect()
+    }
+
+    def assign(v):
+        ds = [sum((a - b) * (a - b) for a, b in zip(v, s)) for s in seeds]
+        return ds.index(min(ds))
+
+    def cos6(u, v):
+        import math
+
+        c = sum(a * b for a, b in zip(u, v)) / (
+            math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in v))
+        )
+        return float(Decimal(c).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    by_cid: dict = {}
+    for i, v in data:
+        by_cid.setdefault(assign(v), []).append((i, v))
+    expect = {}
+    for cid, members in by_cid.items():
+        pairs = [
+            (ia, ib)
+            for ia, va in members
+            for ib, vb in members
+            if ia < ib and cos6(va, vb) >= threshold
+        ]
+        dropped = {ib for _, ib in pairs}
+        expect[cid] = (len(members), len(pairs), len(dropped), sum(dropped))
+    assert got == expect
+
+
+@given(
+    rows=st.lists(st.integers(1, 4), min_size=1, max_size=10),
+    k=st.integers(1, 5),
+    salt=st.sampled_from(["", "s1"]),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_topk_matches_model(spark, rows, k, salt):
+    """Two-phase A-ES top-k vs the exact python model: u from md5, key
+    = round(u^(1/w), 12), rank by (key desc, id asc). Proves the
+    bucketed local top-k + final rank lossless and the ranking
+    engine-reproducible."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from de_polars_spark.operators.sampling import weighted_sample_topk
+
+    data = [(i, float(w)) for i, w in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, w double")
+    got = [
+        (r["rid"], r["sample_rank"])
+        for r in weighted_sample_topk(df, "rid", F.col("w"), k, salt)
+        .orderBy("sample_rank")
+        .collect()
+    ]
+
+    def key(i, w):
+        u = int(hashlib.md5(f"{i}{salt}".encode()).hexdigest()[:8], 16) / 2**32
+        return float(Decimal(u ** (1.0 / w)).quantize(Decimal("1e-12"), ROUND_HALF_UP))
+
+    ranked = sorted(((key(i, w), i) for i, w in data), key=lambda t: (-t[0], t[1]))
+    expect = [(i, r + 1) for r, (_, i) in enumerate(ranked[:k])]
+    assert got == expect
