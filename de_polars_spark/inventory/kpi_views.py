@@ -331,7 +331,14 @@ def _ensure_kpi_views(spark: SparkSession, sf_dir: str) -> None:
     # the five level-1/2 views are mutually independent (each reads only
     # cur_ext + virtual upstreams) — submit their jobs concurrently so
     # the cheap scans overlap the instance_all ladder instead of queuing
-    # behind it
+    # behind it. The two-barrier shape (all five, then the tracker) IS
+    # the dependency graph: the tracker's five sub-aggregates read
+    # summary_view (spend), kpi_instance_rollup, and the three storage
+    # views — every wave-1 artifact — so per-dependency future chaining
+    # cannot start it earlier. Measured critical path at sf0.1: the
+    # rollup chain (~9s, dominated by cur_all's 206k-row 30-column
+    # projection write, not the 26-key groupBy, which adds ~0.3s) then
+    # the 1.3s tracker join over artifacts.
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(len(_MATERIALIZED_VIEWS)) as ex:
