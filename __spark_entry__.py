@@ -30,6 +30,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50-query sample, so this round gives every one of the 142 inventory
 # queries a current green driver row.
 _NEVER_SAMPLED = (
+    # the KPI-view materialization wave (one-time per session) is paid by
+    # the first KPI query in suite order: keep that absorber FIRST so the
+    # wave compiles on a fresh JVM (codegen cache empty -> ~13s) instead
+    # of mid-suite (cache evictions -> measured 23-43s for the same work);
+    # kpi_view_tracker already has a green r3 row, resampling is harmless
+    "kpi_view_tracker",
     # latest driver row red; root causes fixed in r2/r3, awaiting resample
     "finops_tag_compliance",
     "dedup_simhash_hamming",

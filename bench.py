@@ -36,6 +36,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # static conf, default 100: a 145-query suite of large generated
+        # classes evicts mid-suite, so late big plans (the KPI view wave,
+        # ngram Jaccard) pay multi-second recompiles — measured up to
+        # +20s of pure jitter on the wave when it lands at position ~80
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
