@@ -76,6 +76,8 @@ _NEVER_SAMPLED = (
     "bloom_join_prefilter",
     "ann_ivf_index_build",
     "ann_ivf_index_query",
+    "scd2_history",
+    "sample_weighted_per_source",
 )
 
 

@@ -745,6 +745,27 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars", "sample_rank")
 
 
+def q_sample_weighted_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return sampling.weighted_sample_per_group(
+        t["documents"], "source", "doc_id", F.col("n_chars").cast("double"), k=5
+    ).select("source", "doc_id", "n_chars", "sample_rank")
+
+
+QUERIES["sample_weighted_per_source"] = q_sample_weighted_per_source
+ORACLES["sample_weighted_per_source"] = f"""
+    SELECT source, doc_id, n_chars, sample_rank FROM (
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ROUND(pow({_U32}, 1.0 / CAST(n_chars AS DOUBLE)), 12)
+                            DESC, doc_id
+               ) AS INT) AS sample_rank
+        FROM documents WHERE n_chars > 0
+    ) WHERE sample_rank <= 5
+"""
+
+
 QUERIES["sample_weighted"] = q_sample_weighted
 # A-ES key: u^(1/w) with the same md5-derived uniform, rounded to 12dp
 # before ranking (see operators/sampling.py weighted_sample_topk)

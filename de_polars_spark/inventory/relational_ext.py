@@ -1353,3 +1353,45 @@ ORACLES["bloom_join_prefilter"] = f"""
                AS n_false_positives
     FROM probe
 """
+
+
+# --------------------------------------------------------------------- #
+# SCD2 / gaps-and-islands: event-sourced dimension history. Collapse    #
+# each user's consecutive runs of the same event_type into validity     #
+# intervals (valid_from / valid_to, NULL = current) via the classic     #
+# rn-difference island key — two windows + one aggregation, all on the  #
+# same user_id shuffle key. The warehouse "type-2 slowly changing       #
+# dimension build from a change log" primitive.                         #
+# --------------------------------------------------------------------- #
+_common(
+    "scd2_history",
+    """
+    WITH ordered AS (
+        SELECT user_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rns
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_type, grp,
+               MIN(ts) AS valid_from,
+               MAX(ts) AS last_seen,
+               COUNT(*) AS n_events
+        FROM (SELECT user_id, ts, event_type, rn - rns AS grp FROM ordered) g
+        GROUP BY user_id, event_type, grp
+    )
+    SELECT user_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY valid_from) AS INT) AS version,
+           event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from) IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           CAST(n_events AS BIGINT) AS n_events
+    FROM islands
+    """,
+)

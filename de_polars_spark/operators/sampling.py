@@ -145,3 +145,37 @@ def weighted_sample_topk(
         .filter(F.col("sample_rank") <= k)
         .drop("__wkey", "__lrk")
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sample without replacement, per group —
+    the stratified counterpart of :func:`weighted_sample_topk` (same
+    A-ES key: u^(1/w) from the row's md5 uniform, rounded to 12
+    decimals, ties on id).
+
+    One window partitioned by the group key: Catalyst plans a per-
+    partition partial top-k (WindowGroupLimit) before the group
+    shuffle, so at corpus scale each group's candidates collapse to
+    ~k rows per input partition before any data moves — no group ever
+    sorts its full membership on one executor. This is the "give me k
+    docs per source, favoring the long ones" primitive quota-balanced
+    corpus construction runs everywhere.
+    """
+    key = F.round(
+        F.pow(hash_uniform(F.col(id_col), salt), F.lit(1.0) / weight), 12
+    )
+    w = Window.partitionBy(group_col).orderBy(F.desc("__wkey"), F.asc(id_col))
+    return (
+        df.where(weight > 0)
+        .withColumn("__wkey", key)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__wkey")
+    )

@@ -474,3 +474,37 @@ def test_weighted_sample_topk_matches_model(spark, rows, k, salt):
     ranked = sorted(((key(i, w), i) for i, w in data), key=lambda t: (-t[0], t[1]))
     expect = [(i, r + 1) for r, (_, i) in enumerate(ranked[:k])]
     assert got == expect
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 2), st.integers(1, 4)), min_size=1, max_size=10),
+    k=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_weighted_sample_per_group_matches_model(spark, rows, k):
+    """Per-group A-ES vs the python model: rank by (key desc, id asc)
+    WITHIN each group."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from de_polars_spark.operators.sampling import weighted_sample_per_group
+
+    data = [(i, g, float(w)) for i, (g, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid long, grp int, w double")
+    got = {
+        (r["grp"], r["rid"]): r["sample_rank"]
+        for r in weighted_sample_per_group(df, "grp", "rid", F.col("w"), k).collect()
+    }
+
+    def key(i, w):
+        u = int(hashlib.md5(f"{i}".encode()).hexdigest()[:8], 16) / 2**32
+        return float(Decimal(u ** (1.0 / w)).quantize(Decimal("1e-12"), ROUND_HALF_UP))
+
+    expect = {}
+    by_g: dict = {}
+    for i, g, w in data:
+        by_g.setdefault(g, []).append((key(i, w), i))
+    for g, members in by_g.items():
+        for r, (_, i) in enumerate(sorted(members, key=lambda t: (-t[0], t[1]))[:k]):
+            expect[(g, i)] = r + 1
+    assert got == expect
