@@ -78,6 +78,7 @@ _NEVER_SAMPLED = (
     "ann_ivf_index_query",
     "scd2_history",
     "sample_weighted_per_source",
+    "neardup_admission",
 )
 
 

@@ -151,7 +151,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup_pair_graph(spark, sf_dir)
 
 
-def _minhash_oracle() -> str:
+def _minhash_band_ctes() -> str:
+    """Shared DuckDB CTE chain: shingles -> signatures -> LSH band keys."""
     sig_cols = ", ".join(
         "list_aggregate(list_transform(shingles, s -> md5(s || '#%d')), 'min') AS mh%d"
         % (i, i)
@@ -162,13 +163,17 @@ def _minhash_oracle() -> str:
         % (b, b * _BAND_SIZE, b * _BAND_SIZE + 1)
         for b in range(_N_HASHES // _BAND_SIZE)
     )
-    return f"""
-    WITH docs AS (
+    return f"""docs AS (
         SELECT doc_id, {_shingles(2)} AS shingles
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
     ),
     sigs AS (SELECT doc_id, {sig_cols} FROM docs),
-    bands AS ({bands})
+    bands AS ({bands})"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_band_ctes()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a
     JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -179,6 +184,61 @@ def _minhash_oracle() -> str:
 
 QUERIES["dedup_minhash_lsh"] = q_dedup_minhash_lsh
 ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Batch form of the streaming MinHash-LSH admission rule            #
+# (streaming/neardup_ingest.py, which this binds to the oracle):    #
+# a doc is rejected iff it shares a band key with a LOWER-id doc —  #
+# the conservative closure-free online rule. Exercises the exact    #
+# _band_keys code path the foreachBatch sink runs.                  #
+# ---------------------------------------------------------------- #
+def q_neardup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.streaming.neardup_ingest import _band_keys
+
+    t = register_testdata(spark, sf_dir)
+    bands = _band_keys(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, 2
+    )
+    lower = bands.select(
+        "band_id", "band_key", F.col("doc_id").alias("__lo")
+    )
+    rejected = (
+        bands.alias("a")
+        .join(
+            lower.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("__lo") < F.col("a.doc_id")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    admitted = t["documents"].join(rejected, "doc_id", "left_anti")
+    return admitted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_admitted"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+QUERIES["neardup_admission"] = q_neardup_admission
+ORACLES["neardup_admission"] = f"""
+    WITH {_minhash_band_ctes()},
+    rejected AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a
+        JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                   AND b.doc_id < a.doc_id
+        WHERE a.band_key IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_admitted,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM rejected)
+    GROUP BY source
+"""
 
 
 # dedup: SimHash fingerprints

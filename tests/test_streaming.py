@@ -437,3 +437,72 @@ def test_quota_ingest_runs_as_stream(spark, tmp_path):
     finally:
         q.stop()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 4}
+
+
+def test_neardup_ingest_across_batches_and_replay(spark, tmp_path):
+    """MinHash-LSH streaming admission: near-dups of admitted history
+    (and of lower-id batchmates) are rejected; replay is a no-op."""
+    from de_polars_spark.streaming.neardup_ingest import neardup_ingest_sink
+
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ingest = neardup_ingest_sink("doc_id", "text", state, out)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),  # near-dup of 1
+            (3, "completely different text about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    ingest(b0, 0)
+    got0 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got0 == {1, 3}  # 2 collides with lower-id batchmate 1
+
+    b1 = spark.createDataFrame(
+        [
+            (4, "the quick brown fox jumps over the lazy dog"),  # history hit
+            (5, "an entirely fresh sentence with novel words"),
+        ],
+        "doc_id long, text string",
+    )
+    ingest(b1, 1)
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3, 5}
+
+    ingest(b1, 1)  # replay: committed batch dirs detected, no change
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3, 5}
+    # state covers exactly the admitted docs' band keys
+    n_bands = 8 // 2
+    assert spark.read.parquet(state).count() <= 3 * n_bands
+
+
+def test_neardup_ingest_runs_as_stream(spark, tmp_path):
+    from de_polars_spark.streaming.neardup_ingest import neardup_ingest_sink
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "unrelated words entirely here"),
+        ],
+        schema,
+    ).write.parquet(src)
+    out, state = str(tmp_path / "o"), str(tmp_path / "s")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            neardup_ingest_sink("doc_id", "text", state, out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
