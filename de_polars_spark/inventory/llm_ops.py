@@ -109,13 +109,52 @@ def _pair_graph_artifact_dir(sf_dir: str) -> str:
     )
 
 
+def _components_artifact_dir(sf_dir: str) -> str:
+    """Derived artifact: connected-component labels over the pair graph
+    (content-addressed on the pair-graph tag + the components impl)."""
+    import hashlib
+    import inspect
+
+    base = _pair_graph_artifact_dir(sf_dir)
+    tag = hashlib.md5(
+        inspect.getsource(dedup.connected_components).encode()
+    ).hexdigest()[:8]
+    return f"{base}_comps_{tag}"
+
+
 def clear_dedup_pair_artifacts(sf_dir: str) -> None:
-    """Delete the cached pair graph for ``sf_dir`` (bench warm-up calls
-    this so the first graph-family query pays — and measures — the
-    build instead of inheriting a previous session's artifact)."""
+    """Delete the cached pair graph AND the derived component labels for
+    ``sf_dir`` (bench warm-up calls this so the first graph-family
+    query pays — and measures — the build instead of inheriting a
+    previous session's artifact)."""
     import shutil
 
     shutil.rmtree(_pair_graph_artifact_dir(sf_dir), ignore_errors=True)
+    shutil.rmtree(_components_artifact_dir(sf_dir), ignore_errors=True)
+
+
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component labels of the shared pair graph, computed once.
+
+    The min-label propagation is the expensive step downstream of the
+    pair graph (~6 iterative jobs), and THREE inventory queries consume
+    the identical labels (component summary, keep-best survivor
+    selection, cluster-size histogram) — at 100 TB you run the closure
+    once and every cluster analysis reads the label table. Same
+    content-addressed write-then-rename protocol as the pair graph."""
+    import os
+    import shutil
+
+    path = _components_artifact_dir(sf_dir)
+    if not os.path.exists(path):
+        comps = dedup.connected_components(_dedup_pair_graph(spark, sf_dir))
+        tmp = f"{path}.tmp-{os.getpid()}"
+        comps.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # another session won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(path)
 
 
 def _dedup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -362,9 +401,7 @@ ORACLES["dedup_embedding_cosine"] = f"""
 # propagation with per-round lineage truncation; oracle: DuckDB
 # recursive-CTE transitive closure over the identical pair set.
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _dedup_pair_graph(spark, sf_dir)
-    comps = dedup.connected_components(pairs)
-    return dedup.component_summary(comps)
+    return dedup.component_summary(_dedup_components(spark, sf_dir))
 
 
 QUERIES["dedup_components"] = q_dedup_components
@@ -1512,8 +1549,7 @@ ORACLES["mixture_resample_sqrt"] = f"""
 # ---------------------------------------------------------------- #
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
-    pairs = _dedup_pair_graph(spark, sf_dir)
-    comps = dedup.connected_components(pairs)
+    comps = _dedup_components(spark, sf_dir)
     return dedup.select_canonical(comps, t["documents"], "doc_id", "n_chars")
 
 
@@ -3052,8 +3088,7 @@ ORACLES["dedup_graph_stats"] = f"""
 # connected-components labels with two tiny aggregations.           #
 # ---------------------------------------------------------------- #
 def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _dedup_pair_graph(spark, sf_dir)
-    comps = dedup.connected_components(pairs)
+    comps = _dedup_components(spark, sf_dir)
     sizes = comps.groupBy("component_id").agg(F.count(F.lit(1)).alias("size"))
     return sizes.groupBy("size").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
