@@ -1363,9 +1363,7 @@ ORACLES["bloom_join_prefilter"] = f"""
 # same user_id shuffle key. The warehouse "type-2 slowly changing       #
 # dimension build from a change log" primitive.                         #
 # --------------------------------------------------------------------- #
-_common(
-    "scd2_history",
-    """
+_SCD2_SQL = """
     WITH ordered AS (
         SELECT user_id, ts, event_type,
                ROW_NUMBER() OVER (PARTITION BY user_id
@@ -1377,21 +1375,25 @@ _common(
     islands AS (
         SELECT user_id, event_type, grp,
                MIN(ts) AS valid_from,
+               MIN(rn) AS first_rn,
                MAX(ts) AS last_seen,
                COUNT(*) AS n_events
-        FROM (SELECT user_id, ts, event_type, rn - rns AS grp FROM ordered) g
+        FROM (SELECT user_id, ts, event_type, rn, rn - rns AS grp FROM ordered) g
         GROUP BY user_id, event_type, grp
     )
     SELECT user_id,
            CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                                   ORDER BY valid_from) AS INT) AS version,
+                                   ORDER BY valid_from, first_rn) AS INT)
+               AS version,
            event_type, valid_from,
            LEAD(valid_from) OVER (PARTITION BY user_id
-                                  ORDER BY valid_from) AS valid_to,
+                                  ORDER BY valid_from, first_rn) AS valid_to,
            CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
-                                            ORDER BY valid_from) IS NULL
+                                            ORDER BY valid_from, first_rn)
+                     IS NULL
                 THEN 1 ELSE 0 END AS is_current,
            CAST(n_events AS BIGINT) AS n_events
     FROM islands
-    """,
-)
+    """
+
+_common("scd2_history", _SCD2_SQL)

@@ -508,3 +508,98 @@ def test_weighted_sample_per_group_matches_model(spark, rows, k):
         for r, (_, i) in enumerate(sorted(members, key=lambda t: (-t[0], t[1]))[:k]):
             expect[(g, i)] = r + 1
     assert got == expect
+
+
+@given(
+    dim_keys=st.sets(st.integers(0, 30), max_size=8),
+    probe_keys=st.lists(st.integers(0, 30), min_size=1, max_size=15),
+    m=st.sampled_from([64, 256]),
+    k=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_bloom_matches_model(spark, dim_keys, probe_keys, m, k):
+    """bloom_bits + bloom_flag vs the python model: identical md5-derived
+    bit set, identical flags (so false positives match too — the filter
+    is engine-reproducible, not just false-negative-free)."""
+    import hashlib
+
+    from de_polars_spark.operators import bloom
+
+    dim = spark.createDataFrame([(x,) for x in dim_keys] or [(999,)], ["key"])
+    model_keys = dim_keys or {999}
+    probe = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(probe_keys)], ["rid", "key"]
+    )
+
+    def pos(key, i):
+        return int(hashlib.md5(f"{key}#b{i}".encode()).hexdigest()[:15], 16) % m
+
+    bits = {pos(x, i) for x in model_keys for i in range(k)}
+    got_bits = {r["pos"] for r in bloom.bloom_bits(dim, "key", m=m, k=k).collect()}
+    assert got_bits == bits
+    flagged = bloom.bloom_flag(probe, "key", bloom.bloom_bits(dim, "key", m=m, k=k), m=m, k=k)
+    got = {r["rid"]: r["bloom_hit"] for r in flagged.collect()}
+    for i, x in enumerate(probe_keys):
+        assert got[i] == all(pos(x, j) in bits for j in range(k)), (i, x)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(0, 5), st.sampled_from("ab")),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_scd2_islands_match_model(spark, events):
+    """The rn-difference islands build vs a python run-length scan —
+    including equal-timestamp ties (broken by event_id in both)."""
+    rows = [
+        (eid, u, t * 1_000_000, et) for eid, (u, t, et) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, tus long, event_type string"
+    ).selectExpr("event_id", "user_id", "timestamp_micros(tus) AS ts", "event_type")
+    # a uniquely-named view so the shared session's registered `events`
+    # testdata view is never shadowed for later tests
+    df.createOrReplaceTempView("scd2_prop_events")
+    import de_polars_spark.inventory.relational_ext as rx
+
+    sql = rx.render(rx._SCD2_SQL, "spark").replace(
+        "FROM events", "FROM scd2_prop_events"
+    )
+    got = {
+        (r["user_id"], r["version"]): (
+            r["event_type"],
+            r["valid_from"],
+            r["valid_to"],
+            r["is_current"],
+            r["n_events"],
+        )
+        for r in spark.sql(sql).collect()
+    }
+    # model: per user, order by (ts, event_id), run-length encode
+    from collections import defaultdict
+
+    by_u = defaultdict(list)
+    for eid, (u, t, et) in enumerate(events):
+        by_u[u].append((t, eid, et))
+    expect = {}
+    for u, evs in by_u.items():
+        runs = []
+        for t, eid, et in sorted(evs):
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, t, 1])
+        for v, (et, start, n) in enumerate(runs, 1):
+            nxt = runs[v][1] if v < len(runs) else None
+            expect[(u, v)] = (et, start, nxt, 1 if nxt is None else 0, n)
+    assert len(got) == len(expect)
+    for key, (et, start, nxt, cur, n) in expect.items():
+        g_et, g_from, g_to, g_cur, g_n = got[key]
+        assert (g_et, g_cur, g_n) == (et, cur, n), key
+        assert int(g_from.timestamp()) == start, key
+        assert (g_to is None) == (nxt is None), key
+        if nxt is not None:
+            assert int(g_to.timestamp()) == nxt, key
