@@ -603,3 +603,68 @@ def test_scd2_islands_match_model(spark, events):
         assert (g_to is None) == (nxt is None), key
         if nxt is not None:
             assert int(g_to.timestamp()) == nxt, key
+
+
+@given(
+    batch0=st.lists(st.lists(st.sampled_from("abc"), max_size=3), min_size=1, max_size=5),
+    batch1=st.lists(st.lists(st.sampled_from("abc"), max_size=3), min_size=1, max_size=5),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+def test_neardup_admission_matches_model(spark, batch0, batch1):
+    """The streaming MinHash-LSH admission sink vs a python model of its
+    documented semantics: reject on any band-key collision with admitted
+    history or with a lower-id batchmate; token-less docs always admit."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from de_polars_spark.streaming.neardup_ingest import neardup_ingest_sink
+
+    n_hashes, band_size = 4, 2
+
+    def bands_of(toks):
+        grams = set(toks)
+        if not grams:
+            return set()
+        mh = [
+            min(hashlib.md5(f"{g}#{i}".encode()).hexdigest() for g in grams)
+            for i in range(n_hashes)
+        ]
+        return {
+            (b, hashlib.md5((mh[2 * b] + mh[2 * b + 1]).encode()).hexdigest())
+            for b in range(n_hashes // band_size)
+        }
+
+    docs0 = [(i, " ".join(toks)) for i, toks in enumerate(batch0)]
+    docs1 = [(100 + i, " ".join(toks)) for i, toks in enumerate(batch1)]
+
+    # python model
+    state: set = set()
+    expect: set = set()
+    for batch in (docs0, docs1):
+        batch_admitted = []
+        for did, text in batch:  # ids ascending within each batch
+            bk = bands_of(text.split())
+            hist_hit = bool(bk & state)
+            lower_hit = any(
+                bk & bands_of(t.split()) for d, t in batch if d < did
+            )
+            if not (hist_hit or lower_hit):
+                batch_admitted.append((did, bk))
+        for did, bk in batch_admitted:
+            expect.add(did)
+            state |= bk
+
+    d = tempfile.mkdtemp()
+    try:
+        sink = neardup_ingest_sink(
+            "doc_id", "text", f"{d}/state", f"{d}/out",
+            n_hashes=n_hashes, band_size=band_size, shingle_n=1,
+        )
+        sink(spark.createDataFrame(docs0, "doc_id long, text string"), 0)
+        sink(spark.createDataFrame(docs1, "doc_id long, text string"), 1)
+        got = {r.doc_id for r in spark.read.parquet(f"{d}/out").collect()}
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expect, (batch0, batch1)
