@@ -427,13 +427,16 @@ def ngram_jaccard_pairs(
     prefix_len = (
         F.size("ordered") - F.ceil(F.lit(threshold) * F.size("ordered")) + 1
     ).cast("int")
+    # the sorted (df, shingle) structs are sliced and exploded as-is —
+    # no transform() lambda (higher-order functions evaluate interpreted,
+    # outside whole-stage codegen); the shingle is projected out of the
+    # struct AFTER the explode, which codegen handles natively
     pre = (
         exf.groupBy(id_col, "block")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "shingle"))),
-                lambda s: s["shingle"],
-            ).alias("ordered")
+            F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias(
+                "ordered"
+            )
         )
         .select(
             id_col,
@@ -458,11 +461,11 @@ def ngram_jaccard_pairs(
             "block",
             F.col("__n"),
             F.col(id_col).alias("__id"),
-            F.posexplode("prefix").alias("p", "shingle"),
+            F.posexplode("prefix").alias("p", "pref"),
         )
         .select(
             "block",
-            "shingle",
+            F.col("pref")["shingle"].alias("shingle"),
             F.struct(
                 F.col("__id").alias("id"),
                 F.col("__n").alias("n"),

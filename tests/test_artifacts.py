@@ -1,0 +1,70 @@
+"""Artifact-protocol robustness: the content-addressed parquet caches
+(MinHash pair graph, component labels, IVF index) must be rebuild-free
+on reuse, self-healing around leftover tmp dirs, and keyed per corpus."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from de_polars_spark.inventory import llm_ops as L
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def clean_artifacts():
+    L.clear_dedup_pair_artifacts(SF)
+    L.clear_ivf_index_artifacts(SF)
+    yield
+    L.clear_dedup_pair_artifacts(SF)
+    L.clear_ivf_index_artifacts(SF)
+
+
+def test_pair_graph_artifact_reused_not_rebuilt(spark, clean_artifacts):
+    path = L._pair_graph_artifact_dir(SF)
+    assert not os.path.exists(path)
+    n1 = L._dedup_pair_graph(spark, SF).count()
+    assert os.path.exists(path)
+    mtime = os.path.getmtime(path)
+    n2 = L._dedup_pair_graph(spark, SF).count()
+    assert n1 == n2
+    assert os.path.getmtime(path) == mtime  # served from the artifact
+
+    # component labels derive from (and live beside) the pair artifact
+    comps_path = L._components_artifact_dir(SF)
+    L._dedup_components(spark, SF)
+    assert os.path.exists(comps_path)
+    # one clear removes both layers
+    L.clear_dedup_pair_artifacts(SF)
+    assert not os.path.exists(path) and not os.path.exists(comps_path)
+
+
+def test_pair_graph_leftover_tmp_is_harmless(spark, clean_artifacts):
+    path = L._pair_graph_artifact_dir(SF)
+    stale = f"{path}.tmp-99999"
+    os.makedirs(stale, exist_ok=True)
+    n = L._dedup_pair_graph(spark, SF).count()
+    assert n > 0 and os.path.exists(path)
+
+
+def test_artifacts_are_keyed_per_corpus(spark):
+    a = L._pair_graph_artifact_dir("/root/testdata/sf0.001")
+    b = L._pair_graph_artifact_dir("/root/testdata/sf0.01")
+    assert a != b  # an sf_dir switch can never serve the other corpus
+    assert L._ivf_index_dir("/root/testdata/sf0.001") != L._ivf_index_dir(
+        "/root/testdata/sf0.01"
+    )
+
+
+def test_ivf_index_artifact_roundtrip(spark, clean_artifacts):
+    from de_polars_spark.operators import similarity
+
+    path = L._ensure_ivf_index(spark, SF)
+    cents, postings = similarity.load_ivf_index(spark, path)
+    assert len(cents) > 0
+    n = postings.count()
+    # second ensure serves the same artifact
+    assert L._ensure_ivf_index(spark, SF) == path
+    assert postings.count() == n
