@@ -20,6 +20,9 @@ user queries run unchanged:
 - ``strftime(x, '%Y-%m')``          → ``date_format(x, 'yyyy-MM')``
   (the %Y %m %d %H %M %S subset; unknown tokens pass through and fail
   in the analyzer rather than silently emitting a wrong format).
+- ``QUALIFY pred``                  → wrapped ``WHERE`` on a computed
+  predicate column (post-grouping window timing preserved; predicate
+  must reference SELECTed columns — see ``_rewrite_qualify``)
 - name-only function renames: ``string_split``/``list_distinct``/
   ``list_contains``/``list_sort``/``list_transform``/``list_filter``/
   ``array_to_string`` → their Spark equivalents (same signatures;
@@ -144,8 +147,118 @@ def _rewrite_segment(seg: str) -> str:
     return seg
 
 
+_WORD = re.compile(r"[A-Za-z_]\w*")
+_QUALIFY_STOP = {"ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT"}
+
+
+def _scan_tokens(sql: str):
+    """Yield (kind, start, end) over SQL: 'str' literals, 'word's, and
+    single chars — the minimal lexer the QUALIFY rewrite needs."""
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'" and not (j + 1 < n and sql[j + 1] == "'"):
+                    break
+                j += 2 if sql[j] == "'" else 1
+            yield ("str", i, j + 1)
+            i = j + 1
+        elif ch.isalpha() or ch == "_":
+            m = _WORD.match(sql, i)
+            yield ("word", i, m.end())
+            i = m.end()
+        else:
+            yield ("char", i, i + 1)
+            i += 1
+
+
+def _rewrite_qualify(sql: str, _n: int = 0) -> str:
+    """DuckDB ``QUALIFY pred`` → a wrapped ``WHERE`` on a computed
+    predicate column (Spark has no QUALIFY clause)::
+
+        SELECT body QUALIFY pred [tail]
+        → SELECT * EXCEPT (__qpN) FROM
+            (SELECT *, (pred) AS __qpN FROM (SELECT body) __qbN) __qsN
+          WHERE __qpN [tail]
+
+    Window functions in ``pred`` evaluate over the body's output — the
+    post-grouping timing QUALIFY specifies. LIMITATION: the predicate
+    may reference only columns the body SELECTs (DuckDB also allows
+    un-projected source columns; those surface as an analyzer error
+    here, never as wrong rows). Innermost QUALIFY rewrites first so
+    nested subqueries compose."""
+    # locate all QUALIFY keywords with their paren depth
+    hits = []  # (depth, start, end)
+    depth = 0
+    for kind, s, e in _scan_tokens(sql):
+        if kind == "char":
+            if sql[s] == "(":
+                depth += 1
+            elif sql[s] == ")":
+                depth -= 1
+        elif kind == "word" and sql[s:e].upper() == "QUALIFY":
+            hits.append((depth, s, e))
+    if not hits:
+        return sql
+    d, qs, qe = max(hits)  # deepest (innermost) first
+    # scope start: nearest preceding SELECT at depth d
+    sel_start = None
+    depth = 0
+    for kind, s, e in _scan_tokens(sql[:qs]):
+        if kind == "char":
+            if sql[s] == "(":
+                depth += 1
+            elif sql[s] == ")":
+                depth -= 1
+        elif kind == "word" and depth == d and sql[s:e].upper() == "SELECT":
+            sel_start = s
+    if sel_start is None:  # malformed; leave for the analyzer to reject
+        return sql
+    # predicate end / scope end: scan forward from the predicate
+    pred_end = scope_end = len(sql)
+    depth = d
+    for kind, s, e in _scan_tokens(sql[qe:]):
+        s += qe
+        e += qe
+        if kind == "char":
+            if sql[s] == "(":
+                depth += 1
+            elif sql[s] == ")":
+                depth -= 1
+                if depth < d:
+                    pred_end = min(pred_end, s)
+                    scope_end = s
+                    break
+            elif sql[s] == ";" and depth == d:
+                pred_end = min(pred_end, s)
+                scope_end = s
+                break
+        elif (
+            kind == "word"
+            and depth == d
+            and sql[s:e].upper() in _QUALIFY_STOP
+        ):
+            pred_end = s
+            break
+    body = sql[sel_start:qs].strip()
+    pred = sql[qe:pred_end].strip()
+    tail = sql[pred_end:scope_end]
+    tag = _n
+    new_scope = (
+        f"SELECT * EXCEPT (__qp{tag}) FROM "
+        f"(SELECT *, ({pred}) AS __qp{tag} FROM ({body}) __qb{tag}) __qs{tag} "
+        f"WHERE __qp{tag} {tail}"
+    )
+    return _rewrite_qualify(
+        sql[:sel_start] + new_scope + sql[scope_end:], _n + 1
+    )
+
+
 def translate_duckdb_sql(sql: str) -> str:
     """Rewrite DuckDB-dialect SQL into Spark SQL."""
+    sql = _rewrite_qualify(sql)
     # Path-literal table refs first (they involve quoted strings on purpose).
     sql = _MAP_ACCESS_CAST.sub(
         lambda m: f"CAST({m.group('expr')} AS {m.group('type')})", sql

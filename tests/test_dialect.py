@@ -136,3 +136,49 @@ def test_list_function_family_renames(spark, sf_dir):
         )
     ).count()
     assert n == 3
+
+
+def test_qualify_rewrite_topk(spark):
+    from de_polars_spark.engine.dialect import translate_duckdb_sql
+
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 5), (5, "b", 50)],
+        "id int, grp string, v int",
+    ).createOrReplaceTempView("qt")
+    sql = translate_duckdb_sql(
+        "SELECT id, grp, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v DESC)"
+        " AS rn FROM qt QUALIFY rn <= 1 ORDER BY grp"
+    )
+    rows = [(r.id, r.grp, r.rn) for r in spark.sql(sql).collect()]
+    assert rows == [(3, "a", 1), (5, "b", 1)]
+    # the helper predicate column never leaks into the output schema
+    assert [f.name for f in spark.sql(sql).schema] == ["id", "grp", "rn"]
+
+
+def test_qualify_rewrite_direct_window_expr(spark):
+    from de_polars_spark.engine.dialect import translate_duckdb_sql
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, grp string"
+    ).createOrReplaceTempView("qt2")
+    sql = translate_duckdb_sql(
+        "SELECT id, grp FROM qt2 "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) = 1"
+    )
+    assert {(r.id, r.grp) for r in spark.sql(sql).collect()} == {(1, "a"), (3, "b")}
+
+
+def test_qualify_rewrite_in_subquery(spark):
+    from de_polars_spark.engine.dialect import translate_duckdb_sql
+
+    spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "id int, v int"
+    ).createOrReplaceTempView("qt3")
+    sql = translate_duckdb_sql(
+        "SELECT SUM(v) AS s FROM (SELECT id, v, RANK() OVER (ORDER BY v DESC)"
+        " AS rk FROM qt3 QUALIFY rk <= 2) top2"
+    )
+    assert spark.sql(sql).collect()[0]["s"] == 50
+    # a QUALIFY inside a string literal is never rewritten
+    passthrough = translate_duckdb_sql("SELECT 'no QUALIFY here' AS s")
+    assert "__qp" not in passthrough
