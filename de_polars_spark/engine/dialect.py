@@ -20,6 +20,10 @@ user queries run unchanged:
 - ``strftime(x, '%Y-%m')``          → ``date_format(x, 'yyyy-MM')``
   (the %Y %m %d %H %M %S subset; unknown tokens pass through and fail
   in the analyzer rather than silently emitting a wrong format).
+- ``arr[1]`` (1-based list index)   → ``element_at(arr, 1)`` (also
+  1-based — passing ``[]`` through would silently read the WRONG
+  element, Spark's being 0-based; string-key map access is untouched)
+- ``USING SAMPLE 10%`` / ``N ROWS`` → ``TABLESAMPLE (...)``
 - ``QUALIFY pred``                  → wrapped ``WHERE`` on a computed
   predicate column (post-grouping window timing preserved; predicate
   must reference SELECTed columns — see ``_rewrite_qualify``)
@@ -106,6 +110,23 @@ _FN_CALL = re.compile(
 _EXCLUDE = re.compile(r"(?<=\*)\s+EXCLUDE\s*\(", re.IGNORECASE)
 _LIST_AGG = re.compile(r"\bLIST\s*\(", re.IGNORECASE)
 _INT_DIV = re.compile(r"(?<=[\w)\s])//(?=[\w(\s])")
+# DuckDB list indexing is 1-based; Spark's [] on arrays is 0-based — a
+# silent off-by-one if passed through. Conservative shape (identifier or
+# dotted path, integer-literal index) → element_at, which is 1-based in
+# Spark and matches DuckDB exactly. Map access with string keys (same
+# semantics both engines) is untouched.
+_LIST_INDEX = re.compile(r"\b([A-Za-z_][\w.]*)\[(\d+)\]")
+# DuckDB USING SAMPLE → Spark TABLESAMPLE (percent or row forms)
+_USING_SAMPLE = re.compile(
+    r"\bUSING\s+SAMPLE\s+(?P<n>\d+(?:\.\d+)?)\s*"
+    r"(?P<unit>%|PERCENT\b|ROWS\b)?",
+    re.IGNORECASE,
+)
+
+
+def _using_sample_repl(m: re.Match) -> str:
+    unit = (m.group("unit") or "ROWS").upper().replace("%", "PERCENT")
+    return f"TABLESAMPLE ({m.group('n')} {unit})"
 
 #: strftime '%X' tokens → Spark date_format pattern letters (the common
 #: subset the reference's assets use; unknown tokens are left alone and
@@ -142,6 +163,10 @@ def _rewrite_segment(seg: str) -> str:
     seg = _LIST_AGG.sub("collect_list(", seg)
     # DuckDB integer division -> Spark div
     seg = _INT_DIV.sub(" div ", seg)
+    # 1-based list indexing -> element_at (also 1-based)
+    seg = _LIST_INDEX.sub(lambda m: f"element_at({m.group(1)}, {m.group(2)})", seg)
+    # USING SAMPLE -> TABLESAMPLE
+    seg = _USING_SAMPLE.sub(_using_sample_repl, seg)
     # name-only function renames (list_* family etc.)
     seg = _FN_CALL.sub(lambda m: _FN_MAP[m.group(1).lower()] + "(", seg)
     return seg

@@ -182,3 +182,27 @@ def test_qualify_rewrite_in_subquery(spark):
     # a QUALIFY inside a string literal is never rewritten
     passthrough = translate_duckdb_sql("SELECT 'no QUALIFY here' AS s")
     assert "__qp" not in passthrough
+
+
+def test_list_index_one_based(spark):
+    from de_polars_spark.engine.dialect import translate_duckdb_sql
+
+    sql = translate_duckdb_sql("SELECT arr[1] AS first FROM "
+                               "(SELECT array('a', 'b', 'c') AS arr)")
+    assert "element_at(arr, 1)" in sql
+    assert spark.sql(sql).collect()[0]["first"] == "a"  # DuckDB semantics
+    # string-key map access untouched (same semantics both engines)
+    passthrough = translate_duckdb_sql("SELECT m['k'] FROM t")
+    assert "element_at" not in passthrough
+
+
+def test_using_sample_to_tablesample(spark):
+    from de_polars_spark.engine.dialect import translate_duckdb_sql
+
+    spark.range(100).createOrReplaceTempView("st")
+    pct = translate_duckdb_sql("SELECT count(*) AS n FROM st USING SAMPLE 50%")
+    assert "TABLESAMPLE (50 PERCENT)" in pct
+    assert 0 <= spark.sql(pct).collect()[0]["n"] <= 100
+    rows = translate_duckdb_sql("SELECT * FROM st USING SAMPLE 5 ROWS")
+    assert "TABLESAMPLE (5 ROWS)" in rows
+    assert len(spark.sql(rows).collect()) == 5
