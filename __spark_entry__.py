@@ -79,6 +79,7 @@ _NEVER_SAMPLED = (
     "scd2_history",
     "sample_weighted_per_source",
     "neardup_admission",
+    "ann_ivf_index_append",
 )
 
 

@@ -2734,11 +2734,13 @@ def _ivf_index_dir(sf_dir: str) -> str:
 
 
 def clear_ivf_index_artifacts(sf_dir: str) -> None:
-    """bench.py warm-up hook: the build query must pay (and measure)
-    the index construction inside the run."""
+    """bench.py warm-up hook: the build (and append) queries must pay
+    — and measure — the index construction inside the run."""
     import shutil
 
-    shutil.rmtree(_ivf_index_dir(sf_dir), ignore_errors=True)
+    base = _ivf_index_dir(sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(f"{base}_appended", ignore_errors=True)
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
@@ -2807,6 +2809,69 @@ def q_ann_ivf_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ann_ivf_index_query"] = q_ann_ivf_index_query
 ORACLES["ann_ivf_index_query"] = _ivf_kmeans_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Incremental index maintenance: a "new crawl" batch (the same      #
+# embeddings with shifted ids, a deterministic stand-in) appends    #
+# into a COPY of the persisted index with the quantizer frozen —    #
+# map-only assignment, postings appended per cell, history never    #
+# rewritten. The audit doubles every cell count and the oracle      #
+# derives the exact same totals from one assignment CTE.            #
+# ---------------------------------------------------------------- #
+_APPEND_ID_SHIFT = 1_000_000
+
+
+def q_ann_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    t = register_testdata(spark, sf_dir)
+    base = _ensure_ivf_index(spark, sf_dir)
+    path = f"{base}_appended"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        batch = t["embeddings"].select(
+            (F.col("vec_id") + _APPEND_ID_SHIFT).alias("vec_id"), "embedding"
+        )
+        similarity.append_ivf_index(batch, "vec_id", "embedding", tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent session won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    _, postings = similarity.load_ivf_index(spark, path)
+    return postings.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("neighbor_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+def _ivf_index_append_oracle() -> str:
+    ctes, _final_a, final_c = _kmeans_chain()
+    return (
+        ctes
+        + f""",
+    cents AS (SELECT cid, v AS cv FROM {final_c}),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT x.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM e x CROSS JOIN cents c) a
+        WHERE rn = 1)
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(2 * COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(2 * SUM(vec_id) + COUNT(*) * {_APPEND_ID_SHIFT} AS BIGINT)
+               AS id_checksum
+    FROM assign GROUP BY cell
+"""
+    )
+
+
+QUERIES["ann_ivf_index_append"] = q_ann_ivf_index_append
+ORACLES["ann_ivf_index_append"] = _ivf_index_append_oracle()
 
 
 # ---------------------------------------------------------------- #

@@ -189,6 +189,39 @@ def build_ivf_index(
     cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
 
 
+def append_ivf_index(
+    corpus: DataFrame, id_col: str, vec_col: str, path: str
+) -> None:
+    """Incrementally add vectors to a persisted IVF index — the
+    maintenance path a production embedding store runs nightly: the
+    coarse quantizer is FROZEN (loaded from the index, not refit), new
+    vectors are assigned map-only against the broadcast centroids, and
+    their postings APPEND as new files inside the existing cell
+    partitions. No touched history, no shuffle of the old postings, no
+    refit — the standard IVF trade-off that assignment quality decays
+    as the corpus drifts from the fitted centroids (rebuild via
+    ``build_ivf_index`` when recall drops)."""
+    import os
+
+    cents = sorted(
+        (int(r["cid"]), list(r["cv"]))
+        for r in corpus.sparkSession.read.parquet(
+            os.path.join(path, "centroids")
+        ).collect()
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
+    ).select(
+        "neighbor_id",
+        "cv",
+        VX.norm(F.col("cv")).alias("cn"),
+        F.element_at(_centroid_scores(F.col("cv"), cents), 1)["cid"].alias("cell"),
+    )
+    c.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "postings")
+    )
+
+
 def load_ivf_index(spark, path: str) -> tuple[list, DataFrame]:
     """Load a persisted IVF index: ``(centroids, postings)``.
 

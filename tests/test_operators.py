@@ -401,3 +401,22 @@ def test_ivf_index_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, from_idx.collect())
     )
+
+
+def test_ivf_index_append_frozen_quantizer(spark, tmp_path):
+    from de_polars_spark.operators import similarity
+
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (10, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, ["emb_id", "vec"])
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "emb_id", "vec", cents, path)
+    batch = spark.createDataFrame(
+        [(20, [0.95, 0.05]), (21, [0.1, 0.9])], ["emb_id", "vec"]
+    )
+    similarity.append_ivf_index(batch, "emb_id", "vec", path)
+    loaded_cents, postings = similarity.load_ivf_index(spark, path)
+    assert loaded_cents == [(0, [1.0, 0.0]), (1, [0.0, 1.0])]  # frozen
+    cells = {r["neighbor_id"]: r["cell"] for r in postings.collect()}
+    assert len(cells) == 5  # history intact + batch appended
+    assert cells[20] == 0 and cells[21] == 1  # assigned by frozen centroids
