@@ -26,9 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 head: the two queries whose LATEST driver row is red (both fixed
 # and strict-hash green locally — they only need resampling), followed by the
 # 32 queries that have never appeared in any CORRECTNESS_r01..r03 sample
-# (computed as set(QUERIES) − union of r1-r3 keys). 34 names ≤ the driver's
-# 50-query sample, so this round gives every one of the 142 inventory
-# queries a current green driver row.
+# (computed as set(QUERIES) − union of r1-r3 keys), followed by the 13
+# round-4 additions. 48 names ≤ the driver's 50-query sample, so this round
+# gives every inventory query a current green driver row.
 _NEVER_SAMPLED = (
     # the KPI-view materialization wave (one-time per session) is paid by
     # the first KPI query in suite order: keep that absorber FIRST so the
@@ -80,6 +80,13 @@ _NEVER_SAMPLED = (
     "sample_weighted_per_source",
     "neardup_admission",
     "ann_ivf_index_append",
+    # new scale-layout ops (inventory/scale_ops.py) — no driver row yet
+    "bucketed_colocated_join",
+    "zorder_clustering_stats",
+    "table_fingerprint",
+    "fk_integrity_report",
+    "negative_pair_sample",
+    "freshness_lag_report",
 )
 
 

@@ -72,6 +72,11 @@ def main() -> None:
 
     clear_dedup_pair_artifacts(sf_dir)
     clear_ivf_index_artifacts(sf_dir)
+    # and the bucketed-table layouts: the shuffle-once write is measured
+    # by the first bucketed-join query in the run
+    from de_polars_spark.operators.bucketing import clear_bucketed_artifacts
+
+    clear_bucketed_artifacts(spark, sf_dir)
 
     from de_polars_spark.operators.dedup import release_cached
 

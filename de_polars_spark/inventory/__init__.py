@@ -30,13 +30,14 @@ def _load() -> tuple[dict, dict]:
         llm_ops,
         pricing,
         relational_ext,
+        scale_ops,
         streaming_ops,
     )
 
     queries: dict = {}
     oracles: dict = {}
     for mod in (core_sql, llm_ops, finops, kpi_views, pricing, driver_math,
-                streaming_ops, relational_ext):
+                streaming_ops, relational_ext, scale_ops):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

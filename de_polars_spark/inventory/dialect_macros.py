@@ -107,6 +107,21 @@ MACROS: dict[str, dict[str, str]] = {
         "spark": "unix_micros(CAST({0} AS TIMESTAMP))",
         "duckdb": "epoch_us({0})",
     },
+    # timestamp canonicalized to second precision as a plain string —
+    # the engine-neutral form for row fingerprints (raw TIMESTAMP->string
+    # casts disagree on fractional-second rendering between engines)
+    "TS_STR": {
+        "spark": "date_format({0}, 'yyyy-MM-dd HH:mm:ss')",
+        "duckdb": "strftime({0}, '%Y-%m-%d %H:%M:%S')",
+    },
+    # double canonicalized to a 2-decimal string: double->DECIMAL(18,2)
+    # never hits a round-half tie (no finite double is exactly x.xx5), so
+    # HALF_UP (Spark) and round-half-even (DuckDB) agree; decimals render
+    # with full scale in both engines ('1.00', '-12.34')
+    "MONEY_STR": {
+        "spark": "CAST(CAST({0} AS DECIMAL(18,2)) AS STRING)",
+        "duckdb": "CAST(CAST({0} AS DECIMAL(18,2)) AS VARCHAR)",
+    },
 }
 
 

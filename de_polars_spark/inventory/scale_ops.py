@@ -1,0 +1,300 @@
+"""Scale-layout operator inventory — the storage-side primitives a
+100 TB deployment leans on, each oracle-checked at test SF.
+
+These go beyond the reference's query surface (its single-node engine
+has no notion of cluster layout) but are the direct Spark expression of
+its data-layout ideas: the reference pre-partitions downloaded data for
+locality (de_polars/data_partitioner.py) and validates downloads by
+row-count (de_polars/data/s3_data_manager.py) — here that becomes
+bucketed co-located joins, z-order clustering for scan pruning,
+order-insensitive table fingerprints for replica verification, FK
+integrity gates, deterministic contrastive negative sampling, and a
+pipeline freshness report.
+
+All but the bucketed join render from one common-dialect SQL text
+(dialect_macros.render) so Spark and the DuckDB oracle run the same
+computation; the bucketed join pins the idiomatic DataFrame plan
+(exchange-free SortMergeJoin over bucketed scans) against a plain-SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from de_polars_spark.inventory.dialect_macros import render
+from de_polars_spark.operators import bucketing
+from de_polars_spark.sources.registry import register_testdata
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def _common(name: str, sql: str) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        register_testdata(spark, sf_dir)
+        return spark.sql(render(_sql, "spark"))
+
+    fn.__name__ = f"q_{name}"
+    QUERIES[name] = fn
+    ORACLES[name] = render(sql, "duckdb")
+
+
+# --------------------------------------------------------------------- #
+# bucketed co-located join — shuffle paid once at write, joins forever   #
+# exchange-free (operators/bucketing.py; plan asserted in                #
+# tests/test_bucketing.py)                                               #
+# --------------------------------------------------------------------- #
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    j = bucketing.colocated_join(
+        spark,
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        t["lineitem"].select("l_orderkey", "l_extendedprice", "l_discount"),
+        "orders_j",
+        "lineitem_j",
+        "o_orderkey",
+        "l_orderkey",
+        sf_dir,
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.expr("CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+QUERIES["bucketed_colocated_join"] = q_bucketed_colocated_join
+ORACLES["bucketed_colocated_join"] = render(
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           DSUM(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    "duckdb",
+)
+
+
+# --------------------------------------------------------------------- #
+# z-order clustering — bit-interleaved sort key vs natural layout.       #
+# Buckets stand in for parquet files; per-bucket min/max extents are     #
+# exactly the row-group statistics a scan prunes on, so the extent       #
+# shrink IS the data-skipping win. Bucket assignment is map-only in      #
+# both schemes (range-normalized z-value / key range, bounds being one  #
+# broadcast scalar row) — no global sort in the plan; at scale the same #
+# z-value feeds repartitionByRange + sortWithinPartitions at write.     #
+# --------------------------------------------------------------------- #
+def _z_interleave(pk: str, sk: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"SHIFTL(BITAND(SHIFTR({pk}, {i}), 1), {2 * i})")
+        terms.append(f"SHIFTL(BITAND(SHIFTR({sk}, {i}), 1), {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_common(
+    "zorder_clustering_stats",
+    f"""
+    WITH base AS (
+        SELECT l_orderkey,
+               (l_partkey % 65536) AS pk,
+               (l_suppkey % 65536) AS sk
+        FROM lineitem
+    ),
+    z AS (
+        SELECT l_orderkey, pk, sk,
+               ({_z_interleave('pk', 'sk')}) AS zval
+        FROM base
+    ),
+    bounds AS (
+        SELECT MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx,
+               MIN(zval) AS zmn, MAX(zval) AS zmx
+        FROM z
+    ),
+    buckets AS (
+        SELECT 'zorder' AS scheme,
+               LEAST(63, IDIV((zval - zmn) * 64, (zmx - zmn + 1))) AS bucket,
+               pk, sk
+        FROM z CROSS JOIN bounds
+        UNION ALL
+        SELECT 'natural' AS scheme,
+               LEAST(63, IDIV((l_orderkey - mn) * 64, (mx - mn + 1))) AS bucket,
+               pk, sk
+        FROM z CROSS JOIN bounds
+    ),
+    ext AS (
+        SELECT scheme, bucket,
+               MAX(pk) - MIN(pk) AS ext_pk,
+               MAX(sk) - MIN(sk) AS ext_sk
+        FROM buckets GROUP BY scheme, bucket
+    )
+    SELECT scheme,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           DAVG(ext_pk) AS avg_extent_partkey,
+           DAVG(ext_sk) AS avg_extent_suppkey,
+           CAST(SUM(ext_pk * ext_sk) AS BIGINT) AS sum_bbox_area
+    FROM ext GROUP BY scheme
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# order-insensitive table fingerprint — replica/copy verification.       #
+# Row hash = md5 of a canonicalized projection (timestamps pinned to     #
+# second strings, doubles to 2-decimal strings — see TS_STR/MONEY_STR    #
+# in dialect_macros.py); table fingerprint = SUM of the 60-bit hashes,   #
+# so it is independent of row order and partitioning: two clusters       #
+# verify a 100 TB copy by exchanging one row per table. Commutative      #
+# sum (not xor) keeps duplicate-row multiplicity visible.                #
+# --------------------------------------------------------------------- #
+_common(
+    "table_fingerprint",
+    """
+    WITH rows_all AS (
+        SELECT 'orders' AS table_name,
+               HASH60(concat_ws('|', TO_STR(o_orderkey), TO_STR(o_custkey),
+                      o_orderstatus, MONEY_STR(o_totalprice),
+                      TS_STR(o_orderdate), o_orderpriority)) AS fp
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem',
+               HASH60(concat_ws('|', TO_STR(l_orderkey), TO_STR(l_partkey),
+                      TO_STR(l_suppkey), TO_STR(l_linenumber),
+                      MONEY_STR(l_quantity), MONEY_STR(l_extendedprice),
+                      MONEY_STR(l_discount), MONEY_STR(l_tax),
+                      l_returnflag, l_linestatus, TS_STR(l_shipdate)))
+        FROM lineitem
+        UNION ALL
+        SELECT 'customer',
+               HASH60(concat_ws('|', TO_STR(c_custkey), c_name,
+                      TO_STR(c_nationkey), MONEY_STR(c_acctbal), c_mktsegment))
+        FROM customer
+        UNION ALL
+        SELECT 'supplier',
+               HASH60(concat_ws('|', TO_STR(s_suppkey), s_name,
+                      TO_STR(s_nationkey), MONEY_STR(s_acctbal)))
+        FROM supplier
+    )
+    SELECT table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TO_STR(CAST(SUM(CAST(fp AS DECIMAL(38,0))) AS DECIMAL(38,0)))
+               AS fingerprint
+    FROM rows_all GROUP BY table_name
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# FK integrity report — the referential data-quality gate before a       #
+# training join fans orphans out. LEFT JOIN + null-count per relation;   #
+# small parents broadcast, the fact-fact check shuffles on the key       #
+# (the same shuffle the downstream join would pay anyway). events'      #
+# synthetic user_ids intentionally exceed the customer range, so the     #
+# report shows a real violation, not four zeros.                         #
+# --------------------------------------------------------------------- #
+_common(
+    "fk_integrity_report",
+    """
+    WITH checks AS (
+        SELECT 'lineitem.l_orderkey -> orders' AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_child,
+               CAST(SUM(CASE WHEN p.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM lineitem c LEFT JOIN orders p ON c.l_orderkey = p.o_orderkey
+        UNION ALL
+        SELECT 'orders.o_custkey -> customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM orders c LEFT JOIN customer p ON c.o_custkey = p.c_custkey
+        UNION ALL
+        SELECT 'customer.c_nationkey -> nation',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM customer c LEFT JOIN nation p ON c.c_nationkey = p.n_nationkey
+        UNION ALL
+        SELECT 'events.user_id -> customer',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN p.c_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT)
+        FROM events c LEFT JOIN customer p ON c.user_id = p.c_custkey
+    )
+    SELECT relation, n_child, n_orphans,
+           CAST(n_orphans AS DOUBLE) * 100.0 / n_child AS orphan_pct
+    FROM checks
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# contrastive negative sampling — deterministic pseudo-random negatives  #
+# for embedding training. Each anchor joins exactly one md5 bucket       #
+# (1/32 of the corpus), so the candidate set is bounded and the join is  #
+# an ordinary bucket equi-join — never a cross join; ranking inside the  #
+# bucket is a per-anchor window. Negatives must come from a different    #
+# source (the hard-negative policy a real pipeline applies).             #
+# --------------------------------------------------------------------- #
+_common(
+    "negative_pair_sample",
+    """
+    WITH docs AS (SELECT doc_id, source FROM documents),
+    anchors AS (
+        SELECT doc_id AS anchor_id, source AS anchor_source,
+               (HASH60(concat(TO_STR(doc_id), '#a')) % 32) AS bucket
+        FROM docs WHERE doc_id % 20 = 0
+    ),
+    cands AS (
+        SELECT doc_id AS neg_id, source AS neg_source,
+               (HASH60(TO_STR(doc_id)) % 32) AS bucket
+        FROM docs
+    ),
+    scored AS (
+        SELECT a.anchor_id, c.neg_id, c.neg_source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.anchor_id
+                   ORDER BY md5(concat(TO_STR(a.anchor_id), '|',
+                                       TO_STR(c.neg_id))), c.neg_id
+               ) AS neg_rank
+        FROM anchors a JOIN cands c
+          ON a.bucket = c.bucket
+         AND c.neg_id <> a.anchor_id
+         AND c.neg_source <> a.anchor_source
+    )
+    SELECT anchor_id, neg_id, neg_source, CAST(neg_rank AS INT) AS neg_rank
+    FROM scored WHERE neg_rank <= 2
+    """,
+)
+
+
+# --------------------------------------------------------------------- #
+# pipeline freshness — per-stream ingestion lag vs the newest event      #
+# anywhere; the batch form of a streaming watermark dashboard. Scalar    #
+# global max broadcast via cross join (pct_of_total pattern).            #
+# --------------------------------------------------------------------- #
+_common(
+    "freshness_lag_report",
+    """
+    WITH g AS (SELECT MAX(ts) AS global_max FROM events),
+    per AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts) AS max_ts
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           TS_STR(max_ts) AS latest_event,
+           IDIV(EPOCH_US(global_max) - EPOCH_US(max_ts), 60000000)
+               AS lag_minutes,
+           CASE WHEN EPOCH_US(global_max) - EPOCH_US(max_ts) <= 3600000000
+                THEN 'fresh'
+                WHEN EPOCH_US(global_max) - EPOCH_US(max_ts) <= 86400000000
+                THEN 'stale'
+                ELSE 'dead' END AS freshness
+    FROM per CROSS JOIN g
+    """,
+)
