@@ -72,6 +72,12 @@ CROSS_JOIN_OK = {
     # final assembly of three 1-row aggregates (node stats x edge count
     # x triangle count) — scalar cross joins, scale-safe
     "dedup_graph_stats",
+    # 1-row min/max bounds (key + z-value ranges) crossJoined into the
+    # map-only bucket assignment — scalar broadcast, scale-safe
+    "zorder_clustering_stats",
+    # 1-row global-max-timestamp scalar crossJoined into the per-stream
+    # lag projection (pct_of_total pattern)
+    "freshness_lag_report",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
