@@ -668,3 +668,39 @@ def test_neardup_admission_matches_model(spark, batch0, batch1):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expect, (batch0, batch1)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_z_interleave_matches_python_model(spark, pairs):
+    """The generated SHIFTL/SHIFTR/BITAND interleave expression
+    (inventory/scale_ops._z_interleave, rendered for Spark) must equal
+    the reference Morton encoding: pk bits on even positions, sk bits
+    on odd positions."""
+    from de_polars_spark.inventory.dialect_macros import render
+    from de_polars_spark.inventory.scale_ops import _z_interleave
+
+    def morton(pk: int, sk: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((pk >> i) & 1) << (2 * i)
+            z |= ((sk >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "pk int, sk int")
+    expr = render(_z_interleave("pk", "sk"), "spark")
+    got = [
+        (r.pk, r.sk, r.z)
+        for r in df.selectExpr("pk", "sk", f"({expr}) AS z").collect()
+    ]
+    for pk, sk, z in got:
+        assert z == morton(pk, sk), (pk, sk, z)
