@@ -87,6 +87,9 @@ _NEVER_SAMPLED = (
     "fk_integrity_report",
     "negative_pair_sample",
     "freshness_lag_report",
+    # product quantization (operators/pq.py) — no driver row yet
+    "ann_pq_topk",
+    "ann_pq_recall_eval",
 )
 
 

@@ -3192,3 +3192,270 @@ ORACLES["dedup_cluster_size_histogram"] = f"""
     GROUP BY size
     ORDER BY size
 """
+
+
+# ---------------------------------------------------------------- #
+# Product quantization — the memory-compression half of the        #
+# production ANN stack (operators/pq.py). Four subspace codebooks  #
+# fit with the same decimal-exact Lloyd machinery as the IVF       #
+# coarse quantizer, a map-only encode (64 doubles -> 4 codes =     #
+# 128x), and asymmetric-distance top-k served from CODES ONLY.     #
+# The oracle unrolls all four subspace Lloyd chains and recomputes #
+# the ADC sum as ROUND+DECIMAL terms, so the float pipeline is     #
+# engine-exact end to end.                                         #
+# ---------------------------------------------------------------- #
+_PQ_M, _PQ_DSUB, _PQ_K, _PQ_ITERS = 4, 16, 8, 1
+
+
+def _pq_seeds(corpus) -> list[list[float]]:
+    rows = (
+        corpus.where(F.col("vec_id") % 67 == 1)
+        .orderBy("vec_id")
+        .limit(_PQ_K)
+        .select("embedding")
+        .collect()
+    )
+    return [[float(x) for x in r["embedding"]] for r in rows]
+
+
+def _pq_codes(spark: SparkSession, sf_dir: str):
+    """(codes DataFrame, codebooks, corpus) shared by the PQ queries."""
+    from de_polars_spark.operators import pq as PQ
+
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    cbs = PQ.fit_pq(
+        corpus, "vec_id", "embedding", _pq_seeds(corpus), _PQ_M, _PQ_DSUB,
+        iterations=_PQ_ITERS,
+    )
+    return PQ.pq_encode(corpus, "vec_id", "embedding", cbs), cbs, corpus
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators import pq as PQ
+
+    codes, cbs, corpus = _pq_codes(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    out = PQ.pq_adc_topk(codes, queries, "vec_id", "embedding", cbs, k=3)
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _pq_chain() -> str:
+    """Unrolled per-subspace Lloyd chains ending in codes{j} CTEs
+    (vec_id -> cid + codeword), mirroring fit_pq + pq_encode."""
+    parts = [
+        """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )"""
+    ]
+    dist = (
+        f"list_aggregate(list_transform(generate_series(1, {_PQ_DSUB}), "
+        "i -> (s.v[i] - c.v[i]) * (s.v[i] - c.v[i])), 'sum')"
+    )
+    for j in range(_PQ_M):
+        off = j * _PQ_DSUB
+        parts.append(
+            f""",
+    s{j} AS (SELECT vec_id, v[{off + 1}:{off + _PQ_DSUB}] AS v FROM e),
+    c{j}_0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+        FROM (SELECT vec_id, v FROM s{j} WHERE vec_id % 67 = 1
+              ORDER BY vec_id LIMIT {_PQ_K})
+    )"""
+        )
+        prev = f"c{j}_0"
+        for it in range(_PQ_ITERS):
+            a, c = f"a{j}_{it}", f"c{j}_{it + 1}"
+            parts.append(
+                f""",
+    {a} AS (
+        SELECT vec_id, cid FROM (
+            SELECT s.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM s{j} s, {prev} c
+        ) WHERE rn = 1
+    ),
+    {c}_dims AS (
+        SELECT a.cid, t.i,
+               CAST(SUM(CAST(s.v[t.i] AS DECIMAL(38,6))) AS DOUBLE)
+                   / COUNT(*) AS m
+        FROM {a} a JOIN s{j} s USING (vec_id)
+        CROSS JOIN generate_series(1, {_PQ_DSUB}) t(i)
+        GROUP BY a.cid, t.i
+    ),
+    {c} AS (
+        SELECT p.cid, COALESCE(d.v, p.v) AS v
+        FROM (SELECT cid, v FROM {prev}) p
+        LEFT JOIN (SELECT cid, list(m ORDER BY i) AS v
+                   FROM {c}_dims GROUP BY cid) d ON p.cid = d.cid
+    )"""
+            )
+            prev = c
+        parts.append(
+            f""",
+    codes{j} AS (
+        SELECT vec_id, cid, cv FROM (
+            SELECT s.vec_id, c.cid, c.v AS cv,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM s{j} s, {prev} c
+        ) WHERE rn = 1
+    )"""
+        )
+    return "".join(parts)
+
+
+def _pq_adc_scored() -> str:
+    """The shared q/scored CTE tail: ADC distance as a decimal sum of
+    ROUNDed per-subspace terms (order-free, engine-exact)."""
+    terms = []
+    for j in range(_PQ_M):
+        off = j * _PQ_DSUB
+        terms.append(
+            f"CAST(ROUND(list_aggregate(list_transform("
+            f"generate_series(1, {_PQ_DSUB}), "
+            f"i -> (q.qv[{off} + i] - k{j}.cv[i]) * (q.qv[{off} + i] - k{j}.cv[i])"
+            f"), 'sum'), 6) AS DECIMAL(28,6))"
+        )
+    joins = "\n        ".join(
+        f"JOIN codes{j} k{j} ON k{j}.vec_id = x.vec_id" for j in range(_PQ_M)
+    )
+    return f""",
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, x.vec_id AS neighbor_id,
+               CAST({" + ".join(terms)} AS DECIMAL(38,6)) AS adist
+        FROM e x
+        {joins}
+        CROSS JOIN q
+        WHERE q.query_id <> x.vec_id
+    )"""
+
+
+def _pq_topk_oracle() -> str:
+    return (
+        _pq_chain()
+        + _pq_adc_scored()
+        + """
+    SELECT query_id, neighbor_id, adist, rank FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adist, neighbor_id) AS rank
+        FROM scored
+    ) ranked
+    WHERE rank <= 3
+"""
+    )
+
+
+QUERIES["ann_pq_topk"] = q_ann_pq_topk
+ORACLES["ann_pq_topk"] = _pq_topk_oracle()
+
+
+def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the PQ/ADC top-k against the exact L2 top-k — the
+    acceptance gate a production quantized index ships behind."""
+    from pyspark.sql import Window
+
+    from de_polars_spark.operators import pq as PQ
+    from de_polars_spark.functions import vectors as VX
+
+    codes, cbs, corpus = _pq_codes(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    approx = PQ.pq_adc_topk(codes, queries, "vec_id", "embedding", cbs, k=3)
+
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        VX.as_double(F.col("embedding")).alias("cv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        VX.as_double(F.col("embedding")).alias("qv"),
+    )
+    exact_scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("neighbor_id")
+    )
+    exact = (
+        exact_scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        approx.groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_returned"))
+        .join(hits, "query_id", "left")
+        .fillna(0, ["n_hit"])
+        .select(
+            "query_id",
+            "n_returned",
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            (F.col("n_hit") / F.lit(3.0)).alias("recall_at_3"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _pq_recall_oracle() -> str:
+    exact_d2 = (
+        "ROUND(list_aggregate(list_transform(generate_series(1, 64), "
+        "i -> (q.qv[i] - x.v[i]) * (q.qv[i] - x.v[i])), 'sum'), 6)"
+    )
+    return (
+        _pq_chain()
+        + _pq_adc_scored()
+        + f""",
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                                ORDER BY adist, neighbor_id) AS rank
+            FROM scored
+        ) r WHERE rank <= 3
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, x.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                      ORDER BY {exact_d2}, x.vec_id) AS rank
+            FROM e x CROSS JOIN q
+            WHERE q.query_id <> x.vec_id
+        ) r WHERE rank <= 3
+    ),
+    hits AS (
+        SELECT a.query_id, COUNT(*) AS n_hit
+        FROM approx a JOIN exact x
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        GROUP BY a.query_id
+    )
+    SELECT a.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_returned,
+           CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit,
+           COALESCE(MAX(h.n_hit), 0) / 3.0 AS recall_at_3
+    FROM approx a LEFT JOIN hits h ON a.query_id = h.query_id
+    GROUP BY a.query_id
+    ORDER BY a.query_id
+"""
+    )
+
+
+QUERIES["ann_pq_recall_eval"] = q_ann_pq_recall_eval
+ORACLES["ann_pq_recall_eval"] = _pq_recall_oracle()

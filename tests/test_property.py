@@ -704,3 +704,103 @@ def test_z_interleave_matches_python_model(spark, pairs):
     ]
     for pk, sk, z in got:
         assert z == morton(pk, sk), (pk, sk, z)
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 7), st.integers(0, 7),
+            st.integers(0, 7), st.integers(0, 7),
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    k=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_pq_matches_python_model(spark, vecs, k):
+    """fit_pq + pq_encode + pq_adc_topk vs a plain-Python PQ model:
+    same seed rule, same decimal-quantized centroid means, same
+    argmin tie rule (lower code), same ROUND-6-then-decimal-sum ADC —
+    so every value, not just the ranking, must agree exactly."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from de_polars_spark.operators.pq import fit_pq, pq_adc_topk, pq_encode
+
+    m, dsub, ksub, iters = 2, 2, 2, 1
+    data = [
+        (i, [x / 4.0, y / 4.0, z / 4.0, w / 4.0])
+        for i, (x, y, z, w) in enumerate(vecs)
+    ]
+    seeds_full = [v for _, v in data[:ksub]]
+    df = spark.createDataFrame(data, "vid long, vec array<double>")
+
+    cbs = fit_pq(df, "vid", "vec", seeds_full, m, dsub, iterations=iters)
+
+    # ---- model fit -------------------------------------------------
+    def argmin(sub_v, book):
+        ds = [sum((a - b) * (a - b) for a, b in zip(sub_v, cw)) for cw in book]
+        return ds.index(min(ds))
+
+    model_cbs = [
+        [list(s[j * dsub : (j + 1) * dsub]) for s in seeds_full] for j in range(m)
+    ]
+    for _ in range(iters):
+        sums: dict = {}
+        for _i, v in data:
+            for j in range(m):
+                sub = v[j * dsub : (j + 1) * dsub]
+                c = argmin(sub, model_cbs[j])
+                for i, val in enumerate(sub):
+                    key = (j, c, i)
+                    tot, n = sums.get(key, (Decimal(0), 0))
+                    sums[key] = (
+                        tot + Decimal(val).quantize(Decimal("1e-6"), ROUND_HALF_UP),
+                        n + 1,
+                    )
+        nxt = [[cw[:] for cw in cb] for cb in model_cbs]
+        for (j, c, i), (tot, n) in sums.items():
+            nxt[j][c][i] = float(tot) / n
+        model_cbs = nxt
+    assert cbs == model_cbs
+
+    # ---- model encode ----------------------------------------------
+    codes = {
+        r["vid"]: [r[f"code_{j}"] for j in range(m)]
+        for r in pq_encode(df, "vid", "vec", cbs).collect()
+    }
+    model_codes = {
+        i: [argmin(v[j * dsub : (j + 1) * dsub], model_cbs[j]) for j in range(m)]
+        for i, v in data
+    }
+    assert codes == model_codes
+
+    # ---- model ADC top-k -------------------------------------------
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], Decimal(r["adist"]))
+        for r in pq_adc_topk(
+            pq_encode(df, "vid", "vec", cbs), df, "vid", "vec", cbs, k=k
+        ).collect()
+    }
+    expect = {}
+    for qi, qv in data:
+        scored = []
+        for ni, _nv in data:
+            if ni == qi:
+                continue
+            adist = Decimal(0)
+            for j in range(m):
+                d = sum(
+                    (a - b) * (a - b)
+                    for a, b in zip(
+                        qv[j * dsub : (j + 1) * dsub],
+                        model_cbs[j][model_codes[ni][j]],
+                    )
+                )
+                adist += Decimal(d).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+            scored.append((adist, ni))
+        scored.sort()
+        for rank, (adist, ni) in enumerate(scored[:k], start=1):
+            expect[(qi, rank)] = (ni, adist.quantize(Decimal("1e-6")))
+    assert {q: (n, d.quantize(Decimal("1e-6"))) for q, (n, d) in got.items()} == expect
