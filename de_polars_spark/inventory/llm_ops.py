@@ -3243,12 +3243,20 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pq_chain() -> str:
     """Unrolled per-subspace Lloyd chains ending in codes{j} CTEs
     (vec_id -> cid + codeword), mirroring fit_pq + pq_encode."""
-    parts = [
+    return (
         """
     WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     )"""
-    ]
+        + _pq_subspace_ctes()
+    )
+
+
+def _pq_subspace_ctes() -> str:
+    """The subspace-chain CTEs alone (no WITH header), so they compose
+    with other chains over the same ``e`` (the IVF-PQ oracle prepends
+    the coarse-quantizer Lloyd chain)."""
+    parts = []
     dist = (
         f"list_aggregate(list_transform(generate_series(1, {_PQ_DSUB}), "
         "i -> (s.v[i] - c.v[i]) * (s.v[i] - c.v[i])), 'sum')"
@@ -3326,7 +3334,7 @@ def _pq_adc_scored() -> str:
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
     scored AS (
         SELECT q.query_id, x.vec_id AS neighbor_id,
-               CAST({" + ".join(terms)} AS DECIMAL(38,6)) AS adist
+               CAST(CAST({" + ".join(terms)} AS DECIMAL(38,6)) AS DOUBLE) AS adist
         FROM e x
         {joins}
         CROSS JOIN q
@@ -3459,3 +3467,86 @@ def _pq_recall_oracle() -> str:
 
 QUERIES["ann_pq_recall_eval"] = q_ann_pq_recall_eval
 ORACLES["ann_pq_recall_eval"] = _pq_recall_oracle()
+
+
+# ---------------------------------------------------------------- #
+# IVF-PQ — the two halves composed: the k-means coarse quantizer    #
+# partitions the corpus into cells (probe pruning), PQ codes are    #
+# what each cell stores (memory), and a query scores only the       #
+# nprobe probed cells' candidates from their codes. One map-only    #
+# scan builds the whole serving index. The oracle prepends the      #
+# shared coarse Lloyd chain to the four subspace chains and         #
+# reproduces probe + ADC exactly.                                   #
+# ---------------------------------------------------------------- #
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators import pq as PQ
+
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    cents = _fit_km_centroids(corpus)
+    cbs = PQ.fit_pq(
+        corpus, "vec_id", "embedding", _pq_seeds(corpus), _PQ_M, _PQ_DSUB,
+        iterations=_PQ_ITERS,
+    )
+    index = PQ.ivfpq_index(corpus, "vec_id", "embedding", cents, cbs)
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    out = PQ.ivfpq_topk(
+        index, queries, "vec_id", "embedding", cents, cbs, k=3, nprobe=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+def _ivfpq_oracle() -> str:
+    km_ctes, _final_a, final_c = _kmeans_chain()
+    terms = []
+    for j in range(_PQ_M):
+        off = j * _PQ_DSUB
+        terms.append(
+            f"CAST(ROUND(list_aggregate(list_transform("
+            f"generate_series(1, {_PQ_DSUB}), "
+            f"i -> (p.qv[{off} + i] - k{j}.cv[i]) * (p.qv[{off} + i] - k{j}.cv[i])"
+            f"), 'sum'), 6) AS DECIMAL(28,6))"
+        )
+    joins = "\n        ".join(
+        f"JOIN codes{j} k{j} ON k{j}.vec_id = x.vec_id" for j in range(_PQ_M)
+    )
+    return (
+        km_ctes
+        + _pq_subspace_ctes()
+        + f""",
+    cents AS (SELECT cid, v AS cv FROM {final_c}),
+    assign AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT x.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM e x CROSS JOIN cents c) a
+        WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_CENT_COS} DESC, c.cid DESC) AS rn
+            FROM (SELECT * FROM e WHERE vec_id % 100 = 0) x
+            CROSS JOIN cents c) p
+        WHERE rn <= 2),
+    scored AS (
+        SELECT p.query_id, x.vec_id AS neighbor_id,
+               CAST(CAST({" + ".join(terms)} AS DECIMAL(38,6)) AS DOUBLE) AS adist
+        FROM e x
+        {joins}
+        JOIN assign a ON a.vec_id = x.vec_id
+        JOIN probes p ON p.cell = a.cell AND p.query_id <> x.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, rank FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adist, neighbor_id) AS rank
+        FROM scored
+    ) ranked
+    WHERE rank <= 3
+"""
+    )
+
+
+QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk
+ORACLES["ann_ivfpq_topk"] = _ivfpq_oracle()

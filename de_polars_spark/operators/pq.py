@@ -177,8 +177,8 @@ def pq_adc_topk(
     vectors (queries are few — they broadcast). The distance read per
     corpus row touches only m ints + the broadcast codebooks, never the
     original embedding: this is what serving from a compressed index
-    means. Output: ``(query_id, neighbor_id, adist DECIMAL(38,6),
-    rank)``, ascending distance, ties to the lower neighbor id.
+    means. Output: ``(query_id, neighbor_id, adist DOUBLE — the exact
+    decimal sum cast at the output edge, rank)``, ascending distance, ties to the lower neighbor id.
     """
     m, dsub = len(codebooks), len(codebooks[0][0])
     cdf = _codebook_row(codes.sparkSession, codebooks)
@@ -192,6 +192,19 @@ def pq_adc_topk(
     scored = codes.join(
         F.broadcast(q), F.col("query_id") != F.col(id_col)
     )
+    total = _adc_total(m, dsub)
+    scored = scored.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        total.cast("decimal(38,6)").cast("double").alias("adist"),
+    )
+    return _rank_by_adist(scored, k)
+
+
+def _adc_total(m: int, dsub: int):
+    """ADC distance over the row's codes: per-subspace squared L2 terms
+    between the ``__qv`` slice and the ``__cb`` codeword picked by
+    ``code_j``, ROUNDed to 6 dp, summed as decimals (order-free)."""
     terms = [
         F.round(
             _sub_sqdist(
@@ -205,11 +218,10 @@ def pq_adc_topk(
     total = terms[0]
     for t in terms[1:]:
         total = total + t
-    scored = scored.select(
-        "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        total.cast("decimal(38,6)").alias("adist"),
-    )
+    return total
+
+
+def _rank_by_adist(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("neighbor_id")
     )
@@ -218,3 +230,83 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """The full serving index in ONE scan: ``(id, cell, code_0..m-1)``.
+
+    IVF-PQ is the canonical 100 TB ANN architecture (an inverted file
+    partitions the corpus so a query touches nprobe cells; PQ shrinks
+    what each cell stores from D doubles to m bytes). Both assignments
+    are pure column expressions over the same row read — coarse cell
+    (cosine argmax vs the broadcast-literal centroids, the exact
+    ``similarity.ivf_topk`` rule) and the m code argmins — so the index
+    build is map-only: zero shuffles until the ``partitionBy(cell)``
+    write a production deployment would follow with.
+    """
+    from de_polars_spark.operators.similarity import _centroid_scores
+
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    cdf = _codebook_row(corpus.sparkSession, codebooks)
+    out = (
+        corpus.select(F.col(id_col), VX.as_double(F.col(vec_col)).alias("__v"))
+        .crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "cell",
+            F.element_at(_centroid_scores(F.col("__v"), centroids), 1)["cid"],
+        )
+    )
+    for j in range(m):
+        out = out.withColumn(f"code_{j}", _argmin_code(j, dsub))
+    return out.drop("__v", "__cb")
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list,
+    codebooks: list[list[list[float]]],
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ADC top-k over an :func:`ivfpq_index` — probe ``nprobe`` nearest
+    cells per query (cosine, the ``ivf_topk`` probe rule), then score
+    ONLY the candidates inside them, from their codes alone. Per query
+    the work is nprobe inverted lists × m code lookups — independent of
+    corpus size once the index is cell-partitioned."""
+    from de_polars_spark.operators.similarity import _centroid_scores
+
+    m, dsub = len(codebooks), len(codebooks[0][0])
+    cdf = _codebook_row(index.sparkSession, codebooks)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        VX.as_double(F.col(vec_col)).alias("__qv"),
+    )
+    q = (
+        q.select(
+            "query_id",
+            "__qv",
+            F.explode(
+                F.slice(_centroid_scores(F.col("__qv"), centroids), 1, nprobe)
+            ).alias("__probe"),
+        )
+        .select("query_id", "__qv", F.col("__probe")["cid"].alias("cell"))
+        .crossJoin(F.broadcast(cdf))
+    )
+    scored = index.join(
+        F.broadcast(q),
+        (index["cell"] == q["cell"]) & (F.col("query_id") != F.col(id_col)),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        _adc_total(m, dsub).cast("decimal(38,6)").cast("double").alias("adist"),
+    )
+    return _rank_by_adist(scored, k)

@@ -778,7 +778,7 @@ def test_pq_matches_python_model(spark, vecs, k):
 
     # ---- model ADC top-k -------------------------------------------
     got = {
-        (r["query_id"], r["rank"]): (r["neighbor_id"], Decimal(r["adist"]))
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
         for r in pq_adc_topk(
             pq_encode(df, "vid", "vec", cbs), df, "vid", "vec", cbs, k=k
         ).collect()
@@ -801,6 +801,79 @@ def test_pq_matches_python_model(spark, vecs, k):
                 adist += Decimal(d).quantize(Decimal("1e-6"), ROUND_HALF_UP)
             scored.append((adist, ni))
         scored.sort()
+        # output edge: the exact decimal sum is cast to double — float()
+        # of the Decimal rounds the same rational to the same double
         for rank, (adist, ni) in enumerate(scored[:k], start=1):
-            expect[(qi, rank)] = (ni, adist.quantize(Decimal("1e-6")))
-    assert {q: (n, d.quantize(Decimal("1e-6"))) for q, (n, d) in got.items()} == expect
+            expect[(qi, rank)] = (ni, float(adist))
+    assert got == expect
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 7), st.integers(0, 7),
+            st.integers(0, 7), st.integers(0, 7),
+        ),
+        min_size=3,
+        max_size=8,
+    ),
+    nprobe=st.integers(1, 2),
+)
+@settings(**_SETTINGS)
+def test_ivfpq_probe_invariants(spark, vecs, nprobe):
+    """IVF-PQ vs the un-pruned ADC ranking: with nprobe == nlist the
+    probe prunes nothing, so the top-k must EQUAL pq_adc_topk's exactly;
+    with nprobe < nlist every returned pair must still carry the same
+    ADC distance the full ranking assigns (probing changes candidate
+    visibility, never scores)."""
+    from de_polars_spark.operators.pq import (
+        fit_pq, ivfpq_index, ivfpq_topk, pq_adc_topk, pq_encode,
+    )
+
+    m, dsub, ksub, k = 2, 2, 2, 3
+    data = [
+        (i, [x / 4.0, y / 4.0, z / 4.0, w / 4.0])
+        for i, (x, y, z, w) in enumerate(vecs)
+    ]
+    df = spark.createDataFrame(data, "vid long, vec array<double>")
+    seeds_full = [v for _, v in data[:ksub]]
+    cbs = fit_pq(df, "vid", "vec", seeds_full, m, dsub, iterations=1)
+    # two coarse cells seeded from the first rows; all-zero vectors are
+    # possible in the generated data, so nudge centroids off the origin
+    # to keep the cosine defined (NaN cells would be a data bug, not a
+    # probe bug)
+    cents = [
+        (0, [a + 0.125 for a in data[0][1]]),
+        (1, [a + 0.25 for a in data[-1][1]]),
+    ]
+    nonzero = [r for r in data if any(x != 0.0 for x in r[1])]
+    if not nonzero:
+        return
+    vdf = spark.createDataFrame(nonzero, "vid long, vec array<double>")
+
+    index = ivfpq_index(vdf, "vid", "vec", cents, cbs)
+    full = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in pq_adc_topk(
+            pq_encode(vdf, "vid", "vec", cbs), vdf, "vid", "vec", cbs, k=k
+        ).collect()
+    }
+    probed = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in ivfpq_topk(
+            index, vdf, "vid", "vec", cents, cbs, k=k, nprobe=nprobe
+        ).collect()
+    }
+    if nprobe >= len(cents):
+        assert probed == full
+    else:
+        # scores must agree pairwise with the full ADC ranking
+        all_adc = {
+            (r["query_id"], r["neighbor_id"]): r["adist"]
+            for r in pq_adc_topk(
+                pq_encode(vdf, "vid", "vec", cbs), vdf, "vid", "vec", cbs,
+                k=10**6,
+            ).collect()
+        }
+        for (q, _rk), (n, d) in probed.items():
+            assert all_adc[(q, n)] == d
