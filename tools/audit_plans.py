@@ -78,6 +78,19 @@ CROSS_JOIN_OK = {
     # 1-row global-max-timestamp scalar crossJoined into the per-stream
     # lag projection (pct_of_total pattern)
     "freshness_lag_report",
+    # PQ: the m x ksub x dsub codebook rides in as ONE broadcast row
+    # (operators/pq.py _codebook_row — data, not recompiled literals),
+    # and un-pruned ADC is by design a full-corpus scoring pass (the
+    # compressed analogue of ann_cosine_topk's brute baseline: that is
+    # what PQ without an IVF in front IS)
+    "ann_pq_topk",
+    # recall eval composes BOTH intentional BNL shapes: the exact
+    # brute-force baseline and the un-pruned ADC ranking it grades
+    "ann_pq_recall_eval",
+    # IVF-PQ: the candidate join is a broadcast HASH join on the cell
+    # key (visible in the broadcast column); remaining BNLs are the
+    # 1-row codebook/centroid broadcasts from fit + index + probe
+    "ann_ivfpq_topk",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
