@@ -3550,3 +3550,126 @@ def _ivfpq_oracle() -> str:
 
 QUERIES["ann_ivfpq_topk"] = q_ann_ivfpq_topk
 ORACLES["ann_ivfpq_topk"] = _ivfpq_oracle()
+
+
+# ---------------------------------------------------------------- #
+# DSIR-style importance resampling (hashed n-gram data selection,   #
+# Xie et al. 2023): score every corpus doc by how much more likely  #
+# its hashed-unigram profile is under a TARGET domain than under    #
+# the raw corpus, then keep the global top-N. The bucket tables     #
+# are tiny by construction (B=512 — that is the point of feature    #
+# hashing: count state independent of vocab size), so both count    #
+# joins broadcast; the only wide shuffle is the per-(doc, bucket)   #
+# aggregation. Per-bucket log-ratios quantize to DECIMAL(18,6)      #
+# BEFORE the per-doc sum (the text_unigram_logprob rule), so the    #
+# float score is order-independent and engine-exact.                #
+# ---------------------------------------------------------------- #
+_DSIR_B = 512
+_DSIR_TARGET = ("src0", "src1", "src2")
+_DSIR_N = 50
+
+
+def q_dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    docs = t["documents"]
+    tb = docs.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id", "source", (TX.hash60(F.col("tok")) % _DSIR_B).alias("b")
+    )
+    pd_ = tb.groupBy("doc_id", "source", "b").agg(F.count("*").alias("n_b"))
+    raw = pd_.groupBy("b").agg(F.sum("n_b").alias("cr"))
+    tgt = (
+        pd_.where(F.col("source").isin(*_DSIR_TARGET))
+        .groupBy("b")
+        .agg(F.sum("n_b").alias("ct"))
+    )
+    tot = pd_.agg(
+        F.sum("n_b").alias("nr"),
+        F.sum(
+            F.when(F.col("source").isin(*_DSIR_TARGET), F.col("n_b")).otherwise(
+                F.lit(0)
+            )
+        ).alias("nt"),
+    )
+    sc = (
+        raw.join(tgt, "b", "left")
+        .fillna(0, ["ct"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log(
+                    (F.col("ct") + F.lit(1)).cast("double")
+                    / (F.col("nt") + F.lit(_DSIR_B))
+                )
+                - F.log(
+                    (F.col("cr") + F.lit(1)).cast("double")
+                    / (F.col("nr") + F.lit(_DSIR_B))
+                )
+            )
+            .cast("decimal(18,6)")
+            .alias("s"),
+        )
+    )
+    ds = (
+        pd_.join(F.broadcast(sc), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("s") * F.col("n_b").cast("decimal(10,0)")
+                ).cast("double"),
+                6,
+            ).alias("importance"),
+        )
+    )
+    return ds.orderBy(F.col("importance").desc(), "doc_id").limit(_DSIR_N)
+
+
+def _dsir_oracle() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, source, unnest(toks) AS t
+        FROM (SELECT doc_id, source, {_TOKS} AS toks FROM documents)
+    ),
+    tb AS (
+        SELECT doc_id, source, {_HASH60_T} % {_DSIR_B} AS b FROM tok
+    ),
+    pd AS (
+        SELECT doc_id, source, b, COUNT(*) AS n_b
+        FROM tb GROUP BY doc_id, source, b
+    ),
+    raw AS (SELECT b, SUM(n_b) AS cr FROM pd GROUP BY b),
+    tgt AS (SELECT b, SUM(n_b) AS ct FROM pd
+            WHERE source IN ({srcs}) GROUP BY b),
+    tot AS (
+        SELECT SUM(n_b) AS nr,
+               SUM(CASE WHEN source IN ({srcs}) THEN n_b ELSE 0 END) AS nt
+        FROM pd
+    ),
+    sc AS (
+        SELECT r.b,
+               CAST(ln(CAST(COALESCE(t.ct, 0) + 1 AS DOUBLE)
+                       / (tot.nt + {_DSIR_B}))
+                    - ln(CAST(r.cr + 1 AS DOUBLE) / (tot.nr + {_DSIR_B}))
+                    AS DECIMAL(18,6)) AS s
+        FROM raw r LEFT JOIN tgt t USING (b) CROSS JOIN tot
+    ),
+    ds AS (
+        SELECT p.doc_id, p.source,
+               CAST(SUM(p.n_b) AS BIGINT) AS n_tokens,
+               ROUND(CAST(SUM(sc.s * CAST(p.n_b AS DECIMAL(10,0)))
+                          AS DOUBLE), 6) AS importance
+        FROM pd p JOIN sc ON sc.b = p.b
+        GROUP BY p.doc_id, p.source
+    )
+    SELECT doc_id, source, n_tokens, importance
+    FROM ds ORDER BY importance DESC, doc_id LIMIT {_DSIR_N}
+"""
+
+
+QUERIES["dsir_importance_select"] = q_dsir_importance_select
+ORACLES["dsir_importance_select"] = _dsir_oracle()
