@@ -21,12 +21,12 @@ one committed copy of each).
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from de_polars_spark.streaming import fsutil
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
 
 
@@ -52,9 +52,7 @@ def dedup_ingest_sink(
         fp = df.withColumn("__fp", F.md5(F.col(text_col)))
         state_exists = any(
             name.startswith("batch_id=")
-            for name in (
-                os.listdir(state_dir) if os.path.isdir(state_dir) else []
-            )
+            for name in fsutil.child_names(spark, state_dir)
         )
         if state_exists:
             seen = spark.read.parquet(state_dir).select(

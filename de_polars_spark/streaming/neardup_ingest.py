@@ -33,21 +33,22 @@ directory protocol of ``sink.idempotent_parquet_sink``; a replayed
 batch sees unchanged state (its own state write is keyed by batch_id)
 and recomputes the identical admitted set.
 
-LOCAL-FILESYSTEM REQUIREMENT: state/out dirs must be driver-visible
-local paths (``os.listdir`` state detection — same constraint as
-``dedup_ingest`` / ``quota_ingest``; port the listing to the Hadoop
-FileSystem API for object stores).
+State detection and the commit protocol go through the Hadoop
+FileSystem API of the path's scheme (``fsutil``, shared with
+``dedup_ingest`` / ``quota_ingest``), so state/out dirs may live on
+any Hadoop-FS scheme; see fsutil for the object-store
+rename-atomicity caveat.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from de_polars_spark.operators.dedup import _minhash_sig_df
+from de_polars_spark.streaming import fsutil
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
 
 
@@ -96,9 +97,7 @@ def neardup_ingest_sink(
         ).persist()
         state_exists = any(
             name.startswith("batch_id=")
-            for name in (
-                os.listdir(state_dir) if os.path.isdir(state_dir) else []
-            )
+            for name in fsutil.child_names(spark, state_dir)
         )
         hist_hits = (
             bands.join(

@@ -19,24 +19,23 @@ the output write and the state write replays the SAME batch against
 unchanged state, recomputing and committing the same rows — neither
 double-admission nor quota leakage survives a restart.
 
-LOCAL-FILESYSTEM REQUIREMENT: ``state_dir`` (and the sink dirs) must be
-a driver-visible local path. State detection walks the directory with
-``os.listdir`` on the driver — the same constraint as
-``idempotent_parquet_sink`` and ``dedup_ingest``, but it matters more
-here: on an object store (s3://, hdfs://) the check would silently
-report no state, reset ``__used`` to 0, and over-admit past the
-lifetime cap. Porting to such stores means replacing the listing (and
-the sinks' commit protocol) with the Hadoop FileSystem API.
+State detection and the sinks' commit protocol both go through the
+Hadoop FileSystem API of the path's scheme (``fsutil``), so a
+restarted query against an hdfs:// or s3a:// ``state_dir`` sees its
+committed history instead of silently resetting ``__used`` to 0 and
+over-admitting past the lifetime cap (the failure mode the earlier
+driver-local ``os.listdir`` check had). See fsutil's module docstring
+for the object-store rename-atomicity caveat.
 """
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from de_polars_spark.streaming import fsutil
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
 
 
@@ -56,7 +55,7 @@ def quota_ingest_sink(
         spark = df.sparkSession
         state_exists = any(
             name.startswith("batch_id=")
-            for name in (os.listdir(state_dir) if os.path.isdir(state_dir) else [])
+            for name in fsutil.child_names(spark, state_dir)
         )
         if state_exists:
             used = (

@@ -16,27 +16,32 @@ provenance for free.
 
 from __future__ import annotations
 
-import os
-import shutil
 from typing import Callable
 
 from pyspark.sql import DataFrame
+
+from de_polars_spark.streaming import fsutil
 
 
 def idempotent_parquet_sink(out_dir: str) -> Callable[[DataFrame, int], None]:
     """Build a ``foreachBatch(df, batch_id)`` callback writing to ``out_dir``.
 
     Use: ``stream.writeStream.foreachBatch(idempotent_parquet_sink(d))``.
+
+    All protocol steps go through the Hadoop FileSystem of ``out_dir``'s
+    scheme (fsutil), so the sink works against hdfs:///s3a:// paths too
+    — with the rename-atomicity caveat documented in fsutil.
     """
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
-        final = os.path.join(out_dir, f"batch_id={batch_id}")
-        if os.path.exists(final):
+        spark = df.sparkSession
+        final = f"{out_dir.rstrip('/')}/batch_id={batch_id}"
+        if fsutil.exists(spark, final):
             return  # replayed batch — already committed, skip
-        staging = os.path.join(out_dir, f"_staging_{batch_id}")
-        if os.path.exists(staging):
-            shutil.rmtree(staging)  # half-written attempt from a crash
+        staging = f"{out_dir.rstrip('/')}/_staging_{batch_id}"
+        if fsutil.exists(spark, staging):
+            fsutil.delete(spark, staging)  # half-written attempt from a crash
         df.write.mode("overwrite").parquet(staging)
-        os.rename(staging, final)
+        fsutil.rename(spark, staging, final)
 
     return write_batch

@@ -506,3 +506,39 @@ def test_neardup_ingest_runs_as_stream(spark, tmp_path):
     finally:
         q.stop()
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 3}
+
+
+def test_sink_and_state_work_on_scheme_qualified_paths(spark, tmp_path):
+    """The commit protocol and restart-state detection must work through
+    the Hadoop FileSystem API, not the driver's os module: drive both
+    with explicit file:// URIs (a non-local scheme as far as os.path is
+    concerned — os.path.isdir('file:/...') is False) and assert the
+    quota survives a 'restart' (fresh sink object, same state dir)."""
+    from de_polars_spark.streaming import fsutil
+    from de_polars_spark.streaming.quota_ingest import quota_ingest_sink
+
+    state = "file://" + str(tmp_path / "state")
+    out = "file://" + str(tmp_path / "out")
+    b0 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a"), (4, "b")], "doc_id long, source string"
+    )
+    quota_ingest_sink("doc_id", "source", 2, state, out)(b0, 0)
+    # restart: a NEW sink instance must see the committed state via the
+    # Hadoop FS listing (os.listdir would miss the file:// URI)
+    b1 = spark.createDataFrame(
+        [(5, "a"), (6, "b"), (7, "b")], "doc_id long, source string"
+    )
+    quota_ingest_sink("doc_id", "source", 2, state, out)(b1, 1)
+    got = sorted(
+        (r["source"], r["doc_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # cap 2 per source across the lifetime: a admits 1,2 then nothing;
+    # b admits 4 then 6
+    assert got == [("a", 1), ("a", 2), ("b", 4), ("b", 6)]
+    # replay of batch 1 after the 'crash' is a committed no-op
+    quota_ingest_sink("doc_id", "source", 2, state, out)(b1, 1)
+    assert sorted(
+        (r["source"], r["doc_id"]) for r in spark.read.parquet(out).collect()
+    ) == got
+    assert set(fsutil.child_names(spark, out)) == {"batch_id=0", "batch_id=1"}
