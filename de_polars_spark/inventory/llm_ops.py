@@ -3673,3 +3673,137 @@ def _dsir_oracle() -> str:
 
 QUERIES["dsir_importance_select"] = q_dsir_importance_select
 ORACLES["dsir_importance_select"] = _dsir_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Distributed BPE-style phrase-merge learning: k global merge       #
+# rounds over the word stream (the collocation/phrase analogue of   #
+# byte-pair encoding — each round counts adjacent symbol pairs,     #
+# merges the most frequent one corpus-wide, and re-segments).       #
+# Spark shape per round: ONE pair-count shuffle (posexplode + LEAD  #
+# window — the codegen n-gram pattern) and a broadcast 1-row        #
+# argmax crossJoined into the re-segmentation replace — the whole   #
+# k-round chain stays in ONE lazy plan, zero driver round-trips.    #
+# Symbols ride in a \x02tok\x03-delimited string, so the pair       #
+# replace is boundary-exact and left-to-right greedy in both        #
+# engines (classic BPE apply semantics). Everything is integer      #
+# counts + string ops — no floats, bit-exact by construction.       #
+# At 100 TB you would localCheckpoint/persist the segmentation      #
+# between rounds instead of re-deriving it lazily (k is small;     #
+# each round is one linear pass either way).                        #
+# ---------------------------------------------------------------- #
+_BPE_ROUNDS = 5
+_SY0, _SY1 = "\x02", "\x03"
+
+
+def q_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    t = register_testdata(spark, sf_dir)
+    seg = t["documents"].select(
+        "doc_id",
+        F.when(F.size(TX.tokens(F.col("text"))) == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(_SY0),
+                F.array_join(TX.tokens(F.col("text")), _SY1 + _SY0),
+                F.lit(_SY1),
+            )
+        ).alias("seg"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    bests = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        syms = seg.where(F.col("seg") != "").select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.substring(F.col("seg"), 2, F.length("seg") - 2),
+                    _SY1 + _SY0,
+                )
+            ).alias("p", "s"),
+        )
+        pairs = syms.select(
+            "doc_id",
+            F.col("s").alias("l"),
+            F.lead("s", 1).over(w).alias("r"),
+        ).where(F.col("r").isNotNull())
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+        )
+        bests.append(
+            best.select(
+                F.lit(r).alias("merge_rank"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("c").cast("bigint").alias("pair_count"),
+            )
+        )
+        seg = seg.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            F.replace(
+                F.col("seg"),
+                F.concat(F.lit(_SY0), F.col("l"), F.lit(_SY1 + _SY0), F.col("r"), F.lit(_SY1)),
+                F.concat(F.lit(_SY0), F.col("l"), F.col("r"), F.lit(_SY1)),
+            ).alias("seg"),
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_oracle() -> str:
+    sep = "chr(3) || chr(2)"
+    parts = [
+        f"""
+    WITH s1 AS (
+        SELECT doc_id,
+               CASE WHEN len(toks) = 0 THEN ''
+                    ELSE chr(2) || array_to_string(toks, {sep}) || chr(3)
+               END AS seg
+        FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f""",
+    y{r} AS (
+        SELECT string_split(substr(seg, 2, len(seg) - 2), {sep}) AS syms
+        FROM s{r} WHERE seg <> ''
+    ),
+    p{r} AS (
+        SELECT u['l'] AS l, u['r'] AS r FROM (
+            SELECT unnest(list_transform(
+                generate_series(1, len(syms) - 1),
+                i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS u
+            FROM y{r} WHERE len(syms) >= 2
+        )
+    ),
+    b{r} AS (
+        SELECT l, r, COUNT(*) AS c FROM p{r}
+        GROUP BY l, r ORDER BY c DESC, l, r LIMIT 1
+    ),
+    s{r + 1} AS (
+        SELECT doc_id,
+               replace(seg,
+                       chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3),
+                       chr(2) || b.l || b.r || chr(3)) AS seg
+        FROM s{r} CROSS JOIN b{r} b
+    )"""
+        )
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS merge_rank, l AS left_sym, r AS right_sym, "
+        f"CAST(c AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + f"""
+    {sel}
+    ORDER BY merge_rank
+"""
+
+
+QUERIES["bpe_phrase_merges"] = q_bpe_phrase_merges
+ORACLES["bpe_phrase_merges"] = _bpe_oracle()

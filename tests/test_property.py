@@ -877,3 +877,104 @@ def test_ivfpq_probe_invariants(spark, vecs, nprobe):
         }
         for (q, _rk), (n, d) in probed.items():
             assert all_adc[(q, n)] == d
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "ab", "ba"]), max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_bpe_phrase_merges_match_python_model(spark, docs, rounds):
+    """The in-plan k-round merge chain vs a naive Python BPE model:
+    same global argmax tiebreak (count DESC, left ASC, right ASC) and
+    the same greedy left-to-right non-overlapping re-segmentation.
+    The alphabet {a, b, ab, ba} is chosen so merged symbols collide
+    with existing tokens ('a'+'b' == 'ab') — the delimiter encoding
+    must keep them apart by position, not by spelling."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from de_polars_spark.inventory.llm_ops import _SY0, _SY1
+
+    data = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(data, "doc_id long, text string")
+
+    # Spark chain — inlined mirror of q_bpe_phrase_merges over this df
+    from de_polars_spark.functions import text as TX
+
+    seg = df.select(
+        "doc_id",
+        F.when(F.size(TX.tokens(F.col("text"))) == 0, F.lit("")).otherwise(
+            F.concat(
+                F.lit(_SY0),
+                F.array_join(TX.tokens(F.col("text")), _SY1 + _SY0),
+                F.lit(_SY1),
+            )
+        ).alias("seg"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    got = []
+    for _r in range(rounds):
+        syms = seg.where(F.col("seg") != "").select(
+            "doc_id",
+            F.posexplode(
+                F.split(
+                    F.substring(F.col("seg"), 2, F.length("seg") - 2),
+                    _SY1 + _SY0,
+                )
+            ).alias("p", "s"),
+        )
+        pairs = syms.select(
+            "doc_id", F.col("s").alias("l"), F.lead("s", 1).over(w).alias("r")
+        ).where(F.col("r").isNotNull())
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+        )
+        rows = best.collect()
+        got.append((rows[0]["l"], rows[0]["r"], rows[0]["c"]) if rows else None)
+        seg = seg.crossJoin(F.broadcast(best)).select(
+            "doc_id",
+            F.replace(
+                F.col("seg"),
+                F.concat(F.lit(_SY0), F.col("l"), F.lit(_SY1 + _SY0),
+                         F.col("r"), F.lit(_SY1)),
+                F.concat(F.lit(_SY0), F.col("l"), F.col("r"), F.lit(_SY1)),
+            ).alias("seg"),
+        )
+
+    # Python model
+    model_docs = [list(toks) for toks in docs]
+    expect = []
+    for _r in range(rounds):
+        counts = Counter()
+        for d in model_docs:
+            for x, y in zip(d, d[1:]):
+                counts[(x, y)] += 1
+        if not counts:
+            expect.append(None)
+            continue
+        (bl, br), bc = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((bl, br, bc))
+        nxt = []
+        for d in model_docs:
+            out, i = [], 0
+            while i < len(d):
+                if i + 1 < len(d) and d[i] == bl and d[i + 1] == br:
+                    out.append(bl + br)
+                    i += 2
+                else:
+                    out.append(d[i])
+                    i += 1
+            nxt.append(out)
+        model_docs = nxt
+    assert got == expect
