@@ -68,10 +68,12 @@ def main() -> None:
     from de_polars_spark.inventory.llm_ops import (
         clear_dedup_pair_artifacts,
         clear_ivf_index_artifacts,
+        clear_pq_artifacts,
     )
 
     clear_dedup_pair_artifacts(sf_dir)
     clear_ivf_index_artifacts(sf_dir)
+    clear_pq_artifacts(sf_dir)
     # and the bucketed-table layouts: the shuffle-once write is measured
     # by the first bucketed-join query in the run
     from de_polars_spark.operators.bucketing import clear_bucketed_artifacts

@@ -897,8 +897,6 @@ def test_bpe_phrase_merges_match_python_model(spark, docs, rounds):
     must keep them apart by position, not by spelling."""
     from collections import Counter
 
-    from pyspark.sql import Window
-
     from de_polars_spark.inventory.llm_ops import _SY0, _SY1
 
     data = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
@@ -917,36 +915,37 @@ def test_bpe_phrase_merges_match_python_model(spark, docs, rounds):
             )
         ).alias("seg"),
     )
-    w = Window.partitionBy("doc_id").orderBy("p")
     got = []
     for _r in range(rounds):
-        syms = seg.where(F.col("seg") != "").select(
-            "doc_id",
-            F.posexplode(
-                F.split(
-                    F.substring(F.col("seg"), 2, F.length("seg") - 2),
-                    _SY1 + _SY0,
-                )
-            ).alias("p", "s"),
+        arr = seg.where(F.col("seg") != "").select(
+            F.split(
+                F.substring(F.col("seg"), 2, F.length("seg") - 2),
+                _SY1 + _SY0,
+            ).alias("a")
         )
-        pairs = syms.select(
-            "doc_id", F.col("s").alias("l"), F.lead("s", 1).over(w).alias("r")
-        ).where(F.col("r").isNotNull())
-        best = (
+        n1 = F.greatest(F.size("a") - 1, F.lit(0))
+        pairs = arr.select(
+            F.explode(
+                F.arrays_zip(F.slice("a", 1, n1), F.slice("a", 2, n1))
+            ).alias("z")
+        ).select(F.col("z.0").alias("l"), F.col("z.1").alias("r"))
+        rows = (
             pairs.groupBy("l", "r")
             .agg(F.count(F.lit(1)).alias("c"))
             .orderBy(F.col("c").desc(), "l", "r")
             .limit(1)
+            .collect()
         )
-        rows = best.collect()
         got.append((rows[0]["l"], rows[0]["r"], rows[0]["c"]) if rows else None)
-        seg = seg.crossJoin(F.broadcast(best)).select(
+        if not rows:
+            continue
+        bl, br = rows[0]["l"], rows[0]["r"]
+        seg = seg.select(
             "doc_id",
             F.replace(
                 F.col("seg"),
-                F.concat(F.lit(_SY0), F.col("l"), F.lit(_SY1 + _SY0),
-                         F.col("r"), F.lit(_SY1)),
-                F.concat(F.lit(_SY0), F.col("l"), F.col("r"), F.lit(_SY1)),
+                F.lit(_SY0 + bl + _SY1 + _SY0 + br + _SY1),
+                F.lit(_SY0 + bl + br + _SY1),
             ).alias("seg"),
         )
 
