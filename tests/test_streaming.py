@@ -542,3 +542,88 @@ def test_sink_and_state_work_on_scheme_qualified_paths(spark, tmp_path):
         (r["source"], r["doc_id"]) for r in spark.read.parquet(out).collect()
     ) == got
     assert set(fsutil.child_names(spark, out)) == {"batch_id=0", "batch_id=1"}
+
+
+def _tiny_pq_fixture(spark):
+    """(corpus, centroids, codebooks) for the vector-ingest tests: 4-dim
+    vectors, 2 coarse cells, m=2 subspaces of 2 dims, 2 codewords."""
+    from de_polars_spark.operators.pq import fit_pq
+
+    data = [
+        (i, [float(a), float(b), float(c), float(d)])
+        for i, (a, b, c, d) in enumerate(
+            [(0, 0, 1, 1), (0, 1, 1, 0), (4, 4, 5, 5), (4, 5, 5, 4),
+             (1, 0, 0, 1), (5, 4, 4, 5), (2, 2, 2, 2), (3, 3, 3, 3)]
+        )
+    ]
+    corpus = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    seeds_full = [v for _, v in data[:2]]
+    cbs = fit_pq(corpus, "vec_id", "embedding", seeds_full, 2, 2, iterations=1)
+    cents = [(0, data[0][1]), (1, data[2][1])]
+    return corpus, data, cents, cbs
+
+
+def test_ivfpq_ingest_stream_matches_batch_index(spark, tmp_path):
+    """Appending micro-batches through the frozen-quantizer sink must
+    serve EXACTLY the same top-k as a one-shot ivfpq_index over the
+    full corpus — the persisted index is just the materialized encode,
+    and replay must not change it."""
+    from de_polars_spark.operators.pq import ivfpq_index, ivfpq_topk
+    from de_polars_spark.streaming.vector_ingest import ivfpq_ingest_sink
+
+    corpus, data, cents, cbs = _tiny_pq_fixture(spark)
+    postings = str(tmp_path / "postings")
+    ingest = ivfpq_ingest_sink("vec_id", "embedding", cents, cbs, postings)
+    b0 = spark.createDataFrame(data[:5], "vec_id long, embedding array<double>")
+    b1 = spark.createDataFrame(data[5:], "vec_id long, embedding array<double>")
+    ingest(b0, 0)
+    ingest(b1, 1)
+    ingest(b1, 1)  # replay: committed, no duplicate postings
+
+    served = spark.read.parquet(postings)
+    assert served.count() == len(data)
+
+    from pyspark.sql import functions as F
+
+    queries = corpus.filter(F.col("vec_id") % 4 == 0)
+    from_stream = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in ivfpq_topk(
+            served, queries, "vec_id", "embedding", cents, cbs, k=3, nprobe=2
+        ).collect()
+    }
+    batch_index = ivfpq_index(corpus, "vec_id", "embedding", cents, cbs)
+    from_batch = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+        for r in ivfpq_topk(
+            batch_index, queries, "vec_id", "embedding", cents, cbs,
+            k=3, nprobe=2,
+        ).collect()
+    }
+    assert from_stream == from_batch
+
+
+def test_ivfpq_ingest_runs_as_stream(spark, tmp_path):
+    from de_polars_spark.streaming.vector_ingest import ivfpq_ingest_sink
+
+    _, data, cents, cbs = _tiny_pq_fixture(spark)
+    src = str(tmp_path / "src")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(data, schema).write.parquet(src)
+    postings = str(tmp_path / "postings")
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            ivfpq_ingest_sink("vec_id", "embedding", cents, cbs, postings)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    served = spark.read.parquet(postings)
+    assert served.count() == len(data)
+    assert {c for c in served.columns} >= {"vec_id", "cell", "code_0", "code_1"}
