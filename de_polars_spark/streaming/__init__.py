@@ -20,7 +20,10 @@ from de_polars_spark.streaming.dedup_ingest import dedup_ingest_sink
 from de_polars_spark.streaming.enrich import enrich_stream
 from de_polars_spark.streaming.interval_join import interval_join_backward
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
+from de_polars_spark.streaming.neardup_ingest import neardup_ingest_sink
+from de_polars_spark.streaming.quota_ingest import quota_ingest_sink
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
+from de_polars_spark.streaming.vector_ingest import ivfpq_ingest_sink
 from de_polars_spark.streaming.sketch_stream import (
     hll_estimate,
     windowed_cms_cells,
@@ -41,4 +44,7 @@ __all__ = [
     "hll_estimate",
     "windowed_cms_cells",
     "idempotent_parquet_sink",
+    "quota_ingest_sink",
+    "neardup_ingest_sink",
+    "ivfpq_ingest_sink",
 ]
