@@ -26,9 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round-4 head: the two queries whose LATEST driver row is red (both fixed
 # and strict-hash green locally — they only need resampling), followed by the
 # 32 queries that have never appeared in any CORRECTNESS_r01..r03 sample
-# (computed as set(QUERIES) − union of r1-r3 keys), followed by the 13
-# round-4 additions. 48 names ≤ the driver's 50-query sample, so this round
-# gives every inventory query a current green driver row.
+# (computed as set(QUERIES) − union of r1-r3 keys), followed by the round-4
+# additions up to exactly the driver's 50-query sample. The late round-4
+# queries past slot 50 (ann_ivfpq_topk, dsir_importance_select,
+# bpe_phrase_merges — all strict-hash green locally and in the full
+# tools/check_correctness sweep) are the round-5 head: recompute this list
+# next round as set(QUERIES) − union(CORRECTNESS_r01..r04 keys).
 _NEVER_SAMPLED = (
     # the KPI-view materialization wave (one-time per session) is paid by
     # the first KPI query in suite order: keep that absorber FIRST so the

@@ -10,10 +10,12 @@ doesn't at 100 TB.
 
 Spark-first shape:
 
-- **fit** (:func:`fit_pq`): ``m`` independent Lloyd chains over SLICED
-  vectors, each reusing :func:`operators.kmeans.kmeans_iterations` —
-  centroids stay driver-side (m × ksub × dsub doubles), every round is
-  one map-only assignment + one map-side-combinable aggregation.
+- **fit** (:func:`fit_pq`): all m subspace Lloyd chains advance
+  together — per round ONE map-only assignment scan (the m argmins
+  share the row read) and ONE (subspace, code, dim) map-side-combinable
+  aggregation updates every codebook, bit-identical to m independent
+  :func:`operators.kmeans.kmeans_iterations` runs (which is what the
+  oracle unrolls); centroids stay driver-side (m × ksub × dsub doubles).
 - **encode** (:func:`pq_encode`): ONE map-only pass — all m codebooks
   ride in as a single broadcast row and every subspace argmin is a pure
   column expression (numeric zip_with/aggregate folds stay efficient in
