@@ -91,6 +91,10 @@ CROSS_JOIN_OK = {
     # key (visible in the broadcast column); remaining BNLs are the
     # 1-row codebook/centroid broadcasts from fit + index + probe
     "ann_ivfpq_topk",
+    # 1-row corpus/target token-total scalars crossJoined into the
+    # per-bucket log-ratio projection (pct_of_total pattern); the
+    # bucket-score and per-doc joins are broadcast HASH joins
+    "dsir_importance_select",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
