@@ -3873,3 +3873,160 @@ def _bpe_oracle() -> str:
 
 QUERIES["bpe_phrase_merges"] = q_bpe_phrase_merges
 ORACLES["bpe_phrase_merges"] = _bpe_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Corpus diversity dashboard: Shannon token entropy per source.     #
+# Two aggregations — (source, token) counts, then per-source        #
+# entropy with each -(c/N) ln(c/N) term ROUND-6-quantized to        #
+# DECIMAL before the sum (order-free, engine-exact; the             #
+# text_unigram_logprob rule). The (source, token) relation is the   #
+# only wide state and it is bounded by vocab x sources.             #
+# ---------------------------------------------------------------- #
+def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    tc = (
+        t["documents"]
+        .select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = tc.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    term = (
+        -(F.col("c") / F.col("n_tokens"))
+        * F.log(F.col("c") / F.col("n_tokens"))
+    )
+    return (
+        tc.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "n_tokens",
+            "n_vocab",
+            F.round(term, 6).cast("decimal(28,6)").alias("__h"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("n_tokens").cast("bigint").alias("n_tokens"),
+            F.max("n_vocab").cast("bigint").alias("n_vocab"),
+            F.sum("__h").cast("double").alias("entropy_nats"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["token_entropy_by_source"] = q_token_entropy_by_source
+ORACLES["token_entropy_by_source"] = f"""
+    WITH tc AS (
+        SELECT source, tok, COUNT(*) AS c FROM (
+            SELECT source, unnest({_TOKS}) AS tok FROM documents
+        ) GROUP BY source, tok
+    ),
+    totals AS (
+        SELECT source, SUM(c) AS n_tokens, COUNT(*) AS n_vocab
+        FROM tc GROUP BY source
+    )
+    SELECT t.source,
+           CAST(MAX(tt.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MAX(tt.n_vocab) AS BIGINT) AS n_vocab,
+           CAST(SUM(CAST(ROUND(
+               -(t.c / tt.n_tokens) * ln(t.c / tt.n_tokens), 6)
+               AS DECIMAL(28,6))) AS DOUBLE) AS entropy_nats
+    FROM tc t JOIN totals tt USING (source)
+    GROUP BY t.source
+    ORDER BY t.source
+"""
+
+
+# ---------------------------------------------------------------- #
+# Distribution drift monitor: PSI (population stability index) of   #
+# the event-value distribution, second half of the month vs the     #
+# first — the standard production gate for "did my feature/input    #
+# distribution move". Fixed literal bin edges (50-wide, overflow    #
+# capped at bin 9) + Laplace-smoothed proportions so no bucket is   #
+# ever zero; each (pa - pe) * ln(pa / pe) term quantizes to         #
+# DECIMAL(28,6) before the (order-free) total. One scan, one        #
+# 10-row aggregate, everything downstream scalar.                   #
+# ---------------------------------------------------------------- #
+_PSI_BINS, _PSI_W, _PSI_SPLIT = 10, 50.0, "2024-01-16"
+
+
+def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    ev = t["events"].select(
+        F.least(
+            F.floor(F.col("value") / _PSI_W).cast("int"),
+            F.lit(_PSI_BINS - 1),
+        ).alias("bucket"),
+        (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_exp"),
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bucket"))
+    counts = (
+        spine.join(
+            ev.groupBy("bucket").agg(
+                F.sum(F.when(F.col("is_exp"), 1).otherwise(0)).alias("n_expected"),
+                F.sum(F.when(~F.col("is_exp"), 1).otherwise(0)).alias("n_actual"),
+            ),
+            "bucket",
+            "left",
+        )
+        # bins empty in BOTH halves still belong on the report (their
+        # smoothed term is ~0 but a monitoring spine must be total)
+        .fillna(0, ["n_expected", "n_actual"])
+    )
+    tot = counts.agg(
+        F.sum("n_expected").alias("ne"), F.sum("n_actual").alias("na")
+    )
+    pe = (F.col("n_expected") + 1) / (F.col("ne") + _PSI_BINS)
+    pa = (F.col("n_actual") + 1) / (F.col("na") + _PSI_BINS)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n_expected").cast("bigint").alias("n_expected"),
+            F.col("n_actual").cast("bigint").alias("n_actual"),
+            F.round((pa - pe) * F.log(pa / pe), 6)
+            .cast("decimal(28,6)")
+            .cast("double")
+            .alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )
+
+
+QUERIES["psi_drift_report"] = q_psi_drift_report
+ORACLES["psi_drift_report"] = f"""
+    WITH ev AS (
+        SELECT LEAST(CAST(FLOOR(value / {_PSI_W}) AS INT), {_PSI_BINS - 1})
+                   AS bucket,
+               ts < TIMESTAMP '{_PSI_SPLIT}' AS is_exp
+        FROM events
+    ),
+    observed AS (
+        SELECT bucket,
+               SUM(CASE WHEN is_exp THEN 1 ELSE 0 END) AS n_expected,
+               SUM(CASE WHEN NOT is_exp THEN 1 ELSE 0 END) AS n_actual
+        FROM ev GROUP BY bucket
+    ),
+    counts AS (
+        SELECT s.bucket,
+               COALESCE(o.n_expected, 0) AS n_expected,
+               COALESCE(o.n_actual, 0) AS n_actual
+        FROM (SELECT CAST(g.i AS INT) AS bucket
+              FROM generate_series(0, {_PSI_BINS - 1}) g(i)) s
+        LEFT JOIN observed o ON o.bucket = s.bucket
+    ),
+    tot AS (SELECT SUM(n_expected) AS ne, SUM(n_actual) AS na FROM counts)
+    SELECT bucket,
+           CAST(n_expected AS BIGINT) AS n_expected,
+           CAST(n_actual AS BIGINT) AS n_actual,
+           CAST(CAST(ROUND(
+               ((n_actual + 1) / (na + {_PSI_BINS})
+                - (n_expected + 1) / (ne + {_PSI_BINS}))
+               * ln(((n_actual + 1) / (na + {_PSI_BINS}))
+                    / ((n_expected + 1) / (ne + {_PSI_BINS}))), 6)
+               AS DECIMAL(28,6)) AS DOUBLE) AS psi_term
+    FROM counts CROSS JOIN tot
+    ORDER BY bucket
+"""
