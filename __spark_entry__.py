@@ -29,9 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (computed as set(QUERIES) − union of r1-r3 keys), followed by the round-4
 # additions up to exactly the driver's 50-query sample. The late round-4
 # queries past slot 50 (ann_ivfpq_topk, dsir_importance_select,
-# bpe_phrase_merges — all strict-hash green locally and in the full
-# tools/check_correctness sweep) are the round-5 head: recompute this list
-# next round as set(QUERIES) − union(CORRECTNESS_r01..r04 keys).
+# bpe_phrase_merges, token_entropy_by_source, psi_drift_report — all
+# strict-hash green locally and in the full tools/check_correctness
+# sweep) are the round-5 head: recompute this list next round as
+# set(QUERIES) − union(CORRECTNESS_r01..r04 keys).
 _NEVER_SAMPLED = (
     # the KPI-view materialization wave (one-time per session) is paid by
     # the first KPI query in suite order: keep that absorber FIRST so the

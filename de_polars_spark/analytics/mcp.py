@@ -12,7 +12,7 @@ deterministic under test.
 from __future__ import annotations
 
 from datetime import datetime
-from typing import Any, Optional
+from typing import Any
 
 from de_polars_spark.analytics.ai import AIRecommendations
 from de_polars_spark.analytics.base import AnalyticsModule
