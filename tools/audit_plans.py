@@ -95,6 +95,9 @@ CROSS_JOIN_OK = {
     # per-bucket log-ratio projection (pct_of_total pattern); the
     # bucket-score and per-doc joins are broadcast HASH joins
     "dsir_importance_select",
+    # 1-row expected/actual grand-total scalar crossJoined into the
+    # 10-row per-bucket PSI term projection (pct_of_total pattern)
+    "psi_drift_report",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
