@@ -977,3 +977,114 @@ def test_bpe_phrase_merges_match_python_model(spark, docs, rounds):
             nxt.append(out)
         model_docs = nxt
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.lists(st.sampled_from(["x", "y", "zz", "w q"]), max_size=6),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_dsir_scoring_matches_python_model(spark, docs):
+    """The DSIR importance chain (md5 feature hashing, Laplace-smoothed
+    per-bucket log-ratios quantized to DECIMAL(18,6), per-doc decimal
+    sum, double at the edge) vs a plain-Python model. 'w q' in the
+    alphabet makes some docs contribute two tokens from one entry, and
+    the tiny bucket count forces hash collisions the model must share."""
+    import hashlib
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import de_polars_spark.inventory.llm_ops as L
+    from de_polars_spark.functions import text as TX
+
+    B, TARGET = 8, ("s0",)
+    data = [
+        (i, src_, " ".join(toks)) for i, (src_, toks) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(data, "doc_id long, source string, text string")
+
+    # Spark chain — the q_dsir body with its table swapped for df
+    tb = df.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("tok")
+    ).select("doc_id", "source", (TX.hash60(F.col("tok")) % B).alias("b"))
+    pd_ = tb.groupBy("doc_id", "source", "b").agg(F.count("*").alias("n_b"))
+    raw = pd_.groupBy("b").agg(F.sum("n_b").alias("cr"))
+    tgt = (
+        pd_.where(F.col("source").isin(*TARGET))
+        .groupBy("b").agg(F.sum("n_b").alias("ct"))
+    )
+    tot = pd_.agg(
+        F.sum("n_b").alias("nr"),
+        F.sum(
+            F.when(F.col("source").isin(*TARGET), F.col("n_b")).otherwise(0)
+        ).alias("nt"),
+    )
+    sc = (
+        raw.join(tgt, "b", "left").fillna(0, ["ct"]).crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("ct") + F.lit(1)).cast("double") / (F.col("nt") + F.lit(B)))
+                - F.log((F.col("cr") + F.lit(1)).cast("double") / (F.col("nr") + F.lit(B)))
+            ).cast("decimal(18,6)").alias("s"),
+        )
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["importance"])
+        for r in pd_.join(F.broadcast(sc), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_b").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("s") * F.col("n_b").cast("decimal(10,0)")).cast("double"),
+                6,
+            ).alias("importance"),
+        )
+        .collect()
+    }
+
+    # Python model
+    def h(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    occ = []  # (doc, source, bucket)
+    for i, src_, text in data:
+        for tok in text.split(" "):
+            if tok:
+                occ.append((i, src_, h(tok)))
+    nr, nt = len(occ), sum(1 for _, s, _ in occ if s in TARGET)
+    cr: dict = {}
+    ct: dict = {}
+    for _, s, b in occ:
+        cr[b] = cr.get(b, 0) + 1
+        if s in TARGET:
+            ct[b] = ct.get(b, 0) + 1
+    score = {
+        b: Decimal(
+            math.log((ct.get(b, 0) + 1) / (nt + B))
+            - math.log((cr[b] + 1) / (nr + B))
+        ).quantize(Decimal("1e-6"), ROUND_HALF_UP)
+        for b in cr
+    }
+    expect = {}
+    for i, _src, _text in data:
+        buckets = [b for (d, _, b) in occ if d == i]
+        if not buckets:
+            continue  # docs with no tokens have no (doc, bucket) rows
+        per: dict = {}
+        for b in buckets:
+            per[b] = per.get(b, 0) + 1
+        imp = sum(score[b] * n for b, n in per.items())
+        # F.round(double, 6) goes through BigDecimal.valueOf, i.e. the
+        # SHORTEST double repr (same as Python repr), then HALF_UP
+        expect[i] = (
+            len(buckets),
+            float(Decimal(repr(float(imp))).quantize(Decimal("1e-6"), ROUND_HALF_UP)),
+        )
+    assert got == expect
