@@ -179,7 +179,14 @@ def build_ivf_index(
         VX.norm(F.col("cv")).alias("cn"),
         F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias("cell"),
     )
-    c.write.mode("overwrite").partitionBy("cell").parquet(
+    # cluster by cell before the partitioned write: a partitionBy write
+    # from an N-partition scan emits up to N files PER cell dir (a
+    # 100 TB scan has thousands of partitions — tiny-file storm, slow
+    # probes); repartition("cell") bounds it to one task's output per
+    # cell, the contiguous inverted-list layout a probe reads. At bench
+    # scale the scan is 1-3 partitions either way (A/B: 0.34s vs 0.44s
+    # write) — this is for the write shape at scale, not local timing.
+    c.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "postings")
     )
     cdf = corpus.sparkSession.createDataFrame(
