@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (computed as set(QUERIES) − union of r1-r3 keys), followed by the round-4
 # additions up to exactly the driver's 50-query sample. The late round-4
 # queries past slot 50 (ann_ivfpq_topk, dsir_importance_select,
-# bpe_phrase_merges, token_entropy_by_source, psi_drift_report — all
+# bpe_phrase_merges, token_entropy_by_source, psi_drift_report,
+# cluster_aware_split — all
 # strict-hash green locally and in the full tools/check_correctness
 # sweep) are the round-5 head: recompute this list next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).

@@ -4030,3 +4030,119 @@ ORACLES["psi_drift_report"] = f"""
     FROM counts CROSS JOIN tot
     ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------- #
+# Cluster-aware train/val/test split: whole near-dup clusters go    #
+# to ONE split (hash the CLUSTER id, not the doc id) — the          #
+# leakage-free way to split a corpus whose near-dups survived       #
+# (C4/SemDeDup practice: a train doc's near-copy in the eval set    #
+# is contamination). Reads the shared component-label artifact      #
+# (one closure per corpus); singleton docs are their own cluster.   #
+# The naive_leaky_clusters column quantifies the counterfactual:    #
+# clusters that doc-id hashing WOULD have scattered across splits.  #
+# ---------------------------------------------------------------- #
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    labels = _dedup_components(spark, sf_dir)
+    d = (
+        t["documents"]
+        .select("doc_id")
+        .join(labels, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+                "cluster_id"
+            ),
+        )
+    )
+    uc = sampling.hash_uniform(F.col("cluster_id"), "split")
+    un = sampling.hash_uniform(F.col("doc_id"), "split")
+
+    def bucket(u):
+        return (
+            F.when(u < 0.1, F.lit("val"))
+            .when(u < 0.2, F.lit("test"))
+            .otherwise(F.lit("train"))
+        )
+
+    d = d.select(
+        "doc_id",
+        "cluster_id",
+        bucket(uc).alias("split"),
+        bucket(un).alias("naive_split"),
+    )
+    cl = d.groupBy("cluster_id", "split").agg(
+        F.count(F.lit(1)).alias("n_docs_c"),
+        F.sum("doc_id").alias("id_sum_c"),
+        F.countDistinct("naive_split").alias("nn"),
+    )
+    return (
+        cl.groupBy("split")
+        .agg(
+            F.sum("n_docs_c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("id_sum_c").cast("bigint").alias("id_checksum"),
+            F.sum(F.when(F.col("nn") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("naive_leaky_clusters"),
+        )
+        .orderBy("split")
+    )
+
+
+def _cluster_split_oracle() -> str:
+    def u32(expr: str) -> str:
+        return (
+            f"CAST('0x' || substring(md5(CAST({expr} AS VARCHAR) || 'split'),"
+            f" 1, 8) AS BIGINT) / 4294967296.0"
+        )
+
+    def bucket(u: str) -> str:
+        return (
+            f"CASE WHEN {u} < 0.1 THEN 'val' "
+            f"WHEN {u} < 0.2 THEN 'test' ELSE 'train' END"
+        )
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component_id
+        FROM reach GROUP BY u
+    ),
+    d AS (
+        SELECT doc_id,
+               COALESCE(c.component_id, doc_id) AS cluster_id,
+               {bucket(u32("COALESCE(c.component_id, doc_id)"))} AS split,
+               {bucket(u32("doc_id"))} AS naive_split
+        FROM documents LEFT JOIN comp c ON doc_id = c.node
+    ),
+    cl AS (
+        SELECT cluster_id, split,
+               COUNT(*) AS n_docs_c,
+               SUM(doc_id) AS id_sum_c,
+               COUNT(DISTINCT naive_split) AS nn
+        FROM d GROUP BY cluster_id, split
+    )
+    SELECT split,
+           CAST(SUM(n_docs_c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(id_sum_c) AS BIGINT) AS id_checksum,
+           CAST(SUM(CASE WHEN nn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS naive_leaky_clusters
+    FROM cl GROUP BY split ORDER BY split
+"""
+
+
+QUERIES["cluster_aware_split"] = q_cluster_aware_split
+ORACLES["cluster_aware_split"] = _cluster_split_oracle()
