@@ -627,3 +627,65 @@ def test_ivfpq_ingest_runs_as_stream(spark, tmp_path):
     served = spark.read.parquet(postings)
     assert served.count() == len(data)
     assert {c for c in served.columns} >= {"vec_id", "cell", "code_0", "code_1"}
+
+
+def test_psi_monitor_stream_matches_batch(spark, tmp_path):
+    """Each micro-batch's logged PSI row must equal the batch-mode
+    computation over the same rows (shared batch_psi body), replay must
+    not double-log, and a shifted batch must score drastically higher
+    than an in-distribution one."""
+    from de_polars_spark.streaming.drift_monitor import (
+        batch_psi, psi_monitor_sink,
+    )
+
+    ref = {0: 50, 1: 30, 2: 20}
+    out = str(tmp_path / "out")
+    sink = psi_monitor_sink("value", ref, out, bins=4, width=10.0)
+
+    b0 = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 11, 12, 3, 21, 4, 13]], "value double"
+    )
+    b1 = spark.createDataFrame(  # shifted mass into the overflow bin
+        [(float(v),) for v in [35, 36, 37, 38, 39]], "value double"
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay
+
+    got = {
+        r["batch_id"]: (r["n_rows"], r["psi"], r["worst_bucket"], r["worst_term"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert set(got) == {0, 1}
+    for bid, bdf in ((0, b0), (1, b1)):
+        expect = batch_psi(bdf, "value", ref, bins=4, width=10.0).collect()[0]
+        assert got[bid] == (
+            expect["n_rows"], expect["psi"],
+            expect["worst_bucket"], expect["worst_term"],
+        )
+    assert got[1][1] > 10 * got[0][1]  # the shifted batch screams
+
+
+def test_psi_monitor_runs_as_stream(spark, tmp_path):
+    from de_polars_spark.streaming.drift_monitor import psi_monitor_sink
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 11, 35, 36]], "value double"
+    ).write.parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.schema("value double")
+        .parquet(src)
+        .writeStream.foreachBatch(
+            psi_monitor_sink("value", {0: 5, 1: 5}, out, bins=4, width=10.0)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["n_rows"] == 5
