@@ -4146,3 +4146,132 @@ def _cluster_split_oracle() -> str:
 
 QUERIES["cluster_aware_split"] = q_cluster_aware_split
 ORACLES["cluster_aware_split"] = _cluster_split_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Token-budget mixture planning: given per-source token counts and  #
+# a total training budget (half the corpus here), allocate tokens   #
+# per source under sqrt-temperature weighting with per-source caps  #
+# (never allocate more than a source has) and ONE redistribution    #
+# round of the capped surplus to uncapped sources — the planning    #
+# step in front of mixture_resample_sqrt. The whole computation     #
+# lives on the tiny per-source aggregate; sqrt weights quantize to  #
+# DECIMAL(18,6) BEFORE the weight-sum (order-free), allocations     #
+# are integer floors of identical double expressions, so every      #
+# number is engine-exact.                                           #
+# ---------------------------------------------------------------- #
+def q_mixture_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    counts = (
+        t["documents"]
+        .select("source", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .withColumn(
+            "w", F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(18,6)")
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_tokens").alias("nt"), F.sum("w").alias("wt")
+    )
+    a1 = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        "w",
+        (F.col("nt").cast("bigint") / 2).cast("bigint").alias("budget"),
+        F.least(
+            F.col("n_tokens"),
+            F.floor(
+                F.col("w").cast("double")
+                / F.col("wt").cast("double")
+                * F.floor(F.col("nt") / 2)
+            ).cast("bigint"),
+        ).alias("a1"),
+    )
+    pass2 = a1.crossJoin(
+        F.broadcast(
+            a1.agg(
+                F.sum("a1").alias("used"),
+                F.sum(
+                    F.when(F.col("a1") < F.col("n_tokens"), F.col("w")).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).alias("w2"),
+            )
+        )
+    )
+    alloc = pass2.select(
+        "source",
+        "n_tokens",
+        "w",
+        "a1",
+        F.when(
+            (F.col("a1") < F.col("n_tokens")) & (F.col("w2") > 0),
+            F.least(
+                F.col("n_tokens") - F.col("a1"),
+                F.floor(
+                    F.col("w").cast("double")
+                    / F.col("w2").cast("double")
+                    * (F.col("budget") - F.col("used"))
+                ).cast("bigint"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("a2"),
+    )
+    return alloc.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("w").cast("double").alias("weight"),
+        (F.col("a1") + F.col("a2")).cast("bigint").alias("alloc_tokens"),
+        ((F.col("a1") + F.col("a2")) == F.col("n_tokens")).alias("capped"),
+        F.round(
+            (F.col("a1") + F.col("a2")).cast("double") / F.col("n_tokens"), 6
+        ).alias("epochs"),
+    ).orderBy("source")
+
+
+QUERIES["mixture_token_budget_plan"] = q_mixture_token_budget_plan
+ORACLES["mixture_token_budget_plan"] = f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_tokens,
+               CAST(sqrt(CAST(COUNT(*) AS DOUBLE)) AS DECIMAL(18,6)) AS w
+        FROM (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+        GROUP BY source
+    ),
+    tot AS (SELECT SUM(n_tokens) AS nt, SUM(w) AS wt FROM counts),
+    a1 AS (
+        SELECT source, n_tokens, w,
+               CAST(FLOOR(nt / 2) AS BIGINT) AS budget,
+               LEAST(
+                   n_tokens,
+                   CAST(FLOOR(CAST(w AS DOUBLE) / CAST(wt AS DOUBLE)
+                              * FLOOR(nt / 2)) AS BIGINT)
+               ) AS a1
+        FROM counts CROSS JOIN tot
+    ),
+    agg2 AS (
+        SELECT SUM(a1) AS used,
+               SUM(CASE WHEN a1 < n_tokens THEN w
+                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS w2
+        FROM a1
+    ),
+    alloc AS (
+        SELECT source, n_tokens, w, a1,
+               CASE WHEN a1 < n_tokens AND agg2.w2 > 0 THEN
+                   LEAST(
+                       n_tokens - a1,
+                       CAST(FLOOR(CAST(w AS DOUBLE) / CAST(agg2.w2 AS DOUBLE)
+                                  * (budget - agg2.used)) AS BIGINT)
+                   )
+               ELSE 0 END AS a2
+        FROM a1 CROSS JOIN agg2
+    )
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(w AS DOUBLE) AS weight,
+           CAST(a1 + a2 AS BIGINT) AS alloc_tokens,
+           (a1 + a2) = n_tokens AS capped,
+           ROUND(CAST(a1 + a2 AS DOUBLE) / n_tokens, 6) AS epochs
+    FROM alloc ORDER BY source
+"""
