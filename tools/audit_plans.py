@@ -98,6 +98,10 @@ CROSS_JOIN_OK = {
     # 1-row expected/actual grand-total scalar crossJoined into the
     # 10-row per-bucket PSI term projection (pct_of_total pattern)
     "psi_drift_report",
+    # two 1-row scalar crossJoins (grand totals, then the pass-1
+    # usage/uncapped-weight aggregate) into the 20-row per-source
+    # allocation — the whole plan runs on the tiny source aggregate
+    "mixture_token_budget_plan",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
