@@ -30,7 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions up to exactly the driver's 50-query sample. The late round-4
 # queries past slot 50 (ann_ivfpq_topk, dsir_importance_select,
 # bpe_phrase_merges, token_entropy_by_source, psi_drift_report,
-# cluster_aware_split, mixture_token_budget_plan — all
+# cluster_aware_split, mixture_token_budget_plan,
+# cross_source_overlap_matrix, quality_prune_plan, zipf_token_slope,
+# embedding_centroid_shift — all
 # strict-hash green locally and in the full tools/check_correctness
 # sweep) are the round-5 head: recompute this list next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).

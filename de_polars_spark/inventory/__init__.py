@@ -24,6 +24,7 @@ def _load() -> tuple[dict, dict]:
     # inventory — kpi_views imports views.kpi, which would be circular.
     from de_polars_spark.inventory import (
         core_sql,
+        corpus_ops,
         driver_math,
         finops,
         kpi_views,
@@ -37,7 +38,7 @@ def _load() -> tuple[dict, dict]:
     queries: dict = {}
     oracles: dict = {}
     for mod in (core_sql, llm_ops, finops, kpi_views, pricing, driver_math,
-                streaming_ops, relational_ext, scale_ops):
+                streaming_ops, relational_ext, scale_ops, corpus_ops):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

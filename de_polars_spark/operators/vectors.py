@@ -108,3 +108,70 @@ def average_pool(
             F.sum(F.col("m").cast("decimal(38,6)")).cast("double"), 6
         ).alias("pooled_sum"),
     )
+
+
+def group_centroid_shift(
+    df: DataFrame, group_col: str, vec_col: str
+) -> DataFrame:
+    """Pairwise cosine / L2 distance between per-group embedding
+    centroids — the embedding-space drift matrix between corpus slices
+    (sources, snapshots, quality tiers). Two slices whose centroids
+    diverge sharply need separate mixture weights; two that coincide
+    are near-duplicates at the distribution level (the corpus-level
+    complement of the per-document PSI drift report).
+
+    Scale shape: ``posexplode`` is map-side; the (group, dim) centroid
+    aggregation is ONE shuffle whose output cardinality is
+    n_groups x dims — the map-side partial aggregate compresses an
+    arbitrarily large corpus to that bound before anything moves. The
+    pairwise stage then runs over the tiny centroid table (self-join on
+    dim, upper-triangle filter, one more map-side-combinable groupBy).
+
+    Determinism: per-dim means are decimal-quantized sums over counts;
+    the cross-dim dot/norm reductions re-quantize each product, so both
+    stages are order-independent and engine-exact; outputs round 6dp.
+
+    Output: ``(group_a, group_b, n_dims, cosine, l2_dist)``.
+    """
+    ex = df.select(
+        F.col(group_col).alias("g"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("dim", "val"),
+    )
+    cent = ex.groupBy("g", "dim").agg(
+        (
+            F.sum(F.col("val").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+
+    def _dsum(col: Column) -> Column:
+        return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim")) & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            _dsum(F.col("a.c") * F.col("b.c")).alias("dot"),
+            _dsum(F.col("a.c") * F.col("a.c")).alias("na2"),
+            _dsum(F.col("b.c") * F.col("b.c")).alias("nb2"),
+            _dsum(
+                (F.col("a.c") - F.col("b.c")) * (F.col("a.c") - F.col("b.c"))
+            ).alias("d2"),
+        )
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        F.col("n_dims").cast("bigint"),
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
+        ).alias("cosine"),
+        F.round(F.sqrt(F.col("d2")), 6).alias("l2_dist"),
+    )
