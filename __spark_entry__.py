@@ -32,7 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # bpe_phrase_merges, token_entropy_by_source, psi_drift_report,
 # cluster_aware_split, mixture_token_budget_plan,
 # cross_source_overlap_matrix, quality_prune_plan, zipf_token_slope,
-# embedding_centroid_shift — all
+# embedding_centroid_shift, k_anonymity_report, qi_uniqueness_ladder — all
 # strict-hash green locally and in the full tools/check_correctness
 # sweep) are the round-5 head: recompute this list next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).

@@ -11,7 +11,10 @@ training set (complementing the per-document dedup/quality family in
 - ``zipf_token_slope`` — rank-frequency power-law fit over the top-1k
   vocabulary (corpus-health number);
 - ``embedding_centroid_shift`` — pairwise cosine/L2 between per-label
-  embedding centroids (distribution-level drift between corpus slices).
+  embedding centroids (distribution-level drift between corpus slices);
+- ``k_anonymity_report`` / ``qi_uniqueness_ladder`` — privacy-governance
+  gates over quasi-identifier groupings (the release check a pipeline
+  runs before user-derived records enter a training corpus).
 
 Reference parity: none — beyond-parity LLM-pipeline operators.
 """
@@ -219,3 +222,98 @@ ORACLES["embedding_centroid_shift"] = """
            ROUND(sqrt(d2), 6) AS l2_dist
     FROM pairs
 """
+
+
+# ---------------------------------------------------------------- #
+# Privacy governance: k-anonymity / l-diversity report              #
+# ---------------------------------------------------------------- #
+# Group the table by its quasi-identifier tuple (nation, market
+# segment), measure each group's size k and its sensitive-attribute
+# diversity l (distinct account-balance thousands-buckets), then roll
+# the groups into the k-bucket histogram a privacy review reads:
+# singleton groups (k=1) are directly re-identifiable; k<5 groups are
+# the standard suppression candidates; low-l groups leak the sensitive
+# value even at large k (homogeneity attack). Scale shape: ONE
+# map-side-combinable groupBy on the QI tuple, then a second tiny
+# aggregation over the group table — group cardinality is bounded by
+# the QI domain product, not the row count. All-integer arithmetic:
+# engine-exact with no rounding anywhere.
+_KANON_SQL = """
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS k,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                   AS l
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CASE WHEN k = 1 THEN '1'
+                WHEN k < 5 THEN '2-4'
+                WHEN k < 10 THEN '5-9'
+                ELSE '10+' END AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+               AS rows_low_diversity
+    FROM g
+    GROUP BY 1
+"""
+
+
+def q_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    return spark.sql(render(_KANON_SQL, "spark"))
+
+
+QUERIES["k_anonymity_report"] = q_k_anonymity_report
+ORACLES["k_anonymity_report"] = render(_KANON_SQL, "duckdb")
+
+
+# ---------------------------------------------------------------- #
+# Privacy governance: quasi-identifier uniqueness ladder            #
+# ---------------------------------------------------------------- #
+# Re-identification risk as quasi-identifiers ACCUMULATE: the share of
+# rows whose QI tuple is unique at each widening level (nation; +
+# segment; + account-balance bucket). The ladder is the number a
+# governance review asks for first — "how many columns until customers
+# become singletons?" — and the jump between levels says which column
+# to generalize. One groupBy per level (each map-side combinable,
+# output bounded by the QI domain); the three level reports union into
+# one ordered table. Integer counts; the only double is the final
+# share, a ratio of identical BIGINTs in both engines.
+_QI_LEVELS = (
+    ("1:nation", "TO_STR(c_nationkey)"),
+    ("2:+segment", "TO_STR(c_nationkey) || '|' || c_mktsegment"),
+    (
+        "3:+acctbal_k",
+        "TO_STR(c_nationkey) || '|' || c_mktsegment || '|' "
+        "|| TO_STR(CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))",
+    ),
+)
+
+_QI_LEVEL_SQL = """
+    SELECT '{label}' AS qi_level,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(k) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singleton_groups,
+           ROUND(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END)
+                 / CAST(SUM(k) AS DOUBLE), 6) AS unique_row_share
+    FROM (SELECT {expr} AS qi, COUNT(*) AS k FROM customer GROUP BY 1) g
+"""
+
+_QI_SQL = "\nUNION ALL\n".join(
+    _QI_LEVEL_SQL.format(label=label, expr=expr) for label, expr in _QI_LEVELS
+)
+
+
+def q_qi_uniqueness_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    return spark.sql(render(_QI_SQL, "spark"))
+
+
+QUERIES["qi_uniqueness_ladder"] = q_qi_uniqueness_ladder
+ORACLES["qi_uniqueness_ladder"] = render(_QI_SQL, "duckdb")
