@@ -50,6 +50,14 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
+    # run the KPI family's wave absorber first: the one-time KPI view
+    # materialization (paid by whichever KPI query runs first) compiles
+    # its ~100-column codegen units on a fresh JVM here (~13s at sf0.1)
+    # instead of mid-suite under codegen-cache pressure (measured 23-43s
+    # for the same work). Correctness head ordering (__spark_entry__)
+    # is driver-sample territory and stays independent of this.
+    if "kpi_view_tracker" in qs:
+        qs = {"kpi_view_tracker": qs.pop("kpi_view_tracker")} | qs
 
     # warm-up: JVM/codegen spin-up is a constant, not a per-query cost
     qs["pricing_summary"](spark, sf_dir).collect()
