@@ -32,8 +32,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # token_entropy_by_source, psi_drift_report, cluster_aware_split,
 # mixture_token_budget_plan, cross_source_overlap_matrix,
 # quality_prune_plan, zipf_token_slope, embedding_centroid_shift,
-# k_anonymity_report, qi_uniqueness_ladder — all strict-hash green locally
-# and in the full tools/check_correctness sweep) are the round-5 head:
+# k_anonymity_report, qi_uniqueness_ladder, plus the round-4
+# training-set family: dedup_containment, hard_negative_mining,
+# embedding_int8_quant, embedding_centroid_silhouette,
+# tokenizer_fertility, curriculum_phase_plan — all strict-hash green
+# locally and in the full tools/check_correctness sweep) are the round-5 head:
 # recompute this list next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).
 # (kpi_view_tracker is NOT here — it already has a green r3 row; bench.py

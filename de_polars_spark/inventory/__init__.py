@@ -33,12 +33,14 @@ def _load() -> tuple[dict, dict]:
         relational_ext,
         scale_ops,
         streaming_ops,
+        training_ops,
     )
 
     queries: dict = {}
     oracles: dict = {}
     for mod in (core_sql, llm_ops, finops, kpi_views, pricing, driver_math,
-                streaming_ops, relational_ext, scale_ops, corpus_ops):
+                streaming_ops, relational_ext, scale_ops, corpus_ops,
+                training_ops):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -892,3 +892,106 @@ def ngram_duplication_profile(
             F.round(F.col("n_shared") / F.col("n_ngrams"), 6).alias("dup_ratio"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle-containment pairs: ``|A ∩ B| / |A|`` with A the
+    smaller shingle set — the subset/quotation detector Jaccard-based
+    dedup misses (a tweet quoted inside an article has containment ~1.0
+    but Jaccard ~0, so it survives every MinHash/Jaccard gate; Broder's
+    original resemblance paper treats containment as the second primary
+    measure for exactly this case).
+
+    Shape: distinct per-doc shingle postings (posexplode + LEAD gram
+    build, codegen'd, same as :func:`ngram_jaccard_pairs`), then ONE
+    self-join of the postings on ``(block, shingle)`` feeding a map-side
+    combinable pair count — the candidate space IS the co-occurrence
+    join, no all-pairs expansion ever materializes. The prefix-filter
+    trick that prunes the Jaccard verifier does not transfer: containment
+    bounds overlap only against the SMALLER side (``|A ∩ B| >= t·|A|``
+    says nothing per-position about B), so the B side must index all its
+    shingles; posting-list counting is the exact play, and the pair
+    count it shuffles is bounded by the co-occurrence volume, which
+    ``max_df`` caps against Zipfian boilerplate shingles (the same hot
+    keys that would skew any scheme; None = exact oracle semantics).
+
+    Output: ``(id_small, id_large, n_common, n_small, n_large,
+    containment)`` for pairs with containment >= threshold; ties in set
+    size break toward the smaller id as ``id_small``.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    if shingle_n > 1:
+        wd = Window.partitionBy(id_col, "block").orderBy("p")
+        leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
+        grams = tok.select(
+            id_col,
+            "block",
+            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("shingle"),
+            leads[-1].alias("__last"),
+        ).where(F.col("__last").isNotNull())
+    else:
+        grams = tok.select(id_col, "block", F.xxhash64("tok").alias("shingle"))
+    # the distinct postings feed both self-join sides — persist so the
+    # tokenize/window/distinct chain runs once (same recompute-dominated
+    # profile ngram_jaccard_pairs measured; release via release_cached())
+    post = grams.select(id_col, "block", "shingle").distinct().persist()
+    _PERSISTED.append(post)
+    if max_df is not None:
+        wfreq = Window.partitionBy("block", "shingle")
+        post = post.withColumn("df", F.count(F.lit(1)).over(wfreq)).filter(
+            F.col("df") <= max_df
+        ).drop("df")
+    # per-doc set size rides the posting rows (a window count over the
+    # already-distinct postings), so the verification needs NO size-table
+    # joins after the pair count — sizes travel through the self-join and
+    # come out of the pair groupBy as FIRST() (constant within the group)
+    wsz = Window.partitionBy("block", id_col)
+    sized = post.withColumn("n_sh", F.count(F.lit(1)).over(wsz))
+    a = sized.select(
+        F.col("block"),
+        F.col("shingle"),
+        F.col(id_col).alias("__ia"),
+        F.col("n_sh").alias("n_ia"),
+    )
+    b = sized.select(
+        F.col("block"),
+        F.col("shingle"),
+        F.col(id_col).alias("__ib"),
+        F.col("n_sh").alias("n_ib"),
+    )
+    scored = (
+        a.join(b, ["block", "shingle"])
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy("block", "__ia", "__ib")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.first("n_ia").cast("bigint").alias("n_ia"),
+            F.first("n_ib").cast("bigint").alias("n_ib"),
+        )
+    )
+    small_is_a = (F.col("n_ia") < F.col("n_ib")) | (
+        (F.col("n_ia") == F.col("n_ib")) & (F.col("__ia") < F.col("__ib"))
+    )
+    out = scored.select(
+        F.when(small_is_a, F.col("__ia")).otherwise(F.col("__ib")).alias("id_small"),
+        F.when(small_is_a, F.col("__ib")).otherwise(F.col("__ia")).alias("id_large"),
+        F.col("n_common"),
+        F.least("n_ia", "n_ib").alias("n_small"),
+        F.greatest("n_ia", "n_ib").alias("n_large"),
+        F.round(
+            F.col("n_common") / F.least("n_ia", "n_ib").cast("double"), 6
+        ).alias("containment"),
+    )
+    return out.filter(F.col("containment") >= threshold)

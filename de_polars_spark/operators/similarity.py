@@ -384,3 +384,62 @@ def lsh_multiprobe_topk(
         )
     )
     return _ranked_topk(scored, k)
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor vector, the
+    top-k most-similar corpus vectors carrying a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives,
+    :func:`~de_polars_spark.inventory.scale_ops` ``negative_pair_sample``,
+    are mostly easy; training batches mined near the decision boundary
+    converge far faster — the standard hard-negative recipe from dense
+    retrieval, e.g. DPR/ANCE).
+
+    Shape: identical to :func:`cosine_topk` — anchors ride a broadcast,
+    the corpus scan is map-only, the label inequality joins the filter,
+    so the only shuffle is the per-anchor top-k window on the scored
+    pairs. At corpus scale swap the brute scan for the persisted IVF
+    index (:func:`ivf_topk_from_index`) and apply the same label filter
+    to its probe output; this exact form is the recall oracle for that
+    composition.
+
+    Output: ``(query_id, neighbor_id, neighbor_label, cosine, rank)``,
+    ties broken by neighbor_id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        VX.as_double(F.col(vec_col)).alias("cv"),
+    ).select(
+        "neighbor_id", "neighbor_label", "cv", VX.norm(F.col("cv")).alias("cn")
+    )
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        VX.as_double(F.col(vec_col)).alias("qv"),
+    ).select("query_id", "query_label", "qv", VX.norm(F.col("qv")).alias("qn"))
+    scored = c.join(
+        F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(
+            VX.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )

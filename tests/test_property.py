@@ -1088,3 +1088,106 @@ def test_dsir_scoring_matches_python_model(spark, docs):
             float(Decimal(repr(float(imp))).quantize(Decimal("1e-6"), ROUND_HALF_UP)),
         )
     assert got == expect
+
+
+# ---- round-4 additions: containment / hard negatives ------------------ #
+
+_doc = st.lists(st.sampled_from("abc"), min_size=0, max_size=6)
+
+
+@given(
+    docs=st.lists(st.tuples(st.integers(0, 1), _doc), min_size=1, max_size=8),
+    n=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_containment_pairs_matches_model(spark, docs, n):
+    """The posting-join plan must equal the naive per-pair set model —
+    including the smaller-side orientation and the equal-size id
+    tiebreak (threshold 0 so every co-occurring pair surfaces)."""
+    from de_polars_spark.operators.dedup import containment_pairs, release_cached
+
+    data = [(i, blk, " ".join(toks)) for i, (blk, toks) in enumerate(docs)]
+    df = spark.createDataFrame(data, "rid long, blk int, text string")
+    got = {
+        (r["id_small"], r["id_large"]): (
+            r["n_common"],
+            r["n_small"],
+            r["n_large"],
+        )
+        for r in containment_pairs(
+            df, "rid", "text", "blk", threshold=0.0, shingle_n=n
+        ).collect()
+    }
+    release_cached()
+
+    def shingles(toks):
+        return {
+            " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        }
+
+    expect = {}
+    for i, (bi, ti) in enumerate(docs):
+        for j, (bj, tj) in enumerate(docs):
+            if not (i < j and bi == bj):
+                continue
+            sa, sb = shingles(ti), shingles(tj)
+            common = len(sa & sb)
+            if not common:
+                continue
+            if (len(sa), i) <= (len(sb), j):
+                small, large, ns, nl = i, j, len(sa), len(sb)
+            else:
+                small, large, ns, nl = j, i, len(sb), len(sa)
+            expect[(small, large)] = (common, min(len(sa), len(sb)),
+                                      max(len(sa), len(sb)))
+    assert got == expect
+
+
+_vec = st.lists(
+    st.integers(-3, 3).map(float), min_size=2, max_size=2
+)
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 2), _vec), min_size=2, max_size=8),
+    k=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_hard_negative_topk_matches_model(spark, rows, k):
+    """Broadcast brute-force mining must equal the naive model: per
+    anchor, every different-label vector ranked by (cosine desc, id)."""
+    from de_polars_spark.operators.similarity import hard_negative_topk
+
+    data = [
+        (i, lab, v) for i, (lab, v) in enumerate(rows)
+        if any(x != 0.0 for x in v)  # zero vectors have no cosine
+    ]
+    if len(data) < 2 or len({lab for _, lab, _ in data}) < 2:
+        return
+    df = spark.createDataFrame(data, "rid long, lab int, v array<double>")
+    anchors = df.filter(F.col("rid") % 2 == 0)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["cosine"])
+        for r in hard_negative_topk(df, anchors, "rid", "v", "lab", k).collect()
+    }
+    import math
+
+    expect = {}
+    for qi, qlab, qv in data:
+        if qi % 2 != 0:
+            continue
+        cands = []
+        for ni, nlab, nv in data:
+            if nlab == qlab:
+                continue
+            dot = sum(a * b for a, b in zip(qv, nv))
+            cos = dot / (
+                math.sqrt(sum(a * a for a in qv)) * math.sqrt(sum(b * b for b in nv))
+            )
+            cands.append((-round(cos, 6), ni))
+        for rank, (negcos, ni) in enumerate(sorted(cands)[:k], 1):
+            expect[(qi, rank)] = (ni, -negcos)
+    assert set(got) == set(expect)
+    for key, (ni, cos) in expect.items():
+        gni, gcos = got[key]
+        assert gni == ni and abs(gcos - cos) < 1e-9, (key, got[key], (ni, cos))

@@ -102,6 +102,15 @@ CROSS_JOIN_OK = {
     # usage/uncapped-weight aggregate) into the 20-row per-source
     # allocation — the whole plan runs on the tiny source aggregate
     "mixture_token_budget_plan",
+    # hard-negative mining is ann_cosine_topk's brute baseline with the
+    # label-inequality as the (non-equi) join predicate: broadcast
+    # anchor set x map-only corpus scan; the scale path filters the
+    # persisted IVF probe output instead (similarity.hard_negative_topk)
+    "hard_negative_mining",
+    # centroid-affinity scoring: the labels-row centroid-array frame
+    # rides a broadcast crossJoin into the map-side fold (same shape as
+    # kmeans_embeddings' assignment) — scale-safe
+    "embedding_centroid_silhouette",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
