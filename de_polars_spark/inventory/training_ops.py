@@ -307,3 +307,267 @@ _common(
     GROUP BY 1
     """,
 )
+
+
+# ---------------------------------------------------------------- #
+# Time-series gap filling (spine + LOCF)                            #
+# ---------------------------------------------------------------- #
+# The resampling step in front of any forecast/drift model: a complete
+# hourly spine per event type (generated, not scanned — the spine is
+# bounds x types however large the corpus), actuals LEFT-joined on, and
+# last-observation-carried-forward over the gaps. Scale shape: the
+# bounds are one 1-row aggregate crossJoined into the generated spine
+# (pct_of_total pattern); actuals are one map-side-combinable groupBy;
+# the LOCF window partitions by event_type over the spine (bounded by
+# hours x types, not event rows).
+_GAPFILL_SPARK = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, h.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT explode(sequence(h0, h1, interval 1 hour)) AS h
+                    FROM bounds) h
+    ),
+    actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               COUNT(*) AS n_events, DSUM(value) AS hour_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, HOUR_STR(s.h) AS hour,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           a.hour_value AS hour_value,
+           last_value(a.hour_value) IGNORE NULLS OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_value,
+           CAST(CASE WHEN a.n_events IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_gap
+    FROM spine s
+    LEFT JOIN actual a ON s.event_type = a.event_type AND s.h = a.h
+"""
+_GAPFILL_DUCK = """
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, h.h
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                        AS h FROM bounds) h
+    ),
+    actual AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               COUNT(*) AS n_events, DSUM(value) AS hour_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, HOUR_STR(s.h) AS hour,
+           CAST(COALESCE(a.n_events, 0) AS BIGINT) AS n_events,
+           a.hour_value AS hour_value,
+           last_value(a.hour_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS locf_value,
+           CAST(CASE WHEN a.n_events IS NULL THEN 1 ELSE 0 END AS INT)
+               AS is_gap
+    FROM spine s
+    LEFT JOIN actual a ON s.event_type = a.event_type AND s.h = a.h
+"""
+
+
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_testdata(spark, sf_dir)
+    return spark.sql(render(_GAPFILL_SPARK, "spark"))
+
+
+QUERIES["timeseries_gapfill"] = q_timeseries_gapfill
+ORACLES["timeseries_gapfill"] = render(_GAPFILL_DUCK, "duckdb")
+
+
+# ---------------------------------------------------------------- #
+# Consistent cross-table subset sample                              #
+# ---------------------------------------------------------------- #
+# The dev-dataset cut: sample p% of CUSTOMERS and keep each one's
+# complete order/lineitem history, so every FK in the subset resolves
+# (a per-table Bernoulli sample breaks referential integrity and makes
+# join results meaningless). Scale shape: tables carrying the sample
+# key filter MAP-ONLY on the key hash — no join, no shuffle, any table
+# size; tables that do not carry it (lineitem) take exactly one
+# semi-join hop through the narrowest parent projection. At 100 TB
+# this is the only subsetting scheme whose cost is one scan per table.
+_SUBSET_PCT = 5
+_common(
+    "consistent_subset_sample",
+    f"""
+    WITH kept_orders AS (
+        SELECT o_orderkey FROM orders
+        WHERE (HASH60(TO_STR(o_custkey)) % 100) < {_SUBSET_PCT}
+    ),
+    c AS (
+        SELECT COUNT(*) AS n_total,
+               SUM(CASE WHEN (HASH60(TO_STR(c_custkey)) % 100)
+                             < {_SUBSET_PCT} THEN 1 ELSE 0 END) AS n_kept
+        FROM customer
+    ),
+    o AS (
+        SELECT COUNT(*) AS n_total,
+               SUM(CASE WHEN (HASH60(TO_STR(o_custkey)) % 100)
+                             < {_SUBSET_PCT} THEN 1 ELSE 0 END) AS n_kept
+        FROM orders
+    ),
+    l AS (
+        SELECT COUNT(*) AS n_total,
+               SUM(CASE WHEN k.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_kept
+        FROM lineitem LEFT JOIN kept_orders k
+          ON lineitem.l_orderkey = k.o_orderkey
+    )
+    SELECT 'customer' AS table_name, CAST(n_total AS BIGINT) AS n_total,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           ROUND(n_kept / CAST(n_total AS DOUBLE), 6) AS kept_frac
+    FROM c
+    UNION ALL
+    SELECT 'orders', CAST(n_total AS BIGINT), CAST(n_kept AS BIGINT),
+           ROUND(n_kept / CAST(n_total AS DOUBLE), 6)
+    FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(n_total AS BIGINT), CAST(n_kept AS BIGINT),
+           ROUND(n_kept / CAST(n_total AS DOUBLE), 6)
+    FROM l
+    """,
+)
+
+
+# ---------------------------------------------------------------- #
+# Retrieval ranking metrics (MRR / nDCG@k of the IVF path)          #
+# ---------------------------------------------------------------- #
+# ann_recall_eval answers "how many of the true neighbors did the index
+# return"; serving quality also depends on WHERE they landed — MRR is
+# the first-relevant-rank number a search team tracks, nDCG@k the
+# position-discounted one. Truth = the exact brute-force top-k (binary
+# relevance); system = the IVF probe path with the same fixed-sample
+# coarse quantizer as ann_recall_eval. Determinism: each DCG term
+# 1/log2(rank+1) is ROUND-6 decimal-quantized before the per-query sum
+# (order-free, engine-exact; same convention as token_entropy_by_source);
+# MRR divides by an integer rank. Scale shape: both sides are the
+# already-audited ANN plans; the metric layer is two broadcast-sized
+# joins and one per-query aggregation.
+_MRR_K = 5
+
+
+def q_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators import similarity as SIM
+
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    exact = SIM.cosine_topk(corpus, queries, "vec_id", "embedding", k=_MRR_K)
+    cents = SIM.fit_centroids_sample(
+        corpus, "vec_id", "embedding", nlist=8, mod=67, rem=1
+    )
+    approx = SIM.ivf_topk(
+        corpus, queries, "vec_id", "embedding", cents, k=_MRR_K, nprobe=2
+    )
+    term = F.round(F.lit(1.0) / F.log2(F.col("rank") + F.lit(1.0)), 6).cast(
+        "decimal(18,6)"
+    )
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.min("rank").alias("first_hit_rank"),
+        F.sum(term).cast("double").alias("dcg"),
+    )
+    ideal = exact.groupBy("query_id").agg(
+        F.sum(term).cast("double").alias("idcg")
+    )
+    return ideal.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.coalesce(F.col("first_hit_rank").cast("bigint"), F.lit(0)).alias(
+            "first_hit_rank"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("first_hit_rank"), F.lit(0.0)), 6
+        ).alias("mrr"),
+        F.round(F.coalesce("dcg", F.lit(0.0)), 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6).alias(
+            "ndcg"
+        ),
+    )
+
+
+_X_COS = _COS.format(a="q.v", b="e.v")
+_C_COS = (
+    "(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+).format(a="x.v", b="c.cv")
+QUERIES["retrieval_mrr_ndcg"] = q_retrieval_mrr_ndcg
+ORACLES["retrieval_mrr_ndcg"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+    exact AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_X_COS} DESC, e.vec_id) AS rank
+            FROM q JOIN e ON q.vec_id <> e.vec_id
+        ) WHERE rank <= {_MRR_K}
+    ),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 67 = 1 ORDER BY vec_id LIMIT 8),
+    assign AS (
+        SELECT vec_id, v, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_C_COS} DESC, c.cid DESC) AS rn
+            FROM e x CROSS JOIN cents c) a
+        WHERE rn = 1),
+    probes AS (
+        SELECT vec_id AS query_id, v AS qv, cid AS cell FROM (
+            SELECT x.vec_id, x.v, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id
+                                      ORDER BY {_C_COS} DESC, c.cid DESC) AS rn
+            FROM (SELECT * FROM e WHERE vec_id % 100 = 0) x
+            CROSS JOIN cents c) p
+        WHERE rn <= 2),
+    ivf AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_COS.format(a="p.qv", b="a.v")} DESC,
+                                a.vec_id) AS rank
+            FROM probes p JOIN assign a
+              ON p.cell = a.cell AND p.query_id <> a.vec_id
+        ) WHERE rank <= {_MRR_K}
+    ),
+    hits AS (
+        SELECT i.query_id, COUNT(*) AS n_hits, MIN(i.rank) AS first_hit_rank,
+               CAST(SUM(CAST(ROUND(1.0 / log2(i.rank + 1.0), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS dcg
+        FROM ivf i JOIN exact x USING (query_id, neighbor_id)
+        GROUP BY 1
+    ),
+    ideal AS (
+        SELECT query_id,
+               CAST(SUM(CAST(ROUND(1.0 / log2(rank + 1.0), 6)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS idcg
+        FROM exact GROUP BY 1
+    )
+    SELECT ideal.query_id,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(first_hit_rank, 0) AS BIGINT) AS first_hit_rank,
+           ROUND(COALESCE(1.0 / first_hit_rank, 0.0), 6) AS mrr,
+           ROUND(COALESCE(dcg, 0.0), 6) AS dcg,
+           ROUND(idcg, 6) AS idcg,
+           ROUND(COALESCE(dcg / idcg, 0.0), 6) AS ndcg
+    FROM ideal LEFT JOIN hits ON ideal.query_id = hits.query_id
+"""

@@ -111,6 +111,14 @@ CROSS_JOIN_OK = {
     # rides a broadcast crossJoin into the map-side fold (same shape as
     # kmeans_embeddings' assignment) — scale-safe
     "embedding_centroid_silhouette",
+    # the 1-row (min,max) bounds aggregate crossJoins into the generated
+    # hour spine, and the spine crossJoins the distinct-types frame —
+    # both sides bounded by hours x types, never event rows
+    "timeseries_gapfill",
+    # composes the intentional exact-baseline BNL (truth side, same as
+    # ann_recall_eval) with the IVF probe path's centroid broadcasts;
+    # the metric layer itself joins on equi-keys
+    "retrieval_mrr_ndcg",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
