@@ -36,7 +36,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # training-set family: dedup_containment, hard_negative_mining,
 # embedding_int8_quant, embedding_centroid_silhouette,
 # tokenizer_fertility, curriculum_phase_plan, timeseries_gapfill,
-# consistent_subset_sample, retrieval_mrr_ndcg — all strict-hash green
+# consistent_subset_sample, retrieval_mrr_ndcg,
+# streaming_late_arrival_audit — all strict-hash green
 # locally and in the full tools/check_correctness sweep) are the round-5 head:
 # recompute this list next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).

@@ -141,3 +141,52 @@ ORACLES["interval_join_attribution"] = """
      AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 24 HOUR
     GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------- #
+# Late-arrival audit: what a watermark would have dropped                #
+# (streaming/late_audit.py — the batch twin of late_audit_sink; same    #
+# pairing as neardup_admission / neardup_ingest)                         #
+# --------------------------------------------------------------------- #
+_LATE_B = 500
+
+
+def q_streaming_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.sources.registry import register_testdata
+    from de_polars_spark.streaming.late_audit import late_arrival_audit
+
+    t = register_testdata(spark, sf_dir)
+    return late_arrival_audit(
+        t["events"], "event_id", "ts", _LATE_B, window="1 hour", delay="1 hour"
+    )
+
+
+QUERIES["streaming_late_arrival_audit"] = q_streaming_late_arrival_audit
+ORACLES["streaming_late_arrival_audit"] = f"""
+    WITH ev AS (
+        SELECT (event_id // {_LATE_B}) AS batch_id, ts FROM events
+    ),
+    bmax AS (SELECT batch_id, MAX(ts) AS mx FROM ev GROUP BY 1),
+    wm AS (
+        SELECT batch_id,
+               MAX(mx) OVER (ORDER BY batch_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) - INTERVAL 1 HOUR AS wmk
+        FROM bmax
+    )
+    SELECT ev.batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN wm.wmk IS NOT NULL
+                          AND date_trunc('hour', ev.ts) + INTERVAL 1 HOUR
+                              <= wm.wmk
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped,
+           ROUND(SUM(CASE WHEN wm.wmk IS NOT NULL
+                           AND date_trunc('hour', ev.ts) + INTERVAL 1 HOUR
+                               <= wm.wmk
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS dropped_pct,
+           COALESCE(strftime(MIN(wm.wmk), '%Y-%m-%d %H:%M:%S'), '')
+               AS watermark
+    FROM ev JOIN wm ON ev.batch_id = wm.batch_id
+    GROUP BY ev.batch_id
+"""

@@ -21,6 +21,7 @@ from de_polars_spark.streaming.enrich import enrich_stream
 from de_polars_spark.streaming.interval_join import interval_join_backward
 from de_polars_spark.streaming.sessionize import session_agg, sessionize_stateful
 from de_polars_spark.streaming.drift_monitor import batch_psi, psi_monitor_sink
+from de_polars_spark.streaming.late_audit import late_arrival_audit, late_audit_sink
 from de_polars_spark.streaming.neardup_ingest import neardup_ingest_sink
 from de_polars_spark.streaming.quota_ingest import quota_ingest_sink
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
@@ -45,6 +46,8 @@ __all__ = [
     "hll_estimate",
     "windowed_cms_cells",
     "idempotent_parquet_sink",
+    "late_arrival_audit",
+    "late_audit_sink",
     "quota_ingest_sink",
     "neardup_ingest_sink",
     "ivfpq_ingest_sink",

@@ -689,3 +689,171 @@ def test_psi_monitor_runs_as_stream(spark, tmp_path):
         q.stop()
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0]["n_rows"] == 5
+
+
+# --------------------------------------------------------------------- #
+# late_audit: watermark-drop accounting                                  #
+# --------------------------------------------------------------------- #
+def test_late_audit_batches_and_replay(spark, tmp_path):
+    """The sink classifies with the PRIOR batches' max ts minus delay
+    (Spark's between-batch watermark), accounts drops per batch, and a
+    replayed batch_id is a no-op."""
+    from datetime import datetime
+
+    from de_polars_spark.streaming.late_audit import late_audit_sink
+
+    state = str(tmp_path / "st")
+    out = str(tmp_path / "out")
+    audit_dir = str(tmp_path / "aud")
+    sink = late_audit_sink("ts", "value", state, out, audit_dir)
+    schema = "ts timestamp, value double"
+
+    def ts(h, m):
+        return datetime(2025, 1, 1, h, m)
+
+    # batch 0: no prior state -> nothing can drop, whatever the ts
+    b0 = spark.createDataFrame([(ts(10, 5), 1.0), (ts(10, 50), 2.0)], schema)
+    sink(b0, 0)
+    # batch 1 advances the basis to 12:30; its own rows judged by batch
+    # 0's max (10:50 - 1h = 9:50) -> on time
+    b1 = spark.createDataFrame([(ts(12, 30), 4.0)], schema)
+    sink(b1, 1)
+    # batch 2: watermark now 12:30 - 1h = 11:30. The 10:15 row's window
+    # ends 11:00 <= 11:30 -> dropped; 12:45 on time.
+    b2 = spark.createDataFrame([(ts(10, 15), 8.0), (ts(12, 45), 16.0)], schema)
+    sink(b2, 2)
+
+    audit = {
+        r["batch_id"]: (r["n_rows"], r["n_late_dropped"])
+        for r in spark.read.parquet(audit_dir).collect()
+    }
+    assert audit == {0: (2, 0), 1: (1, 0), 2: (2, 1)}
+    totals = (
+        spark.read.parquet(out)
+        .groupBy("window_start")
+        .sum("n_events", "total_value")
+        .collect()
+    )
+    got = {r["window_start"].hour: (r["sum(n_events)"], r["sum(total_value)"])
+           for r in totals}
+    # the 10:15/8.0 row is gone; hour 10 keeps only batch 0's rows
+    assert got == {10: (2, 3.0), 12: (2, 20.0)}
+
+    # replay batch 2: committed dirs detected, nothing changes
+    sink(b2, 2)
+    assert spark.read.parquet(audit_dir).count() == 3
+    re = (
+        spark.read.parquet(out)
+        .groupBy()
+        .sum("n_events")
+        .collect()[0]["sum(n_events)"]
+    )
+    assert re == 4
+
+
+def test_late_audit_sink_matches_batch_twin(spark):
+    """Driving the sink with arrival-ordered batches reproduces the
+    oracle-checked batch twin (late_arrival_audit) row for row."""
+    import math
+    from datetime import datetime, timedelta
+
+    from de_polars_spark.streaming.late_audit import (
+        late_arrival_audit,
+        late_audit_sink,
+    )
+    import tempfile, os
+
+    base = datetime(2025, 3, 1, 6, 0)
+    # deterministic out-of-order arrival: event i carries a ts that jumps
+    # back several hours on every 5th event
+    rows = []
+    for i in range(40):
+        back = 7 if i % 5 == 4 else 0
+        rows.append((i, base + timedelta(minutes=13 * i) - timedelta(hours=back), 1.0))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+    twin = {
+        r["batch_id"]: (r["n_rows"], r["n_late_dropped"])
+        for r in late_arrival_audit(df, "event_id", "ts", 8).collect()
+    }
+    with tempfile.TemporaryDirectory() as td:
+        sink = late_audit_sink(
+            "ts", "value", os.path.join(td, "s"), os.path.join(td, "o"),
+            os.path.join(td, "a"),
+        )
+        for b in range(5):
+            sink(df.filter((df.event_id >= 8 * b) & (df.event_id < 8 * (b + 1))), b)
+        got = {
+            r["batch_id"]: (r["n_rows"], r["n_late_dropped"])
+            for r in spark.read.parquet(os.path.join(td, "a")).collect()
+        }
+    assert got == twin
+    assert sum(v[1] for v in twin.values()) > 0  # scenario actually drops
+
+
+def test_late_audit_agrees_with_native_watermark(spark, tmp_path):
+    """The kept-row window totals equal what Spark's OWN
+    withWatermark().groupBy(window) keeps on the same batch sequence —
+    the sink is an account of native semantics, not a new policy."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from de_polars_spark.streaming.late_audit import late_audit_sink
+
+    schema = "ts timestamp, value double"
+
+    def ts(h, m):
+        return datetime(2025, 1, 1, h, m)
+
+    batches = [
+        [(ts(9, 10), 1.0), (ts(9, 40), 2.0)],
+        [(ts(13, 20), 4.0)],            # advances watermark to 12:20
+        [(ts(9, 45), 8.0), (ts(13, 35), 16.0)],  # 9:45 late (end 10:00 <= 12:20)
+    ]
+    src = str(tmp_path / "src")
+    out, st, aud = (str(tmp_path / d) for d in ("o", "s", "a"))
+    sink = late_audit_sink("ts", "value", st, out, aud)
+
+    spark.createDataFrame(batches[0], schema).write.parquet(src)
+    native = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    q = (
+        native.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("native_wm")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sink(spark.createDataFrame(batches[0], schema), 0)
+        for i, b in enumerate(batches[1:], 1):
+            spark.createDataFrame(b, schema).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            sink(spark.createDataFrame(b, schema), i)
+    finally:
+        q.stop()
+    # native update-mode: the row with the highest n per window is the
+    # final state for that window (counts only grow)
+    nat = {}
+    for r in spark.sql("SELECT w.start AS s, n, v FROM native_wm").collect():
+        cur = nat.get(r["s"])
+        if cur is None or r["n"] > cur[0]:
+            nat[r["s"]] = (r["n"], r["v"])
+    mine = {
+        r["window_start"]: (r["sum(n_events)"], r["sum(total_value)"])
+        for r in spark.read.parquet(out)
+        .groupBy("window_start")
+        .sum("n_events", "total_value")
+        .collect()
+    }
+    assert mine == nat
+    dropped = (
+        spark.read.parquet(aud).groupBy().sum("n_late_dropped").collect()[0][0]
+    )
+    assert dropped == 1  # the 9:45 row — and only it — was dropped by both
