@@ -27,12 +27,16 @@ user queries run unchanged:
 - ``QUALIFY pred``                  → wrapped ``WHERE`` on a computed
   predicate column (post-grouping window timing preserved; predicate
   must reference SELECTed columns — see ``_rewrite_qualify``)
+- ``date_diff('day', a, b)``        → ``timestampdiff(DAY, a, b)``
+  (unit literal → bare keyword; Spark's own 2-arg ``date_diff`` form
+  passes through untouched)
 - name-only function renames: ``string_split``/``list_distinct``/
   ``list_contains``/``list_sort``/``list_transform``/``list_filter``/
-  ``array_to_string`` → their Spark equivalents (same signatures;
+  ``array_to_string``/``epoch_ms``/``epoch_us``/``regexp_matches``/
+  ``list_has_any`` → their Spark equivalents (same signatures;
   different-signature functions are deliberately left to fail loudly).
-  ``GROUP BY ALL`` and ``ILIKE`` need no rewrite — Spark SQL supports
-  both natively.
+  ``GROUP BY ALL``, ``ILIKE``, and ``string_agg``/``listagg`` need no
+  rewrite — Spark SQL (4.x) supports them natively.
 
 This is string rewriting at the API edge — no Catalyst extension is needed
 for parity (SURVEY.md §4). Rewrites skip single-quoted string literals.
@@ -102,6 +106,13 @@ _FN_MAP = {
     "array_to_string": "array_join",
     "list_transform": "transform",
     "list_filter": "filter",
+    # epoch extraction: same input type, same integer output
+    "epoch_ms": "unix_millis",
+    "epoch_us": "unix_micros",
+    # regexp_matches(str, re) — Spark's 2-arg rlike function form
+    "regexp_matches": "rlike",
+    # list_has_any(a, b) — any-element overlap, same 2-array signature
+    "list_has_any": "arrays_overlap",
 }
 _FN_CALL = re.compile(
     r"\b(" + "|".join(_FN_MAP) + r")\s*\(", re.IGNORECASE
@@ -116,6 +127,14 @@ _INT_DIV = re.compile(r"(?<=[\w)\s])//(?=[\w(\s])")
 # Spark and matches DuckDB exactly. Map access with string keys (same
 # semantics both engines) is untouched.
 _LIST_INDEX = re.compile(r"\b([A-Za-z_][\w.]*)\[(\d+)\]")
+# DuckDB date_diff('part', a, b) → Spark timestampdiff(PART, a, b):
+# same 3-arg shape, but Spark takes the unit as a bare keyword, not a
+# string literal. Must run BEFORE tokenization (the unit IS a literal).
+_DATE_DIFF = re.compile(
+    r"\bdate_diff\s*\(\s*'(?P<part>year|quarter|month|week|day|hour|"
+    r"minute|second)'\s*,",
+    re.IGNORECASE,
+)
 # DuckDB USING SAMPLE → Spark TABLESAMPLE (percent or row forms)
 _USING_SAMPLE = re.compile(
     r"\bUSING\s+SAMPLE\s+(?P<n>\d+(?:\.\d+)?)\s*"
@@ -292,6 +311,10 @@ def translate_duckdb_sql(sql: str) -> str:
     # strftime carries its format as a string literal, so it must run
     # before tokenization (like the path/regex rewrites above)
     sql = _STRFTIME.sub(_strftime_repl, sql)
+    # date_diff's unit is a string literal too
+    sql = _DATE_DIFF.sub(
+        lambda m: f"timestampdiff({m.group('part').upper()},", sql
+    )
     sql = _READ_PARQUET_ONE.sub(lambda m: f"parquet.`{m.group('path')}`", sql)
 
     def _list_repl(m: re.Match) -> str:

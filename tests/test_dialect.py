@@ -206,3 +206,42 @@ def test_using_sample_to_tablesample(spark):
     rows = translate_duckdb_sql("SELECT * FROM st USING SAMPLE 5 ROWS")
     assert "TABLESAMPLE (5 ROWS)" in rows
     assert len(spark.sql(rows).collect()) == 5
+
+
+def test_epoch_and_regexp_and_overlap_renames(spark):
+    assert t("SELECT epoch_ms(ts) FROM e") == "SELECT unix_millis(ts) FROM e"
+    assert t("SELECT epoch_us(ts) FROM e") == "SELECT unix_micros(ts) FROM e"
+    assert (
+        t("SELECT regexp_matches(name, 'a+') FROM x")
+        == "SELECT rlike(name, 'a+') FROM x"
+    )
+    assert (
+        t("SELECT list_has_any(a, b) FROM x")
+        == "SELECT arrays_overlap(a, b) FROM x"
+    )
+    # executed end to end on Spark
+    row = spark.sql(
+        t("SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:01') AS ms, "
+          "regexp_matches('abc', 'b') AS m, "
+          "list_has_any(string_split('a b', ' '), string_split('b c', ' ')) AS o")
+    ).collect()[0]
+    assert (row["ms"], row["m"], row["o"]) == (1704067201000, True, True)
+
+
+def test_date_diff_unit_literal_to_timestampdiff(spark):
+    assert (
+        t("SELECT date_diff('day', a, b) FROM x")
+        == "SELECT timestampdiff(DAY, a, b) FROM x"
+    )
+    # Spark's own 2-arg date_diff form passes through untouched
+    assert t("SELECT date_diff(a, b) FROM x") == "SELECT date_diff(a, b) FROM x"
+    # a unit inside a string literal elsewhere is untouched
+    assert (
+        t("SELECT 'date_diff(''day'', x, y)' FROM x")
+        == "SELECT 'date_diff(''day'', x, y)' FROM x"
+    )
+    row = spark.sql(
+        t("SELECT date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', "
+          "TIMESTAMP '2024-01-01 05:30:00') AS h")
+    ).collect()[0]
+    assert row["h"] == 5
