@@ -88,7 +88,14 @@ def main() -> None:
 
     clear_bucketed_artifacts(spark, sf_dir)
 
-    from de_polars_spark.operators.dedup import release_cached
+    from de_polars_spark.operators.dedup import release_cached as _release_dedup
+    from de_polars_spark.operators.similarity import (
+        release_cached as _release_sim,
+    )
+
+    def release_cached() -> None:
+        _release_dedup()
+        _release_sim()
 
     import gc
 

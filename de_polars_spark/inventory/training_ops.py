@@ -571,3 +571,58 @@ ORACLES["retrieval_mrr_ndcg"] = f"""
            ROUND(COALESCE(dcg / idcg, 0.0), 6) AS ndcg
     FROM ideal LEFT JOIN hits ON ideal.query_id = hits.query_id
 """
+
+
+# ---------------------------------------------------------------- #
+# Margin-based mutual-NN alignment (bitext mining criterion)        #
+# ---------------------------------------------------------------- #
+_BITEXT_K = 4
+
+
+def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.similarity import margin_mutual_pairs
+
+    t = register_testdata(spark, sf_dir)
+    return margin_mutual_pairs(
+        t["embeddings"], "vec_id", "embedding", "label", 0, 1, k=_BITEXT_K
+    )
+
+
+_AB_COS = _COS.format(a="a.v", b="b.v")
+QUERIES["bitext_margin_mining"] = q_bitext_margin_mining
+ORACLES["bitext_margin_mining"] = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_AB_COS} AS cosine
+        FROM (SELECT * FROM e WHERE label = 0) a
+        CROSS JOIN (SELECT * FROM e WHERE label = 1) b
+    ),
+    ranked AS (
+        SELECT scored.*,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cosine DESC, id_b) AS rank_a,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY cosine DESC, id_a) AS rank_b
+        FROM scored
+    ),
+    avg_a AS (
+        SELECT id_a, CAST(SUM(CAST(cosine AS DECIMAL(38,6))) AS DOUBLE)
+                     / {_BITEXT_K}.0 AS avg_a
+        FROM ranked WHERE rank_a <= {_BITEXT_K} GROUP BY 1
+    ),
+    avg_b AS (
+        SELECT id_b, CAST(SUM(CAST(cosine AS DECIMAL(38,6))) AS DOUBLE)
+                     / {_BITEXT_K}.0 AS avg_b
+        FROM ranked WHERE rank_b <= {_BITEXT_K} GROUP BY 1
+    )
+    SELECT m.id_a, m.id_b, m.cosine,
+           ROUND(avg_a, 6) AS avg_a,
+           ROUND(avg_b, 6) AS avg_b,
+           ROUND(m.cosine / ((avg_a + avg_b) / 2), 6) AS margin
+    FROM ranked m
+    JOIN avg_a USING (id_a)
+    JOIN avg_b USING (id_b)
+    WHERE m.rank_a = 1 AND m.rank_b = 1
+      AND m.cosine / ((avg_a + avg_b) / 2) > 1.0
+"""

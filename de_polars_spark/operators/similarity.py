@@ -29,6 +29,24 @@ from pyspark.sql import functions as F
 from de_polars_spark.functions import vectors as VX
 
 
+#: DataFrames persisted by operators in this module (the margin miner's
+#: scored A x B relation feeds three consumers). Call
+#: :func:`release_cached` between jobs in long sessions.
+_SIM_PERSISTED: list = []
+
+
+def release_cached() -> int:
+    """Unpersist every relation cached by this module; returns the count."""
+    n = 0
+    while _SIM_PERSISTED:
+        try:
+            _SIM_PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -442,4 +460,96 @@ def hard_negative_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
+def margin_mutual_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    side_a,
+    side_b,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based mutual-nearest-neighbor alignment between two corpus
+    slices — the bitext-mining criterion (Artetxe & Schwenk 2019): a
+    pair (x ∈ A, y ∈ B) aligns when each is the other's top-1 neighbor
+    AND their cosine stands out against both local neighborhoods,
+    ``margin = cos(x,y) / ((avg_k(x→B) + avg_k(y→A)) / 2)``. Raw-cosine
+    thresholds fail under hubness (some vectors are everyone's
+    neighbor); the margin normalizes by the neighborhood level, which
+    is what made large-scale parallel-corpus mining (CCMatrix/LASER)
+    work. Same machinery aligns any two corpus slices by embedding:
+    translated document pairs, code↔doc pairs, image↔caption.
+
+    Shape: ONE scored A×B relation (B rides a broadcast; at corpus
+    scale bucket both sides with the IVF index and score within probed
+    cells), then both rank directions as two windows over the SAME
+    relation — no second scoring pass — and two neighborhood-average
+    aggregates bounded by |A| + |B| rows. Determinism: cosines round-6;
+    neighborhood averages are decimal-quantized sums over exactly k
+    ranked neighbors; top-1 ties break on neighbor id.
+
+    Output: ``(id_a, id_b, cosine, avg_a, avg_b, margin)`` for mutual
+    top-1 pairs with margin > ``margin_threshold``.
+    """
+    a = corpus.filter(F.col(label_col) == side_a).select(
+        F.col(id_col).alias("id_a"), VX.as_double(F.col(vec_col)).alias("va")
+    ).select("id_a", "va", VX.norm(F.col("va")).alias("na"))
+    b = corpus.filter(F.col(label_col) == side_b).select(
+        F.col(id_col).alias("id_b"), VX.as_double(F.col(vec_col)).alias("vb")
+    ).select("id_b", "vb", VX.norm(F.col("vb")).alias("nb"))
+    scored = a.crossJoin(F.broadcast(b)).select(
+        "id_a",
+        "id_b",
+        F.round(
+            VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        ).alias("cosine"),
+    )
+    wa = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.col("cosine").desc(), F.col("id_a"))
+    ranked = scored.withColumn("rank_a", F.row_number().over(wa)).withColumn(
+        "rank_b", F.row_number().over(wb)
+    )
+    ranked = ranked.persist()
+    _SIM_PERSISTED.append(ranked)
+    avg_a = (
+        ranked.filter(F.col("rank_a") <= k)
+        .groupBy("id_a")
+        .agg(
+            (
+                F.sum(F.col("cosine").cast("decimal(38,6)")).cast("double")
+                / F.lit(float(k))
+            ).alias("avg_a")
+        )
+    )
+    avg_b = (
+        ranked.filter(F.col("rank_b") <= k)
+        .groupBy("id_b")
+        .agg(
+            (
+                F.sum(F.col("cosine").cast("decimal(38,6)")).cast("double")
+                / F.lit(float(k))
+            ).alias("avg_b")
+        )
+    )
+    mutual = ranked.filter((F.col("rank_a") == 1) & (F.col("rank_b") == 1))
+    raw_margin = F.col("cosine") / ((F.col("avg_a") + F.col("avg_b")) / 2)
+    return (
+        mutual.join(avg_a, "id_a")
+        .join(avg_b, "id_b")
+        # threshold on the RAW ratio (the rounded display value would
+        # shift the boundary by up to 5e-7); the averages themselves are
+        # engine-exact (decimal sum over exactly k terms / k)
+        .filter(raw_margin > margin_threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            F.round("avg_a", 6).alias("avg_a"),
+            F.round("avg_b", 6).alias("avg_b"),
+            F.round(raw_margin, 6).alias("margin"),
+        )
     )

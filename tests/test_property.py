@@ -1191,3 +1191,66 @@ def test_hard_negative_topk_matches_model(spark, rows, k):
     for key, (ni, cos) in expect.items():
         gni, gcos = got[key]
         assert gni == ni and abs(gcos - cos) < 1e-9, (key, got[key], (ni, cos))
+
+
+@given(
+    rows=st.lists(st.tuples(st.integers(0, 1), _vec), min_size=2, max_size=8),
+    k=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_margin_mutual_pairs_matches_model(spark, rows, k):
+    """The two-window single-relation plan must equal the naive model:
+    mutual top-1 across sides, margin = cos / mean of both k-NN
+    neighborhood averages, ties on neighbor id."""
+    from de_polars_spark.operators.similarity import (
+        margin_mutual_pairs,
+        release_cached,
+    )
+
+    data = [
+        (i, lab, v) for i, (lab, v) in enumerate(rows)
+        if any(x != 0.0 for x in v)
+    ]
+    na = sum(1 for _, lab, _ in data if lab == 0)
+    nb = sum(1 for _, lab, _ in data if lab == 1)
+    if na < k or nb < k:  # avg over fewer than k neighbors is undefined
+        return
+    df = spark.createDataFrame(data, "rid long, lab int, v array<double>")
+    got = {
+        (r["id_a"], r["id_b"]): r["margin"]
+        for r in margin_mutual_pairs(df, "rid", "v", "lab", 0, 1, k).collect()
+    }
+    release_cached()
+
+    import math
+
+    def cos(u, w):
+        return round(
+            sum(a * b for a, b in zip(u, w))
+            / (math.sqrt(sum(a * a for a in u)) * math.sqrt(sum(b * b for b in w))),
+            6,
+        )
+
+    A = [(i, v) for i, lab, v in data if lab == 0]
+    B = [(i, v) for i, lab, v in data if lab == 1]
+    ranked_a = {
+        ia: sorted(((-cos(va, vb), ib) for ib, vb in B))
+        for ia, va in A
+    }
+    ranked_b = {
+        ib: sorted(((-cos(va, vb), ia) for ia, va in A))
+        for ib, vb in B
+    }
+    expect = {}
+    for ia, va in A:
+        negc, ib = ranked_a[ia][0]
+        if ranked_b[ib][0][1] != ia:
+            continue
+        avg_a = sum(-c for c, _ in ranked_a[ia][:k]) / float(k)
+        avg_b = sum(-c for c, _ in ranked_b[ib][:k]) / float(k)
+        margin = -negc / ((avg_a + avg_b) / 2)
+        if margin > 1.0:
+            expect[(ia, ib)] = round(margin, 6)
+    assert set(got) == set(expect)
+    for key in expect:
+        assert abs(got[key] - expect[key]) < 1e-6, (key, got[key], expect[key])

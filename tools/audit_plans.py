@@ -119,6 +119,11 @@ CROSS_JOIN_OK = {
     # ann_recall_eval) with the IVF probe path's centroid broadcasts;
     # the metric layer itself joins on equi-keys
     "retrieval_mrr_ndcg",
+    # margin mining scores one A x B relation by construction (the
+    # mutual-NN criterion needs both directions over the same scores);
+    # side B rides a broadcast, and at corpus scale both sides bucket
+    # through the IVF index (documented in margin_mutual_pairs)
+    "bitext_margin_mining",
 }
 
 #: queries whose widest scan legitimately reads >30 columns: the CUR
