@@ -37,7 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # embedding_int8_quant, embedding_centroid_silhouette,
 # tokenizer_fertility, curriculum_phase_plan, timeseries_gapfill,
 # consistent_subset_sample, retrieval_mrr_ndcg,
-# streaming_late_arrival_audit, bitext_margin_mining — all strict-hash green
+# streaming_late_arrival_audit, bitext_margin_mining,
+# entity_resolution — all strict-hash green
 # locally and in the full tools/check_correctness sweep) are the round-5 head:
 # recompute this list next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).

@@ -1,6 +1,6 @@
 """Training-set construction inventory queries (round-4 additions).
 
-Six operators a large-scale training-data pipeline runs between "corpus
+Operators a large-scale training-data pipeline runs between "corpus
 cleaned" and "tokens served", complementing the dedup/quality family in
 ``llm_ops.py`` and the provenance family in ``corpus_ops.py``:
 
@@ -20,7 +20,14 @@ cleaned" and "tokens served", complementing the dedup/quality family in
   slice's byte budget converts);
 - ``curriculum_phase_plan`` — histogram-CDF tertile phase plan over
   document token counts (shortest-first curriculum; bucket-grain
-  assignment so the plan costs one bounded shuffle at any corpus size).
+  assignment so the plan costs one bounded shuffle at any corpus size);
+- ``timeseries_gapfill`` — generated hourly spine + LOCF fill;
+- ``consistent_subset_sample`` — referentially-consistent p% dev cut;
+- ``retrieval_mrr_ndcg`` — position-weighted ANN serving quality;
+- ``bitext_margin_mining`` — margin-criterion mutual-NN alignment
+  between corpus slices (hubness-robust);
+- ``entity_resolution`` — fuzzy pairs → transitive closure → canonical
+  representative per entity (MDM-style catalog dedupe).
 
 Reference parity: none — beyond-parity LLM-pipeline operators.
 """
@@ -625,4 +632,92 @@ ORACLES["bitext_margin_mining"] = f"""
     JOIN avg_b USING (id_b)
     WHERE m.rank_a = 1 AND m.rank_b = 1
       AND m.cosine / ((avg_a + avg_b) / 2) > 1.0
+"""
+
+
+# ---------------------------------------------------------------- #
+# Entity resolution: fuzzy pairs -> transitive closure -> canonical #
+# ---------------------------------------------------------------- #
+# The MDM-style dedupe every catalog/customer table needs: pair
+# generation alone leaves A~B, B~C as two facts; the ENTITY is the
+# transitive closure, and downstream systems want one canonical row per
+# entity. Composes two already-verified operators — the blocked
+# length-banded fuzzy matcher and the distributed min-label propagation
+# — then selects the min-id group's name as canonical. Scale shape: the
+# closure runs on the GROUP graph (one node per distinct lowered name
+# per block — the identical-name collapse already happened), so the
+# iterative step's size is bounded by name diversity, not row count.
+_ER_K = 2
+
+
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.dedup import connected_components
+    from de_polars_spark.operators.fuzzy import edit_distance_pairs
+
+    t = register_testdata(spark, sf_dir)
+    part = t["part"]
+    groups = part.groupBy(
+        F.col("p_brand").alias("block"), F.lower(F.col("p_name")).alias("nm")
+    ).agg(
+        F.min("p_partkey").alias("gid"), F.count(F.lit(1)).alias("cnt")
+    )
+    pairs = edit_distance_pairs(part, "p_partkey", "p_name", "p_brand", k=_ER_K)
+    labels = connected_components(pairs.select("id_a", "id_b"))
+    ent = (
+        labels.join(groups, labels["node"] == groups["gid"])
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_name_variants"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+        )
+    )
+    canon = groups.select(
+        F.col("gid").alias("component_id"), F.col("nm").alias("canonical_name")
+    )
+    return ent.join(canon, "component_id").select(
+        F.col("component_id").alias("entity_id"),
+        "canonical_name",
+        "n_name_variants",
+        "n_rows",
+    )
+
+
+QUERIES["entity_resolution"] = q_entity_resolution
+ORACLES["entity_resolution"] = f"""
+    WITH RECURSIVE g AS (
+        SELECT p_brand AS block, lower(p_name) AS nm,
+               MIN(p_partkey) AS gid, COUNT(*) AS cnt
+        FROM part GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.gid AS id_a, b.gid AS id_b
+        FROM g a JOIN g b ON a.block = b.block AND a.gid < b.gid
+        WHERE levenshtein(a.nm, b.nm) BETWEEN 1 AND {_ER_K}
+    ),
+    edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    comp AS (
+        SELECT u AS node, LEAST(u, MIN(v)) AS component_id
+        FROM reach GROUP BY u
+    ),
+    ent AS (
+        SELECT component_id,
+               CAST(COUNT(*) AS BIGINT) AS n_name_variants,
+               CAST(SUM(g.cnt) AS BIGINT) AS n_rows
+        FROM comp JOIN g ON comp.node = g.gid
+        GROUP BY component_id
+    )
+    SELECT ent.component_id AS entity_id,
+           g.nm AS canonical_name,
+           ent.n_name_variants,
+           ent.n_rows
+    FROM ent JOIN g ON ent.component_id = g.gid
 """
