@@ -1254,3 +1254,92 @@ def test_margin_mutual_pairs_matches_model(spark, rows, k):
     assert set(got) == set(expect)
     for key in expect:
         assert abs(got[key] - expect[key]) < 1e-6, (key, got[key], expect[key])
+
+
+_vec8 = st.lists(st.integers(-40, 40).map(lambda x: x / 8.0), min_size=3, max_size=3)
+
+
+@given(vecs=st.lists(_vec8, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_int8_quantization_profile_matches_model(spark, vecs):
+    """Per-dim params and exact reconstruction error vs a plain model —
+    pins the floor(x+0.5) code rule, the clamp, and the degenerate
+    zero-range scale=1.0 branch."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from de_polars_spark.operators.vectors import int8_quantization_profile
+
+    df = spark.createDataFrame([(v,) for v in vecs], "v array<double>")
+    got = {
+        r["dim"]: (r["vmin"], r["vmax"], r["scale"], r["mse"], r["max_abs_err"])
+        for r in int8_quantization_profile(df, "v").collect()
+    }
+
+    def q(x, places):
+        return float(Decimal(repr(float(x))).quantize(
+            Decimal(f"1e-{places}"), ROUND_HALF_UP))
+
+    expect = {}
+    for d in range(3):
+        vals = [v[d] for v in vecs]
+        vmin, vmax = min(vals), max(vals)
+        scale = (vmax - vmin) / 255.0 if vmax > vmin else 1.0
+        errs = []
+        sq = Decimal(0)
+        for x in vals:
+            code = min(255.0, max(0.0, math.floor((x - vmin) / scale + 0.5)))
+            err = vmin + code * scale - x
+            errs.append(abs(err))
+            sq += Decimal(repr(err * err)).quantize(
+                Decimal("1e-12"), ROUND_HALF_UP)
+        expect[d] = (
+            q(vmin, 6), q(vmax, 6), q(scale, 6),
+            q(float(sq) / len(vals), 9), q(max(errs), 6),
+        )
+    assert set(got) == set(expect)
+    for d in expect:
+        for g, e in zip(got[d], expect[d]):
+            assert abs(g - e) < 1e-9, (d, got[d], expect[d])
+
+
+@given(
+    ts_offsets=st.lists(st.integers(-300, 300), min_size=1, max_size=12),
+    bsz=st.integers(1, 4),
+)
+@settings(**_SETTINGS)
+def test_late_arrival_audit_matches_model(spark, ts_offsets, bsz):
+    """The batch twin vs a plain replay model of the watermark rule:
+    basis = max ts over PRIOR batches, drop iff hour-window end <=
+    basis - 1h."""
+    from datetime import datetime, timedelta
+
+    from de_polars_spark.streaming.late_audit import late_arrival_audit
+
+    base = datetime(2025, 6, 1, 12, 0)
+    rows = [
+        (i, base + timedelta(minutes=off)) for i, off in enumerate(ts_offsets)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    got = {
+        r["batch_id"]: (r["n_rows"], r["n_late_dropped"])
+        for r in late_arrival_audit(df, "event_id", "ts", bsz).collect()
+    }
+    expect = {}
+    seen_max = None
+    batches: dict = {}
+    for i, ts in rows:
+        batches.setdefault(i // bsz, []).append(ts)
+    for b in sorted(batches):
+        wm = seen_max - timedelta(hours=1) if seen_max is not None else None
+        dropped = 0
+        for ts in batches[b]:
+            wend = ts.replace(minute=0, second=0, microsecond=0) + timedelta(
+                hours=1
+            )
+            if wm is not None and wend <= wm:
+                dropped += 1
+        expect[b] = (len(batches[b]), dropped)
+        mx = max(batches[b])
+        seen_max = mx if seen_max is None else max(seen_max, mx)
+    assert got == expect
