@@ -926,6 +926,11 @@ def containment_pairs(
     Output: ``(id_small, id_large, n_common, n_small, n_large,
     containment)`` for pairs with containment >= threshold; ties in set
     size break toward the smaller id as ``id_small``.
+
+    PRECONDITION: ``(id_col, block_col)`` must be unique in ``df`` (one
+    text per id per block) — the gram build windows on that pair, so
+    duplicate rows would interleave token positions and fabricate
+    cross-row shingles (same constraint as :func:`_gram_strings`).
     """
     tok = df.select(
         F.col(id_col),

@@ -494,6 +494,11 @@ def margin_mutual_pairs(
 
     Output: ``(id_a, id_b, cosine, avg_a, avg_b, margin)`` for mutual
     top-1 pairs with margin > ``margin_threshold``.
+
+    Zero vectors yield NULL cosines (0/0) and rank last in both
+    directions, so they never form mutual-top-1 pairs — same behavior
+    as every cosine operator in this module; filter them upstream if
+    they should not consume a slot in the k-NN averages.
     """
     a = corpus.filter(F.col(label_col) == side_a).select(
         F.col(id_col).alias("id_a"), VX.as_double(F.col(vec_col)).alias("va")
