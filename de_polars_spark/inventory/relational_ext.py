@@ -1397,3 +1397,81 @@ _SCD2_SQL = """
     """
 
 _common("scd2_history", _SCD2_SQL)
+
+
+# --------------------------------------------------------------------- #
+# KMV/theta bottom-k sketch with set-INTERSECTION estimates: the         #
+# distinct-overlap question HLL cannot answer ("how many unique users    #
+# do event types A and B share?"). Sketch = the K smallest 60-bit       #
+# hashes per group (order statistics are deterministic, so the sketch   #
+# — and therefore the ESTIMATE itself — is engine-reproducible and      #
+# hash-matches the oracle, same standard as the HLL/CMS family).        #
+# Estimator: intersect the two bottom-k sets below θ = min(θ_a, θ_b);   #
+# E[|A∩B|] = ρ / (θ / 2^60). Groups with fewer than K distinct values   #
+# have exact sketches (θ = full range). Scale shape: one distinct       #
+# shuffle + one per-group top-K window builds every sketch; all pair    #
+# work runs on the K×groups sketch table. The exact intersection rides  #
+# along as the eval baseline (ann_recall_eval pattern) — at 100 TB you  #
+# drop that branch and keep the sketch-only plan.                       #
+# --------------------------------------------------------------------- #
+_THETA_K = 64
+_H60_RANGE = 1152921504606846976  # 2^60
+
+_common(
+    "user_overlap_theta_sketch",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, HASH60(TO_STR(user_id)) AS hv
+        FROM events
+    ),
+    sk AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+    ),
+    sketch AS (SELECT event_type, hv FROM sk WHERE rn <= {_THETA_K}),
+    theta AS (
+        SELECT event_type, COUNT(*) AS k,
+               CASE WHEN COUNT(*) < {_THETA_K} THEN {_H60_RANGE}
+                    ELSE MAX(hv) END AS th
+        FROM sketch GROUP BY event_type
+    ),
+    p AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               LEAST(a.th, b.th) AS th
+        FROM theta a JOIN theta b ON a.event_type < b.event_type
+    ),
+    common AS (
+        SELECT sa.event_type AS type_a, sb.event_type AS type_b, sa.hv
+        FROM sketch sa JOIN sketch sb
+          ON sa.hv = sb.hv AND sa.event_type < sb.event_type
+    ),
+    rho AS (
+        SELECT p.type_a, p.type_b, p.th,
+               SUM(CASE WHEN c.hv IS NOT NULL AND c.hv < p.th
+                        THEN 1 ELSE 0 END) AS n_common
+        FROM p LEFT JOIN common c
+          ON c.type_a = p.type_a AND c.type_b = p.type_b
+        GROUP BY p.type_a, p.type_b, p.th
+    ),
+    du AS (SELECT DISTINCT event_type, user_id FROM events),
+    exact AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_exact
+        FROM du a JOIN du b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT r.type_a, r.type_b,
+           CAST(r.n_common AS BIGINT) AS sketch_common,
+           ROUND(CAST(r.n_common AS DOUBLE) * {_H60_RANGE} / r.th, 4)
+               AS est_intersection,
+           CAST(COALESCE(e.n_exact, 0) AS BIGINT) AS exact_intersection,
+           CASE WHEN COALESCE(e.n_exact, 0) = 0 THEN NULL
+                ELSE ROUND((CAST(r.n_common AS DOUBLE) * {_H60_RANGE} / r.th
+                            - e.n_exact) / e.n_exact, 6)
+           END AS rel_error
+    FROM rho r LEFT JOIN exact e
+      ON e.type_a = r.type_a AND e.type_b = r.type_b
+    """,
+)

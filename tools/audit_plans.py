@@ -119,6 +119,10 @@ CROSS_JOIN_OK = {
     # ann_recall_eval) with the IVF probe path's centroid broadcasts;
     # the metric layer itself joins on equi-keys
     "retrieval_mrr_ndcg",
+    # the pair spine is a non-equi (a < b) join over the GROUPS-row
+    # theta table (one row per event type) — bounded by C(groups, 2),
+    # never data rows; hv/user_id joins are equi hash joins
+    "user_overlap_theta_sketch",
     # margin mining scores one A x B relation by construction (the
     # mutual-NN criterion needs both directions over the same scores);
     # side B rides a broadcast, and at corpus scale both sides bucket
