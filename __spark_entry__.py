@@ -38,7 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # tokenizer_fertility, curriculum_phase_plan, timeseries_gapfill,
 # consistent_subset_sample, retrieval_mrr_ndcg,
 # streaming_late_arrival_audit, bitext_margin_mining,
-# entity_resolution, user_overlap_theta_sketch — all strict-hash green
+# entity_resolution, user_overlap_theta_sketch, sequence_packing_plan,
+# matryoshka_recall_eval — all strict-hash green
 # locally and in the full tools/check_correctness sweep) are the round-5 head:
 # recompute this list next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).

@@ -721,3 +721,201 @@ ORACLES["entity_resolution"] = f"""
            ent.n_rows
     FROM ent JOIN g ON ent.component_id = g.gid
 """
+
+
+# ---------------------------------------------------------------- #
+# Sequence packing plan (GPT-style concat-and-cut)                  #
+# ---------------------------------------------------------------- #
+# The last prep step before a training run: documents concatenate in a
+# deterministic order and CUT into fixed-length sequences, so a doc may
+# span sequences and a sequence holds many short docs. The plan is pure
+# prefix-sum arithmetic — per-doc start offset = running token cumsum —
+# and the cumsum is assembled two-phase (within-block window + block
+# offsets over the tiny per-block relation, same trick as
+# shard_packing's global rank) so no single-partition sort ever happens.
+# Per sequence: docs touching it, docs starting in it, fill (the last
+# sequence is the only ragged one).
+_SEQ_L = 256
+_SEQ_BLOCK = 100
+
+
+def q_sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    t = register_testdata(spark, sf_dir)
+    sized = t["documents"].select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).alias("n_tokens")
+    ).withColumn("blk", (F.col("doc_id") / _SEQ_BLOCK).cast("bigint"))
+    in_blk = W.partitionBy("blk").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    blk_tot = sized.groupBy("blk").agg(F.sum("n_tokens").alias("__bt"))
+    blk_off = blk_tot.select(
+        "blk",
+        F.coalesce(
+            F.sum("__bt").over(
+                W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    placed = (
+        sized.withColumn("__c", F.sum("n_tokens").over(in_blk))
+        .join(blk_off, "blk")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("__off") + F.col("__c") - F.col("n_tokens")).alias("start"),
+            (F.col("__off") + F.col("__c")).alias("end"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    spans = placed.select(
+        "doc_id",
+        "start",
+        F.explode(
+            F.sequence(
+                (F.col("start") / _SEQ_L).cast("bigint"),
+                ((F.col("end") - 1) / _SEQ_L).cast("bigint"),
+            )
+        ).alias("seq_id"),
+    )
+    total = placed.agg(F.max("end").alias("__t"))
+    return (
+        spans.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs_touching"),
+            F.sum(
+                ((F.col("start") / _SEQ_L).cast("bigint") == F.col("seq_id"))
+                .cast("bigint")
+            ).alias("n_docs_starting"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "seq_id",
+            "n_docs_touching",
+            "n_docs_starting",
+            F.least(
+                F.lit(_SEQ_L), F.col("__t") - F.col("seq_id") * _SEQ_L
+            ).cast("bigint").alias("fill_tokens"),
+        )
+    )
+
+
+QUERIES["sequence_packing_plan"] = q_sequence_packing_plan
+ORACLES["sequence_packing_plan"] = f"""
+    WITH sized AS (
+        SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents
+    ),
+    placed AS (
+        -- SUM over BIGINT is HUGEINT in DuckDB; pin BIGINT so the
+        -- generate_series bounds below type-match
+        SELECT doc_id, n_tokens,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS BIGINT) AS start,
+               CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS "end"
+        FROM sized
+    ),
+    nz AS (SELECT * FROM placed WHERE n_tokens > 0),
+    spans AS (
+        SELECT doc_id, start,
+               unnest(generate_series(start // {_SEQ_L},
+                                      ("end" - 1) // {_SEQ_L})) AS seq_id
+        FROM nz
+    ),
+    total AS (SELECT MAX("end") AS t FROM nz)
+    SELECT seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_touching,
+           CAST(SUM(CASE WHEN start // {_SEQ_L} = seq_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_starting,
+           CAST(LEAST({_SEQ_L}, t - seq_id * {_SEQ_L}) AS BIGINT)
+               AS fill_tokens
+    FROM spans, total
+    GROUP BY seq_id, t
+"""
+
+
+# ---------------------------------------------------------------- #
+# Matryoshka truncation recall eval                                 #
+# ---------------------------------------------------------------- #
+# Serving embeddings at a prefix dimension cuts ANN memory ~4x per 4x
+# truncation — IF recall holds. This grades dim-16-truncated cosine
+# top-k against the full-dim exact top-k (same eval harness as
+# ann_recall_eval: count overlap per query) — the number that decides
+# whether the matryoshka cut ships.
+_MAT_DIM = 16
+_MAT_K = 5
+
+
+def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.similarity import cosine_topk
+
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    queries = corpus.filter(F.col("vec_id") % 100 == 0)
+    full = cosine_topk(corpus, queries, "vec_id", "embedding", k=_MAT_K).select(
+        "query_id", "neighbor_id"
+    )
+    trunc = corpus.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MAT_DIM).alias("tv")
+    )
+    tq = trunc.filter(F.col("vec_id") % 100 == 0)
+    approx = cosine_topk(trunc, tq, "vec_id", "tv", k=_MAT_K).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        approx.join(full, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qn = full.groupBy("query_id").agg(F.count(F.lit(1)).alias("k"))
+    return qn.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("k").cast("double"), 6
+        ).alias("recall_at_truncation"),
+    )
+
+
+_M_FULL = _COS.format(a="q.v", b="e.v")
+_M_TR = _COS.format(a="q.tv", b="e.tv")
+QUERIES["matryoshka_recall_eval"] = q_matryoshka_recall_eval
+ORACLES["matryoshka_recall_eval"] = f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      CAST(embedding[1:{_MAT_DIM}] AS DOUBLE[]) AS tv
+               FROM embeddings),
+    q AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+    full_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_M_FULL} DESC, e.vec_id)
+                       AS rank
+            FROM q JOIN e ON q.vec_id <> e.vec_id
+        ) WHERE rank <= {_MAT_K}
+    ),
+    trunc_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_M_TR} DESC, e.vec_id)
+                       AS rank
+            FROM q JOIN e ON q.vec_id <> e.vec_id
+        ) WHERE rank <= {_MAT_K}
+    ),
+    hits AS (
+        SELECT t.query_id, COUNT(*) AS c
+        FROM trunc_topk t JOIN full_topk f USING (query_id, neighbor_id)
+        GROUP BY 1
+    ),
+    qn AS (SELECT query_id, COUNT(*) AS k FROM full_topk GROUP BY 1)
+    SELECT qn.query_id,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(c, 0) / CAST(k AS DOUBLE), 6)
+               AS recall_at_truncation
+    FROM qn LEFT JOIN hits USING (query_id)
+"""

@@ -495,10 +495,11 @@ def margin_mutual_pairs(
     Output: ``(id_a, id_b, cosine, avg_a, avg_b, margin)`` for mutual
     top-1 pairs with margin > ``margin_threshold``.
 
-    Zero vectors yield NULL cosines (0/0) and rank last in both
-    directions, so they never form mutual-top-1 pairs — same behavior
-    as every cosine operator in this module; filter them upstream if
-    they should not consume a slot in the k-NN averages.
+    PRECONDITION: vectors must be nonzero (norms divide; Spark's ANSI
+    mode turns 0/0 into an error, same as every cosine operator in this
+    module — filter zero vectors upstream). A zero-sum k-NN
+    neighborhood (all-orthogonal cosines) is handled: its margin is
+    NULL and the threshold filter drops it in both engines.
     """
     a = corpus.filter(F.col(label_col) == side_a).select(
         F.col(id_col).alias("id_a"), VX.as_double(F.col(vec_col)).alias("va")
@@ -541,7 +542,12 @@ def margin_mutual_pairs(
         )
     )
     mutual = ranked.filter((F.col("rank_a") == 1) & (F.col("rank_b") == 1))
-    raw_margin = F.col("cosine") / ((F.col("avg_a") + F.col("avg_b")) / 2)
+    # guard the zero-neighborhood denominator (all-orthogonal k-NN sets
+    # sum to exactly 0): Spark's ANSI mode throws on x/0 where DuckDB
+    # yields NULL — the when() makes both engines emit NULL, which the
+    # threshold filter then drops identically
+    denom = (F.col("avg_a") + F.col("avg_b")) / 2
+    raw_margin = F.when(denom != 0.0, F.col("cosine") / denom)
     return (
         mutual.join(avg_a, "id_a")
         .join(avg_b, "id_b")

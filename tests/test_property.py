@@ -1248,6 +1248,8 @@ def test_margin_mutual_pairs_matches_model(spark, rows, k):
             continue
         avg_a = sum(-c for c, _ in ranked_a[ia][:k]) / float(k)
         avg_b = sum(-c for c, _ in ranked_b[ib][:k]) / float(k)
+        if (avg_a + avg_b) / 2 == 0.0:
+            continue  # zero-neighborhood margin is NULL -> dropped
         margin = -negc / ((avg_a + avg_b) / 2)
         if margin > 1.0:
             expect[(ia, ib)] = round(margin, 6)

@@ -123,6 +123,13 @@ CROSS_JOIN_OK = {
     # theta table (one row per event type) — bounded by C(groups, 2),
     # never data rows; hv/user_id joins are equi hash joins
     "user_overlap_theta_sketch",
+    # 1-row total-token scalar crossJoined into the per-sequence rollup
+    # (pct_of_total pattern)
+    "sequence_packing_plan",
+    # composes TWO exact brute-force baselines (full-dim truth and the
+    # truncated-dim ranking it grades) — both the documented
+    # ann_cosine_topk BNL shape
+    "matryoshka_recall_eval",
     # margin mining scores one A x B relation by construction (the
     # mutual-NN criterion needs both directions over the same scores);
     # side B rides a broadcast, and at corpus scale both sides bucket
