@@ -27,21 +27,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # and strict-hash green locally — they only need resampling), followed by the
 # 32 queries that have never appeared in any CORRECTNESS_r01..r03 sample
 # (computed as set(QUERIES) − union of r1-r3 keys), followed by the round-4
-# additions up to exactly the driver's 50-query sample. The late round-4
-# queries past slot 50 (dsir_importance_select, bpe_phrase_merges,
-# token_entropy_by_source, psi_drift_report, cluster_aware_split,
-# mixture_token_budget_plan, cross_source_overlap_matrix,
-# quality_prune_plan, zipf_token_slope, embedding_centroid_shift,
-# k_anonymity_report, qi_uniqueness_ladder, plus the round-4
-# training-set family: dedup_containment, hard_negative_mining,
-# embedding_int8_quant, embedding_centroid_silhouette,
-# tokenizer_fertility, curriculum_phase_plan, timeseries_gapfill,
-# consistent_subset_sample, retrieval_mrr_ndcg,
-# streaming_late_arrival_audit, bitext_margin_mining,
-# entity_resolution, user_overlap_theta_sketch, sequence_packing_plan,
-# matryoshka_recall_eval — all strict-hash green
-# locally and in the full tools/check_correctness sweep) are the round-5 head:
-# recompute this list next round as
+# additions up to exactly the driver's 50-query sample. The 27 queries past
+# slot 50 (bitext_margin_mining, bpe_phrase_merges, cluster_aware_split,
+# consistent_subset_sample, cross_source_overlap_matrix,
+# curriculum_phase_plan, dedup_containment, dsir_importance_select,
+# embedding_centroid_shift, embedding_centroid_silhouette,
+# embedding_int8_quant, entity_resolution, hard_negative_mining,
+# k_anonymity_report, matryoshka_recall_eval, mixture_token_budget_plan,
+# psi_drift_report, qi_uniqueness_ladder, quality_prune_plan,
+# retrieval_mrr_ndcg, sequence_packing_plan, streaming_late_arrival_audit,
+# timeseries_gapfill, token_entropy_by_source, tokenizer_fertility,
+# user_overlap_theta_sketch, zipf_token_slope — all strict-hash green
+# locally and in the full tools/check_correctness sweep) are the round-5
+# head: recompute next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).
 # (kpi_view_tracker is NOT here — it already has a green r3 row; bench.py
 # pins it first in ITS run order so the KPI materialization wave still
