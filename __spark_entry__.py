@@ -37,7 +37,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # psi_drift_report, qi_uniqueness_ladder, quality_prune_plan,
 # retrieval_mrr_ndcg, sequence_packing_plan, streaming_late_arrival_audit,
 # timeseries_gapfill, token_entropy_by_source, tokenizer_fertility,
-# user_overlap_theta_sketch, zipf_token_slope — all strict-hash green
+# user_overlap_theta_sketch, zipf_token_slope, plus
+# dedup_longest_shared_span — all strict-hash green
 # locally and in the full tools/check_correctness sweep) are the round-5
 # head: recompute next round as
 # set(QUERIES) − union(CORRECTNESS_r01..r04 keys).

@@ -919,3 +919,52 @@ ORACLES["matryoshka_recall_eval"] = f"""
                AS recall_at_truncation
     FROM qn LEFT JOIN hits USING (query_id)
 """
+
+
+# ---------------------------------------------------------------- #
+# Longest exactly-shared token span per pair (exact-substring dedup) #
+# ---------------------------------------------------------------- #
+_SPAN_N = 8
+
+
+def q_dedup_longest_shared_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.longest_shared_span(
+        t["documents"], "doc_id", "text", "lang", shingle_n=_SPAN_N
+    )
+
+
+def _gram_pos(n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[i+{j}]" if j else "toks[i]" for j in range(n))
+    return gram
+
+
+QUERIES["dedup_longest_shared_span"] = q_dedup_longest_shared_span
+ORACLES["dedup_longest_shared_span"] = f"""
+    WITH toks AS (SELECT doc_id, lang AS block, {_TOKS} AS toks FROM documents),
+    g AS (
+        SELECT doc_id, block, i AS p, {_gram_pos(_SPAN_N)} AS gram
+        FROM toks, unnest(generate_series(1, len(toks) - {_SPAN_N - 1}))
+                   AS u(i)
+        WHERE len(toks) >= {_SPAN_N}
+    ),
+    hits AS (
+        SELECT a.doc_id AS ia, b.doc_id AS ib, a.p AS pa, a.p - b.p AS diag
+        FROM g a JOIN g b ON a.block = b.block AND a.gram = b.gram
+                         AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT ia, ib, diag,
+               pa - ROW_NUMBER() OVER (PARTITION BY ia, ib, diag
+                                       ORDER BY pa) AS grp
+        FROM hits
+    ),
+    runs AS (
+        SELECT ia, ib, COUNT(*) AS run
+        FROM isl GROUP BY ia, ib, diag, grp
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           CAST(SUM(run) AS BIGINT) AS n_shared_positions,
+           CAST(MAX(run) + {_SPAN_N - 1} AS BIGINT) AS longest_span_tokens
+    FROM runs GROUP BY ia, ib
+"""

@@ -1000,3 +1000,95 @@ def containment_pairs(
         ).alias("containment"),
     )
     return out.filter(F.col("containment") >= threshold)
+
+
+def longest_shared_span(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_n: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Longest exactly-shared token span per document pair — the
+    exact-substring dedup measure (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): two documents sharing
+    a 50-token span are near-copies even when whole-document Jaccard is
+    low, and the SPAN LENGTH (not just "shares an n-gram") is what the
+    removal threshold binds on.
+
+    Positions matter here, so the gram build keeps them (no distinct):
+    a shared n-gram at positions (pa, pb) lies on diagonal ``pa - pb``,
+    and a run of k consecutive diagonal hits IS a shared span of
+    ``k + n - 1`` tokens. Runs fall out of gaps-and-islands —
+    ``pa - row_number()`` is constant within a run — so the whole
+    computation is one posting self-join on the gram hash plus two
+    windows over the hit list, never a string alignment. ``max_df``
+    caps Zipfian grams before the join (None = exact); candidate volume
+    is bounded by per-gram co-occurrence exactly like
+    :func:`containment_pairs`.
+
+    PRECONDITION: ``(id_col, block_col)`` unique in ``df`` (the LEAD
+    gram build windows on that pair — see :func:`_gram_strings`).
+
+    Output: ``(id_a, id_b, n_shared_positions, longest_span_tokens)``
+    per pair sharing at least one n-gram (implied minimum span =
+    ``shingle_n``).
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    if shingle_n > 1:
+        wd = Window.partitionBy(id_col, "block").orderBy("p")
+        leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
+        grams = tok.select(
+            F.col(id_col),
+            "block",
+            "p",
+            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("h"),
+            leads[-1].alias("__last"),
+        ).where(F.col("__last").isNotNull())
+    else:
+        grams = tok.select(
+            F.col(id_col), "block", "p", F.xxhash64("tok").alias("h")
+        )
+    post = grams.select(id_col, "block", "p", "h")
+    if max_df is not None:
+        wfreq = Window.partitionBy("block", "h")
+        post = (
+            post.withColumn("df", F.count(F.lit(1)).over(wfreq))
+            .filter(F.col("df") <= max_df)
+            .drop("df")
+        )
+    post = post.persist()
+    _PERSISTED.append(post)
+    a = post.select(
+        "block", "h", F.col(id_col).alias("__ia"), F.col("p").alias("pa")
+    )
+    b = post.select(
+        "block", "h", F.col(id_col).alias("__ib"), F.col("p").alias("pb")
+    )
+    hits = (
+        a.join(b, ["block", "h"])
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select("__ia", "__ib", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    wisl = Window.partitionBy("__ia", "__ib", "diag").orderBy("pa")
+    runs = (
+        hits.withColumn("__grp", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("__ia", "__ib", "diag", "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    return (
+        runs.groupBy(
+            F.col("__ia").alias("id_a"), F.col("__ib").alias("id_b")
+        )
+        .agg(
+            F.sum("__run").cast("bigint").alias("n_shared_positions"),
+            (F.max("__run") + F.lit(shingle_n - 1))
+            .cast("bigint")
+            .alias("longest_span_tokens"),
+        )
+    )

@@ -1345,3 +1345,59 @@ def test_late_arrival_audit_matches_model(spark, ts_offsets, bsz):
         mx = max(batches[b])
         seen_max = mx if seen_max is None else max(seen_max, mx)
     assert got == expect
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 1), st.lists(st.sampled_from("ab"), min_size=0, max_size=8)),
+        min_size=1, max_size=6,
+    ),
+    n=st.integers(1, 3),
+)
+@settings(**_SETTINGS)
+def test_longest_shared_span_matches_model(spark, docs, n):
+    """The diagonal gaps-and-islands plan must equal a naive quadratic
+    scan for the longest exactly-shared token run per pair."""
+    from de_polars_spark.operators.dedup import (
+        longest_shared_span,
+        release_cached,
+    )
+
+    data = [(i, blk, " ".join(toks)) for i, (blk, toks) in enumerate(docs)]
+    df = spark.createDataFrame(data, "rid long, blk int, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_shared_positions"],
+            r["longest_span_tokens"],
+        )
+        for r in longest_shared_span(df, "rid", "text", "blk", n).collect()
+    }
+    release_cached()
+
+    expect = {}
+    for i, (bi, ti) in enumerate(docs):
+        for j, (bj, tj) in enumerate(docs):
+            if not (i < j and bi == bj):
+                continue
+            hits = [
+                (pa, pa - pb)
+                for pa in range(len(ti) - n + 1)
+                for pb in range(len(tj) - n + 1)
+                if ti[pa : pa + n] == tj[pb : pb + n]
+            ]
+            if not hits:
+                continue
+            best = 0
+            per_diag: dict = {}
+            for pa, d in hits:
+                per_diag.setdefault(d, set()).add(pa)
+            for pas in per_diag.values():
+                # longest consecutive-position streak on this diagonal
+                s = sorted(pas)
+                cur = longest = 1
+                for a, b in zip(s, s[1:]):
+                    cur = cur + 1 if b == a + 1 else 1
+                    longest = max(longest, cur)
+                best = max(best, longest)
+            expect[(i, j)] = (len(hits), best + n - 1)
+    assert got == expect
