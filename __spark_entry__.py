@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # and strict-hash green locally — they only need resampling), followed by the
 # 32 queries that have never appeared in any CORRECTNESS_r01..r03 sample
 # (computed as set(QUERIES) − union of r1-r3 keys), followed by the round-4
-# additions up to exactly the driver's 50-query sample. The 27 queries past
+# additions up to exactly the driver's 50-query sample. The 28 queries past
 # slot 50 (bitext_margin_mining, bpe_phrase_merges, cluster_aware_split,
 # consistent_subset_sample, cross_source_overlap_matrix,
 # curriculum_phase_plan, dedup_containment, dsir_importance_select,

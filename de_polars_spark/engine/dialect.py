@@ -27,9 +27,11 @@ user queries run unchanged:
 - ``QUALIFY pred``                  → wrapped ``WHERE`` on a computed
   predicate column (post-grouping window timing preserved; predicate
   must reference SELECTed columns — see ``_rewrite_qualify``)
-- ``date_diff('day', a, b)``        → ``timestampdiff(DAY, a, b)``
-  (unit literal → bare keyword; Spark's own 2-arg ``date_diff`` form
-  passes through untouched)
+- ``date_diff('day', a, b)``        → ``timestampdiff(DAY,
+  date_trunc('day', a), date_trunc('day', b))`` (DuckDB counts
+  unit-BOUNDARY crossings, Spark elapsed complete units — operand
+  truncation makes them coincide; Spark's own 2-arg ``date_diff``
+  form passes through untouched)
 - name-only function renames: ``string_split``/``list_distinct``/
   ``list_contains``/``list_sort``/``list_transform``/``list_filter``/
   ``array_to_string``/``epoch_ms``/``epoch_us``/``regexp_matches``/
@@ -127,14 +129,70 @@ _INT_DIV = re.compile(r"(?<=[\w)\s])//(?=[\w(\s])")
 # Spark and matches DuckDB exactly. Map access with string keys (same
 # semantics both engines) is untouched.
 _LIST_INDEX = re.compile(r"\b([A-Za-z_][\w.]*)\[(\d+)\]")
-# DuckDB date_diff('part', a, b) → Spark timestampdiff(PART, a, b):
-# same 3-arg shape, but Spark takes the unit as a bare keyword, not a
-# string literal. Must run BEFORE tokenization (the unit IS a literal).
+# DuckDB date_diff('part', a, b) → Spark
+# timestampdiff(PART, date_trunc('part', a), date_trunc('part', b)).
+# Must run BEFORE tokenization (the unit IS a literal), and must wrap
+# BOTH operands: DuckDB counts unit-boundary crossings, Spark's
+# timestampdiff counts complete elapsed units — truncating the operands
+# to the unit makes the two definitions coincide.
 _DATE_DIFF = re.compile(
     r"\bdate_diff\s*\(\s*'(?P<part>year|quarter|month|week|day|hour|"
     r"minute|second)'\s*,",
     re.IGNORECASE,
 )
+
+
+def _rewrite_date_diff(sql: str) -> str:
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _DATE_DIFF.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            break
+        unit = m.group("part").lower()
+        # scan the two remaining args: depth-0 comma splits, string
+        # literals skipped, stop at the depth-0 closing paren
+        i = m.end()
+        depth = 0
+        args: list[str] = []
+        start = i
+        while i < len(sql):
+            c = sql[i]
+            if c == "'":
+                j = i + 1
+                while j < len(sql):
+                    if sql[j] == "'":
+                        if j + 1 < len(sql) and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                i = j
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    args.append(sql[start:i])
+                    break
+                depth -= 1
+            elif c == "," and depth == 0:
+                args.append(sql[start:i])
+                start = i + 1
+            i += 1
+        if len(args) == 2:
+            a, b = (x.strip() for x in args)
+            out.append(sql[pos : m.start()])
+            out.append(
+                f"timestampdiff({unit.upper()}, date_trunc('{unit}', {a}), "
+                f"date_trunc('{unit}', {b}))"
+            )
+            pos = i + 1
+        else:
+            # malformed call — leave untouched to fail loudly downstream
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+    return "".join(out)
 # DuckDB USING SAMPLE → Spark TABLESAMPLE (percent or row forms)
 _USING_SAMPLE = re.compile(
     r"\bUSING\s+SAMPLE\s+(?P<n>\d+(?:\.\d+)?)\s*"
@@ -311,10 +369,9 @@ def translate_duckdb_sql(sql: str) -> str:
     # strftime carries its format as a string literal, so it must run
     # before tokenization (like the path/regex rewrites above)
     sql = _STRFTIME.sub(_strftime_repl, sql)
-    # date_diff's unit is a string literal too
-    sql = _DATE_DIFF.sub(
-        lambda m: f"timestampdiff({m.group('part').upper()},", sql
-    )
+    # date_diff's unit is a string literal too (boundary-crossing
+    # semantics preserved by operand truncation — see _rewrite_date_diff)
+    sql = _rewrite_date_diff(sql)
     sql = _READ_PARQUET_ONE.sub(lambda m: f"parquet.`{m.group('path')}`", sql)
 
     def _list_repl(m: re.Match) -> str:

@@ -161,31 +161,33 @@ def q_streaming_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_H_US = 3_600_000_000  # 1 hour in microseconds (window AND delay)
 QUERIES["streaming_late_arrival_audit"] = q_streaming_late_arrival_audit
 ORACLES["streaming_late_arrival_audit"] = f"""
     WITH ev AS (
-        SELECT (event_id // {_LATE_B}) AS batch_id, ts FROM events
+        SELECT (event_id // {_LATE_B}) AS batch_id,
+               epoch_us(ts) AS us
+        FROM events
     ),
-    bmax AS (SELECT batch_id, MAX(ts) AS mx FROM ev GROUP BY 1),
+    bmax AS (SELECT batch_id, MAX(us) AS mx FROM ev GROUP BY 1),
     wm AS (
         SELECT batch_id,
                MAX(mx) OVER (ORDER BY batch_id
                              ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND 1 PRECEDING) - INTERVAL 1 HOUR AS wmk
+                             AND 1 PRECEDING) - {_H_US} AS wmk
         FROM bmax
     )
     SELECT ev.batch_id,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN wm.wmk IS NOT NULL
-                          AND date_trunc('hour', ev.ts) + INTERVAL 1 HOUR
-                              <= wm.wmk
+                          AND (ev.us // {_H_US} + 1) * {_H_US} <= wm.wmk
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped,
            ROUND(SUM(CASE WHEN wm.wmk IS NOT NULL
-                           AND date_trunc('hour', ev.ts) + INTERVAL 1 HOUR
-                               <= wm.wmk
+                           AND (ev.us // {_H_US} + 1) * {_H_US} <= wm.wmk
                           THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
                AS dropped_pct,
-           COALESCE(strftime(MIN(wm.wmk), '%Y-%m-%d %H:%M:%S'), '')
+           COALESCE(strftime(make_timestamp(MIN(wm.wmk)),
+                             '%Y-%m-%d %H:%M:%S'), '')
                AS watermark
     FROM ev JOIN wm ON ev.batch_id = wm.batch_id
     GROUP BY ev.batch_id

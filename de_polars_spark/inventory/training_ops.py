@@ -859,9 +859,15 @@ def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = cosine_topk(corpus, queries, "vec_id", "embedding", k=_MAT_K).select(
         "query_id", "neighbor_id"
     )
+    # a nonzero full vector can still have an all-zero prefix, and the
+    # truncated-cosine norm would then divide by zero (ANSI error in
+    # Spark, NULL in DuckDB) — exclude such vectors in BOTH engines
+    from de_polars_spark.functions.vectors import as_double as _vd
+    from de_polars_spark.functions.vectors import dot as _vdot
+
     trunc = corpus.select(
         "vec_id", F.slice(F.col("embedding"), 1, _MAT_DIM).alias("tv")
-    )
+    ).filter(_vdot(_vd(F.col("tv")), _vd(F.col("tv"))) > 0)
     tq = trunc.filter(F.col("vec_id") % 100 == 0)
     approx = cosine_topk(trunc, tq, "vec_id", "tv", k=_MAT_K).select(
         "query_id", "neighbor_id"
@@ -904,7 +910,11 @@ ORACLES["matryoshka_recall_eval"] = f"""
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
                                       ORDER BY {_M_TR} DESC, e.vec_id)
                        AS rank
-            FROM q JOIN e ON q.vec_id <> e.vec_id
+            FROM (SELECT * FROM q
+                  WHERE list_dot_product(tv, tv) > 0) q
+            JOIN (SELECT * FROM e
+                  WHERE list_dot_product(tv, tv) > 0) e
+              ON q.vec_id <> e.vec_id
         ) WHERE rank <= {_MAT_K}
     ),
     hits AS (

@@ -894,6 +894,42 @@ def ngram_duplication_profile(
     )
 
 
+def _hashed_gram_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    shingle_n: int,
+) -> DataFrame:
+    """``(id, block, p, shingle)`` xxhash64'd word n-grams with their
+    token position — the block-aware, position-keeping sibling of
+    :func:`_gram_strings` (same codegen'd posexplode + LEAD build, same
+    unique-``(id, block)`` precondition), shared by the posting-join
+    miners below. Drop ``p``/dedupe downstream as the consumer needs."""
+    tok = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("block"),
+        F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok"),
+    )
+    if shingle_n == 1:
+        return tok.select(
+            F.col(id_col), "block", "p", F.xxhash64("tok").alias("shingle")
+        )
+    wd = Window.partitionBy(id_col, "block").orderBy("p")
+    leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
+    return (
+        tok.select(
+            F.col(id_col),
+            "block",
+            "p",
+            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("shingle"),
+            leads[-1].alias("__last"),
+        )
+        .where(F.col("__last").isNotNull())
+        .drop("__last")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -932,22 +968,7 @@ def containment_pairs(
     duplicate rows would interleave token positions and fabricate
     cross-row shingles (same constraint as :func:`_gram_strings`).
     """
-    tok = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("block"),
-        F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok"),
-    )
-    if shingle_n > 1:
-        wd = Window.partitionBy(id_col, "block").orderBy("p")
-        leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
-        grams = tok.select(
-            id_col,
-            "block",
-            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("shingle"),
-            leads[-1].alias("__last"),
-        ).where(F.col("__last").isNotNull())
-    else:
-        grams = tok.select(id_col, "block", F.xxhash64("tok").alias("shingle"))
+    grams = _hashed_gram_postings(df, id_col, text_col, block_col, shingle_n)
     # the distinct postings feed both self-join sides — persist so the
     # tokenize/window/distinct chain runs once (same recompute-dominated
     # profile ngram_jaccard_pairs measured; release via release_cached())
@@ -989,17 +1010,26 @@ def containment_pairs(
     small_is_a = (F.col("n_ia") < F.col("n_ib")) | (
         (F.col("n_ia") == F.col("n_ib")) & (F.col("__ia") < F.col("__ib"))
     )
-    out = scored.select(
-        F.when(small_is_a, F.col("__ia")).otherwise(F.col("__ib")).alias("id_small"),
-        F.when(small_is_a, F.col("__ib")).otherwise(F.col("__ia")).alias("id_large"),
-        F.col("n_common"),
-        F.least("n_ia", "n_ib").alias("n_small"),
-        F.greatest("n_ia", "n_ib").alias("n_large"),
-        F.round(
-            F.col("n_common") / F.least("n_ia", "n_ib").cast("double"), 6
-        ).alias("containment"),
+    raw = F.col("n_common") / F.least("n_ia", "n_ib").cast("double")
+    return (
+        scored
+        # threshold on the RAW ratio, matching the oracle's filter — a
+        # rounded display value would shift the boundary by up to 5e-7
+        # (same convention as margin_mutual_pairs)
+        .filter(raw >= threshold)
+        .select(
+            F.when(small_is_a, F.col("__ia"))
+            .otherwise(F.col("__ib"))
+            .alias("id_small"),
+            F.when(small_is_a, F.col("__ib"))
+            .otherwise(F.col("__ia"))
+            .alias("id_large"),
+            F.col("n_common"),
+            F.least("n_ia", "n_ib").alias("n_small"),
+            F.greatest("n_ia", "n_ib").alias("n_large"),
+            F.round(raw, 6).alias("containment"),
+        )
     )
-    return out.filter(F.col("containment") >= threshold)
 
 
 def longest_shared_span(
@@ -1035,26 +1065,9 @@ def longest_shared_span(
     per pair sharing at least one n-gram (implied minimum span =
     ``shingle_n``).
     """
-    tok = df.select(
-        F.col(id_col),
-        F.col(block_col).alias("block"),
-        F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok"),
-    )
-    if shingle_n > 1:
-        wd = Window.partitionBy(id_col, "block").orderBy("p")
-        leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
-        grams = tok.select(
-            F.col(id_col),
-            "block",
-            "p",
-            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)).alias("h"),
-            leads[-1].alias("__last"),
-        ).where(F.col("__last").isNotNull())
-    else:
-        grams = tok.select(
-            F.col(id_col), "block", "p", F.xxhash64("tok").alias("h")
-        )
-    post = grams.select(id_col, "block", "p", "h")
+    post = _hashed_gram_postings(
+        df, id_col, text_col, block_col, shingle_n
+    ).withColumnRenamed("shingle", "h")
     if max_df is not None:
         wfreq = Window.partitionBy("block", "h")
         post = (

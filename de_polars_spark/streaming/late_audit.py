@@ -49,6 +49,29 @@ from de_polars_spark.streaming import fsutil
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
 
 
+#: duration-string units → microseconds (the subset Spark's window()
+#: accepts for epoch-aligned tumbling windows; months are NOT tumbling)
+_UNITS_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _duration_us(spec: str) -> int:
+    """'30 minutes' → 1_800_000_000. Raises on units Spark's tumbling
+    window does not epoch-align (months/years)."""
+    n, unit = spec.strip().split()
+    unit = unit.rstrip("s").lower()
+    if unit not in _UNITS_US:
+        raise ValueError(
+            f"unsupported tumbling-window unit {unit!r}; use one of "
+            f"{sorted(_UNITS_US)} (Spark's window() epoch alignment)"
+        )
+    return int(n) * _UNITS_US[unit]
+
+
 def late_arrival_audit(
     df: DataFrame,
     arrival_col: str,
@@ -61,15 +84,22 @@ def late_arrival_audit(
     ``batch_size`` and account per batch what a watermarked tumbling
     ``window`` aggregation with ``delay`` would have dropped.
 
+    Window ends are epoch-aligned integer-microsecond arithmetic —
+    exactly how Spark's ``window(ts, w)`` buckets tumbling windows for
+    ANY duration (a first cut hard-coded ``date_trunc('hour')``, which
+    only agrees with native semantics at the default '1 hour').
+
     Output per batch: ``(batch_id, n_rows, n_late_dropped, dropped_pct,
     watermark)`` — watermark as a string ('' for the first batch, whose
     watermark is unset and drops nothing).
     """
+    w_us = _duration_us(window)
+    d_us = _duration_us(delay)
     ev = df.select(
         (F.col(arrival_col) / batch_size).cast("bigint").alias("batch_id"),
-        F.col(ts_col).alias("__ts"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
     )
-    bmax = ev.groupBy("batch_id").agg(F.max("__ts").alias("__mx"))
+    bmax = ev.groupBy("batch_id").agg(F.max("__us").alias("__mx"))
     from pyspark.sql import Window as W
 
     wprev = (
@@ -78,9 +108,9 @@ def late_arrival_audit(
     )
     wm = bmax.select(
         "batch_id",
-        (F.max("__mx").over(wprev) - F.expr(f"INTERVAL {delay}")).alias("__wm"),
+        (F.max("__mx").over(wprev) - F.lit(d_us)).alias("__wm"),
     )
-    wend = F.date_trunc("hour", F.col("__ts")) + F.expr(f"INTERVAL {window}")
+    wend = (F.expr(f"__us div {w_us}") + F.lit(1)) * F.lit(w_us)
     return (
         ev.join(wm, "batch_id")
         .groupBy("batch_id")
@@ -92,7 +122,10 @@ def late_arrival_audit(
                 )
             ).alias("n_late_dropped"),
             F.coalesce(
-                F.date_format(F.min("__wm"), "yyyy-MM-dd HH:mm:ss"), F.lit("")
+                F.date_format(
+                    F.timestamp_micros(F.min("__wm")), "yyyy-MM-dd HH:mm:ss"
+                ),
+                F.lit(""),
             ).alias("watermark"),
         )
         .select(
@@ -126,6 +159,8 @@ def late_audit_sink(
     write_out = idempotent_parquet_sink(out_dir)
     write_audit = idempotent_parquet_sink(audit_dir)
     write_state = idempotent_parquet_sink(state_dir)
+    w_us = _duration_us(window)
+    d_us = _duration_us(delay)
 
     def audit(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
@@ -133,26 +168,31 @@ def late_audit_sink(
             name.startswith("batch_id=")
             for name in fsutil.child_names(spark, state_dir)
         )
-        wm = None
+        wm_us = None
         if state_exists:
             prior = (
                 spark.read.parquet(state_dir)
                 .filter(F.col("batch_id") < batch_id)
-                .agg(F.max("max_ts").alias("mx"))
+                .agg(F.max("max_us").alias("mx"))
                 .collect()[0]["mx"]
             )
             if prior is not None:
-                wm = prior
-        wend = F.date_trunc("hour", F.col(ts_col)) + F.expr(f"INTERVAL {window}")
-        if wm is None:
+                wm_us = int(prior) - d_us
+        us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+        # epoch-aligned tumbling window, all-integer micros (modulo, not
+        # double division — exact at any epoch offset); matches Spark's
+        # window(ts, w) bucketing for any duration. Post-1970 events
+        # assumed (integer % is not floor-mod for negatives).
+        wstart_us = us - us % F.lit(w_us)
+        wend = wstart_us + F.lit(w_us)
+        if wm_us is None:
             classified = df.withColumn("__late", F.lit(False))
         else:
-            wm_col = F.lit(wm).cast("timestamp") - F.expr(f"INTERVAL {delay}")
-            classified = df.withColumn("__late", wend <= wm_col)
+            classified = df.withColumn("__late", wend <= F.lit(wm_us))
         kept = classified.filter(~F.col("__late"))
         write_out(
             kept.groupBy(
-                F.date_trunc("hour", F.col(ts_col)).alias("window_start")
+                F.timestamp_micros(wstart_us).alias("window_start")
             ).agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_events"),
                 F.sum(F.col(value_col).cast("decimal(38,6)"))
@@ -169,7 +209,12 @@ def late_audit_sink(
             batch_id,
         )
         write_state(
-            df.agg(F.max(F.col(ts_col)).alias("max_ts")), batch_id
+            df.agg(
+                F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias(
+                    "max_us"
+                )
+            ),
+            batch_id,
         )
 
     return audit

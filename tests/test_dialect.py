@@ -229,9 +229,9 @@ def test_epoch_and_regexp_and_overlap_renames(spark):
 
 
 def test_date_diff_unit_literal_to_timestampdiff(spark):
-    assert (
-        t("SELECT date_diff('day', a, b) FROM x")
-        == "SELECT timestampdiff(DAY, a, b) FROM x"
+    assert t("SELECT date_diff('day', a, b) FROM x") == (
+        "SELECT timestampdiff(DAY, date_trunc('day', a), "
+        "date_trunc('day', b)) FROM x"
     )
     # Spark's own 2-arg date_diff form passes through untouched
     assert t("SELECT date_diff(a, b) FROM x") == "SELECT date_diff(a, b) FROM x"
@@ -240,8 +240,21 @@ def test_date_diff_unit_literal_to_timestampdiff(spark):
         t("SELECT 'date_diff(''day'', x, y)' FROM x")
         == "SELECT 'date_diff(''day'', x, y)' FROM x"
     )
-    row = spark.sql(
-        t("SELECT date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', "
-          "TIMESTAMP '2024-01-01 05:30:00') AS h")
-    ).collect()[0]
-    assert row["h"] == 5
+    # DuckDB's date_diff counts unit-BOUNDARY crossings, not elapsed
+    # units — the translated form must agree on non-boundary-aligned
+    # operands (2h elapsed but one midnight crossed => 1 day, 2 hours)
+    import duckdb
+
+    cases = [
+        ("day", "2024-01-01 23:00:00", "2024-01-02 01:00:00"),
+        ("hour", "2024-01-01 00:30:00", "2024-01-01 02:15:00"),
+        ("month", "2024-01-31 12:00:00", "2024-02-01 00:00:00"),
+        ("hour", "2024-01-01 00:00:00", "2024-01-01 05:30:00"),
+    ]
+    for unit, a, b in cases:
+        duck_sql = (
+            f"SELECT date_diff('{unit}', TIMESTAMP '{a}', TIMESTAMP '{b}') AS d"
+        )
+        expect = duckdb.sql(duck_sql).fetchall()[0][0]
+        got = spark.sql(t(duck_sql)).collect()[0]["d"]
+        assert got == expect, (unit, a, b, got, expect)

@@ -857,3 +857,74 @@ def test_late_audit_agrees_with_native_watermark(spark, tmp_path):
         spark.read.parquet(aud).groupBy().sum("n_late_dropped").collect()[0][0]
     )
     assert dropped == 1  # the 9:45 row — and only it — was dropped by both
+
+
+def test_late_audit_native_agreement_nondefault_window(spark, tmp_path):
+    """The review case: window='30 minutes'. An event late by less than
+    its 30-min window's remaining life must be KEPT (its window end is
+    still above the watermark) — the old hour-truncated form wrongly
+    dropped it. Asserted against Spark's own withWatermark output."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from de_polars_spark.streaming.late_audit import late_audit_sink
+
+    schema = "ts timestamp, value double"
+
+    def ts(h, m):
+        return datetime(2025, 1, 1, h, m)
+
+    batches = [
+        [(ts(10, 40), 1.0)],
+        [(ts(11, 45), 2.0)],  # watermark -> 10:45
+        # 10:44 sits in window [10:30, 11:00): end 11:00 > 10:45 -> KEPT
+        # 10:10 sits in [10:00, 10:30): end 10:30 <= 10:45 -> DROPPED
+        [(ts(10, 44), 4.0), (ts(10, 10), 8.0)],
+    ]
+    src = str(tmp_path / "src")
+    out, st, aud = (str(tmp_path / d) for d in ("o", "s", "a"))
+    sink = late_audit_sink("ts", "value", st, out, aud, window="30 minutes")
+
+    spark.createDataFrame(batches[0], schema).write.parquet(src)
+    native = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    q = (
+        native.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("native_wm30")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        sink(spark.createDataFrame(batches[0], schema), 0)
+        for i, b in enumerate(batches[1:], 1):
+            spark.createDataFrame(b, schema).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            sink(spark.createDataFrame(b, schema), i)
+    finally:
+        q.stop()
+    nat = {}
+    for r in spark.sql("SELECT w.start AS s, n, v FROM native_wm30").collect():
+        cur = nat.get(r["s"])
+        if cur is None or r["n"] > cur[0]:
+            nat[r["s"]] = (r["n"], r["v"])
+    mine = {
+        r["window_start"]: (r["sum(n_events)"], r["sum(total_value)"])
+        for r in spark.read.parquet(out)
+        .groupBy("window_start")
+        .sum("n_events", "total_value")
+        .collect()
+    }
+    assert mine == nat
+    assert ts(10, 30) in mine and mine[ts(10, 30)][1] == 5.0  # 1.0 + 4.0 kept
+    dropped = (
+        spark.read.parquet(aud).groupBy().sum("n_late_dropped").collect()[0][0]
+    )
+    assert dropped == 1  # only the 10:10 row
