@@ -23,84 +23,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-4 head: the two queries whose LATEST driver row is red (both fixed
-# and strict-hash green locally — they only need resampling), followed by the
-# 32 queries that have never appeared in any CORRECTNESS_r01..r03 sample
-# (computed as set(QUERIES) − union of r1-r3 keys), followed by the round-4
-# additions up to exactly the driver's 50-query sample. The 28 queries past
-# slot 50 (bitext_margin_mining, bpe_phrase_merges, cluster_aware_split,
-# consistent_subset_sample, cross_source_overlap_matrix,
-# curriculum_phase_plan, dedup_containment, dsir_importance_select,
-# embedding_centroid_shift, embedding_centroid_silhouette,
-# embedding_int8_quant, entity_resolution, hard_negative_mining,
-# k_anonymity_report, matryoshka_recall_eval, mixture_token_budget_plan,
-# psi_drift_report, qi_uniqueness_ladder, quality_prune_plan,
-# retrieval_mrr_ndcg, sequence_packing_plan, streaming_late_arrival_audit,
-# timeseries_gapfill, token_entropy_by_source, tokenizer_fertility,
-# user_overlap_theta_sketch, zipf_token_slope, plus
-# dedup_longest_shared_span — all strict-hash green
-# locally and in the full tools/check_correctness sweep) are the round-5
-# head: recompute next round as
-# set(QUERIES) − union(CORRECTNESS_r01..r04 keys).
+# Round-5 head: the one query whose latest driver row is red
+# (inverted_index — r4 err was the array postings column, now serialized
+# via array_join and strict-hash green locally), followed by the exact 28
+# queries with no row in any CORRECTNESS_r01..r04 sample (computed as
+# set(QUERIES) − union of r1-r4 keys; all strict-hash green locally and in
+# the full tools/check_correctness sweep), followed by round-5 additions.
+# Recompute next round as set(QUERIES) − union(CORRECTNESS_r01..r05 keys).
 # (kpi_view_tracker is NOT here — it already has a green r3 row; bench.py
 # pins it first in ITS run order so the KPI materialization wave still
 # compiles on a fresh JVM, without burning a correctness sample slot.)
 _NEVER_SAMPLED = (
-    # latest driver row red; root causes fixed in r2/r3, awaiting resample
-    "finops_tag_compliance",
-    "dedup_simhash_hamming",
-    # never driver-sampled (strict-hash green locally)
-    "bm25_search",
+    # latest driver row red (r4 canonicalizer err); fixed, awaiting resample
     "inverted_index",
-    "approx_distinct_hll",
-    "heavy_hitters_cms",
-    "histogram_price",
-    "corr_qty_price",
-    "merge_upsert_snapshot",
-    "skew_salted_agg",
-    "data_quality_report",
-    "column_stats_profile",
-    "incremental_agg_maintenance",
-    "snapshot_diff",
-    "funnel_view_click_purchase",
-    "topk_with_ties",
-    "median_abs_deviation",
-    "dedup_keep_best",
-    "chunk_documents",
-    "embedding_truncate_norm",
-    "chunk_boilerplate",
-    "vocab_coverage",
-    "text_normalize",
-    "quality_by_source",
-    "dedup_minhash_estimate",
-    "ngram_dup_profile",
-    "split_leakage_check",
-    "pii_density_by_source",
-    "histogram_median_mergeable",
-    "dedup_incremental_batch",
-    "cohort_retention",
-    "rfm_segmentation",
-    "basket_copurchase_lift",
-    "ship_latency_profile",
-    # new in round 4 (no driver row yet)
-    "bloom_join_prefilter",
-    "ann_ivf_index_build",
-    "ann_ivf_index_query",
-    "scd2_history",
-    "sample_weighted_per_source",
-    "neardup_admission",
-    "ann_ivf_index_append",
-    # new scale-layout ops (inventory/scale_ops.py) — no driver row yet
-    "bucketed_colocated_join",
-    "zorder_clustering_stats",
-    "table_fingerprint",
-    "fk_integrity_report",
-    "negative_pair_sample",
-    "freshness_lag_report",
-    # product quantization (operators/pq.py) — no driver row yet
-    "ann_pq_topk",
-    "ann_pq_recall_eval",
-    "ann_ivfpq_topk",
+    # never driver-sampled (strict-hash green locally)
+    "dsir_importance_select",
+    "bpe_phrase_merges",
+    "token_entropy_by_source",
+    "psi_drift_report",
+    "cluster_aware_split",
+    "mixture_token_budget_plan",
+    "streaming_late_arrival_audit",
+    "user_overlap_theta_sketch",
+    "cross_source_overlap_matrix",
+    "quality_prune_plan",
+    "zipf_token_slope",
+    "embedding_centroid_shift",
+    "k_anonymity_report",
+    "qi_uniqueness_ladder",
+    "dedup_containment",
+    "hard_negative_mining",
+    "embedding_int8_quant",
+    "embedding_centroid_silhouette",
+    "tokenizer_fertility",
+    "curriculum_phase_plan",
+    "timeseries_gapfill",
+    "consistent_subset_sample",
+    "retrieval_mrr_ndcg",
+    "bitext_margin_mining",
+    "entity_resolution",
+    "sequence_packing_plan",
+    "matryoshka_recall_eval",
+    "dedup_longest_shared_span",
 )
 
 

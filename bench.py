@@ -102,16 +102,24 @@ def main() -> None:
     # single pass by default (the driver's recording). Individual query
     # timings vary up to ~2.4x between contended and uncontended runs
     # while totals agree within ~15%; SPARK_GRAFT_BENCH_REPS=2 (or more)
-    # times each query that many times and reports the per-query MIN —
-    # the low-variance number for like-for-like regression comparison.
+    # times each query that many times and reports the per-query MIN.
+    # NOTE on artifacts: the content-addressed caches (KPI wave, dedup
+    # pair graph, IVF index, PQ codebooks, bucketed layouts) are cleared
+    # once above, so under reps>1 the first rep of a build-paying query
+    # pays the build and rep 2+ hits the cache — the MIN is therefore the
+    # steady-state (cached) cost by design; ``timings_first`` preserves
+    # the build-paying first-rep number so neither is lost.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
+    timings_first: dict[str, float] = {}
     for name, fn in qs.items():
         best = None
-        for _ in range(reps):
+        for rep in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).collect()
             elapsed = time.perf_counter() - t0
+            if rep == 0:
+                timings_first[name] = round(elapsed, 4)
             best = elapsed if best is None else min(best, elapsed)
             release_cached()  # dedup ops persist internally; no cross-query reuse
             # drop py4j refs promptly so ContextCleaner can release finished
@@ -122,18 +130,35 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "inventory_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-            }
-        )
-    )
+    record = {
+        "metric": "inventory_suite_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+    }
+    if reps > 1:
+        record["min_of"] = reps
+        record["queries_first_rep"] = timings_first
+    print(json.dumps(record))
+    # Persist the FULL per-query map to a committed artifact: the driver's
+    # BENCH_r0N.json keeps only a truncated tail + top-10, which made the
+    # r3->r4 regression diff nearly blind (6 of 142 queries comparable).
+    # The round number is inferred as 1 + the highest existing driver
+    # artifact (the driver writes BENCH_r0N.json AFTER this run), and the
+    # stable -latest name feeds tools/bench_compare.py.
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    nxt = (max(rounds) + 1) if rounds else 1
+    for fname in (f"BENCH_full_r{nxt:02d}.json", "BENCH_full_latest.json"):
+        with open(os.path.join(here, fname), "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+            fh.write("\n")
     # The detailed line above is ~4 KB at 110 queries and overflows a
     # 2000-char tail capture (round 2's BENCH artifact recorded
     # parsed:null because of exactly this). Emit a compact summary LAST,

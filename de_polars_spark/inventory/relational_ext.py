@@ -445,7 +445,17 @@ QUERIES["bm25_search"] = q_bm25_search
 # --------------------------------------------------------------------- #
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
-    return textrank.inverted_index(t["documents"], "doc_id", "text", min_df=25)
+    idx = textrank.inverted_index(t["documents"], "doc_id", "text", min_df=25)
+    # the operator's array<bigint> postings column is its real API; the
+    # inventory edge serializes it to a csv string because the driver's
+    # canonicalizer hashes scalar cells only (r4's lone red row)
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+            "postings"
+        ),
+    )
 
 
 QUERIES["inverted_index"] = q_inverted_index
@@ -458,7 +468,7 @@ ORACLES["inverted_index"] = """
     )
     SELECT term,
            COUNT(DISTINCT doc_id) AS df,
-           list_sort(list(DISTINCT doc_id)) AS postings
+           array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
     FROM tok GROUP BY term
     HAVING COUNT(DISTINCT doc_id) >= 25
     ORDER BY term

@@ -14,15 +14,29 @@ import math
 import pandas as pd
 
 
+class NonScalarOutputError(TypeError):
+    """An inventory query produced a list/array output column.
+
+    The driver's canonicalizer does a raw pandas sort over cells and dies
+    with ``unhashable type: 'list'`` on array columns (r4: inverted_index
+    was the only red row for exactly this).  The local gate must REJECT
+    such columns rather than silently stringify them — otherwise "green
+    locally" can still be red at the driver.  Serialize arrays at the
+    query edge (``F.array_join`` / ``array_to_string``) instead.
+    """
+
+
 def _canon_cell(v):
-    """Stringify a cell so equal values compare equal regardless of
-    container type (Spark hands back lists, DuckDB numpy arrays)."""
+    """Stringify a scalar cell; reject containers (driver-gate mirror)."""
     if v is None:
         return None
     if not isinstance(v, (str, bytes)) and hasattr(v, "tolist"):
         v = v.tolist()
-    if isinstance(v, (list, tuple)):
-        return str(tuple(_canon_cell(x) for x in v))
+    if isinstance(v, (list, tuple, dict, set)):
+        raise NonScalarOutputError(
+            f"non-scalar output cell {v!r}: the driver cannot hash "
+            "array/map columns — serialize at the query edge"
+        )
     return str(v)
 
 

@@ -15,7 +15,9 @@ from decimal import Decimal
 import numpy as np
 import pandas as pd
 
-from de_polars_spark.testing import compare, value_hash
+import pytest
+
+from de_polars_spark.testing import NonScalarOutputError, compare, value_hash
 
 
 def test_identical_frames_pass():
@@ -30,10 +32,14 @@ def test_row_and_column_order_are_canonicalized():
     assert value_hash(a) == value_hash(b)
 
 
-def test_list_vs_numpy_array_cells_compare_equal():
+def test_non_scalar_output_cells_are_rejected():
+    # the r4 class: the driver's canonicalizer dies on array cells
+    # (inverted_index was the only red row), so the local mirror must
+    # REJECT them loudly instead of stringifying them into a pass
     a = pd.DataFrame({"k": [1], "arr": [[1.0, 2.0]]})
     b = pd.DataFrame({"k": [1], "arr": [np.array([1.0, 2.0])]})
-    assert compare(a, b) == []
+    with pytest.raises(NonScalarOutputError):
+        compare(a, b)
 
 
 def test_value_drift_is_caught():
