@@ -127,8 +127,24 @@ _INT_DIV = re.compile(r"(?<=[\w)\s])//(?=[\w(\s])")
 # silent off-by-one if passed through. Conservative shape (identifier or
 # dotted path, integer-literal index) → element_at, which is 1-based in
 # Spark and matches DuckDB exactly. Map access with string keys (same
-# semantics both engines) is untouched.
+# semantics both engines) is untouched. Index 0 returns NULL in DuckDB
+# but THROWS in Spark's element_at — emitted as a NULL literal. Any
+# integer index the rewrite does NOT cover (expression-result bases like
+# ``string_split(t, ' ')[1]``, chained ``arr[1][2]``, negative indices)
+# would reach Spark's 0-based ``[]`` and silently read the wrong
+# element, so a residual-shape check REJECTS the statement instead
+# (see _RESIDUAL_INT_INDEX below).
 _LIST_INDEX = re.compile(r"\b([A-Za-z_][\w.]*)\[(\d+)\]")
+_RESIDUAL_INT_INDEX = re.compile(r"[\)\]]\s*\[\s*-?\d+\s*\]|\[\s*-\d+\s*\]")
+
+
+class DialectTranslationError(ValueError):
+    """A DuckDB construct this shim cannot translate safely.
+
+    Raised instead of passing the construct through when pass-through
+    would be SILENTLY WRONG on Spark (e.g. 1-based vs 0-based list
+    indexing) — a loud failure at translation time beats wrong data.
+    """
 # DuckDB date_diff('part', a, b) → Spark
 # timestampdiff(PART, date_trunc('part', a), date_trunc('part', b)).
 # Must run BEFORE tokenization (the unit IS a literal), and must wrap
@@ -240,8 +256,25 @@ def _rewrite_segment(seg: str) -> str:
     seg = _LIST_AGG.sub("collect_list(", seg)
     # DuckDB integer division -> Spark div
     seg = _INT_DIV.sub(" div ", seg)
-    # 1-based list indexing -> element_at (also 1-based)
-    seg = _LIST_INDEX.sub(lambda m: f"element_at({m.group(1)}, {m.group(2)})", seg)
+    # 1-based list indexing -> element_at (also 1-based); index 0 is
+    # NULL in DuckDB but throws in Spark -> emit the NULL literal
+    seg = _LIST_INDEX.sub(
+        lambda m: "NULL"
+        if int(m.group(2)) == 0
+        else f"element_at({m.group(1)}, {m.group(2)})",
+        seg,
+    )
+    # any integer index left after the rewrite (expression-result base,
+    # chained index, negative index) would hit Spark's 0-BASED [] and
+    # silently return the wrong element — fail loudly instead
+    resid = _RESIDUAL_INT_INDEX.search(seg)
+    if resid:
+        raise DialectTranslationError(
+            f"unsupported DuckDB list-index shape {resid.group(0)!r}: "
+            "DuckDB [] is 1-based, Spark's is 0-based, and only "
+            "identifier[int] bases are rewritten — use element_at(expr, i) "
+            "(1-based in both engines) instead"
+        )
     # USING SAMPLE -> TABLESAMPLE
     seg = _USING_SAMPLE.sub(_using_sample_repl, seg)
     # name-only function renames (list_* family etc.)
@@ -250,7 +283,7 @@ def _rewrite_segment(seg: str) -> str:
 
 
 _WORD = re.compile(r"[A-Za-z_]\w*")
-_QUALIFY_STOP = {"ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT"}
+_QUALIFY_STOP = {"ORDER", "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT"}
 
 
 def _scan_tokens(sql: str):

@@ -2719,10 +2719,18 @@ def _ivf_index_dir(sf_dir: str) -> str:
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         ".cache",
     )
+    # the tag must cover the FULL impl chain that shapes the artifact:
+    # _fit_km_centroids delegates the centroid math to kmeans_iterations
+    # (and its _with_assignment helper) — editing either must invalidate
+    # the cached index, not serve a stale one (ADVICE r4)
+    from de_polars_spark.operators import kmeans as _km
+
     impl = (
         inspect.getsource(similarity.build_ivf_index)
         + inspect.getsource(similarity._centroid_scores)
         + inspect.getsource(_fit_km_centroids)
+        + inspect.getsource(_km.kmeans_iterations)
+        + inspect.getsource(_km._with_assignment)
     )
     tag = hashlib.md5(
         f"{impl}|{_KM_K}|{_KM_ITERS}".encode()
@@ -3955,9 +3963,16 @@ _PSI_BINS, _PSI_W, _PSI_SPLIT = 10, 50.0, "2024-01-16"
 def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
     ev = t["events"].select(
-        F.least(
-            F.floor(F.col("value") / _PSI_W).cast("int"),
-            F.lit(_PSI_BINS - 1),
+        # symmetric clamp: negative values land in bucket 0 just as
+        # overflow lands in the top bin — a monitoring spine must count
+        # EVERY row (an unclamped negative bucket would vanish through
+        # the spine join and silently undercount)
+        F.greatest(
+            F.least(
+                F.floor(F.col("value") / _PSI_W).cast("int"),
+                F.lit(_PSI_BINS - 1),
+            ),
+            F.lit(0),
         ).alias("bucket"),
         (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).alias("is_exp"),
     )
@@ -3998,8 +4013,10 @@ def q_psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["psi_drift_report"] = q_psi_drift_report
 ORACLES["psi_drift_report"] = f"""
     WITH ev AS (
-        SELECT LEAST(CAST(FLOOR(value / {_PSI_W}) AS INT), {_PSI_BINS - 1})
-                   AS bucket,
+        SELECT GREATEST(
+                   LEAST(CAST(FLOOR(value / {_PSI_W}) AS INT),
+                         {_PSI_BINS - 1}),
+                   0) AS bucket,
                ts < TIMESTAMP '{_PSI_SPLIT}' AS is_exp
         FROM events
     ),

@@ -47,9 +47,16 @@ def batch_psi(
     counts = (
         ref.join(
             df.select(
-                F.least(
-                    F.floor(F.col(value_col) / width).cast("int"),
-                    F.lit(bins - 1),
+                # clamp BOTH tails into the edge buckets: without the
+                # greatest(0, ...) a negative value maps to a negative
+                # bucket and silently vanishes through the spine join —
+                # n_rows undercounts and PSI ignores low-side outliers
+                F.greatest(
+                    F.least(
+                        F.floor(F.col(value_col) / width).cast("int"),
+                        F.lit(bins - 1),
+                    ),
+                    F.lit(0),
                 ).alias("bucket")
             )
             .groupBy("bucket")
@@ -72,7 +79,12 @@ def batch_psi(
     return terms.agg(
         F.sum("n_actual").cast("bigint").alias("n_rows"),
         F.sum("term").cast("double").alias("psi"),
-        F.max_by("bucket", F.col("term")).cast("int").alias("worst_bucket"),
+        # tie-break on the LOWEST bucket when terms tie (max_by alone is
+        # nondeterministic across partitionings — would break the
+        # byte-identical-replay guarantee)
+        F.max_by("bucket", F.struct(F.col("term"), -F.col("bucket")))
+        .cast("int")
+        .alias("worst_bucket"),
         F.max("term").cast("double").alias("worst_term"),
     )
 

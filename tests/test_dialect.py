@@ -196,6 +196,55 @@ def test_list_index_one_based(spark):
     assert "element_at" not in passthrough
 
 
+def test_list_index_zero_yields_null(spark):
+    # DuckDB arr[0] returns NULL; Spark's element_at(_, 0) THROWS — the
+    # shim emits a NULL literal so both engines agree
+    from de_polars_spark.engine.dialect import translate_duckdb_sql
+
+    sql = translate_duckdb_sql(
+        "SELECT arr[0] AS z FROM (SELECT array('a', 'b') AS arr)"
+    )
+    assert spark.sql(sql).collect()[0]["z"] is None
+
+
+def test_unrewritable_list_index_shapes_fail_loudly():
+    # expression-result bases / chained / negative indexes would hit
+    # Spark's 0-BASED [] and silently read the wrong element — the shim
+    # must reject them, never pass them through (ADVICE r4, medium)
+    import pytest
+
+    from de_polars_spark.engine.dialect import (
+        DialectTranslationError,
+        translate_duckdb_sql,
+    )
+
+    for bad in (
+        "SELECT string_split(t, ' ')[1] FROM docs",
+        "SELECT arr[1][2] FROM t",
+        "SELECT arr[-1] FROM t",
+    ):
+        with pytest.raises(DialectTranslationError):
+            translate_duckdb_sql(bad)
+    # a bracket index inside a string literal is data, not syntax
+    ok = translate_duckdb_sql("SELECT 'f(x)[1]' AS s FROM t")
+    assert "f(x)[1]" in ok
+
+
+def test_qualify_stops_at_except_set_operator(spark):
+    from de_polars_spark.engine.dialect import translate_duckdb_sql
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, grp string"
+    ).createOrReplaceTempView("qe")
+    sql = translate_duckdb_sql(
+        "SELECT id, grp FROM qe "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY grp ORDER BY id) = 1 "
+        "EXCEPT SELECT 1 AS id, 'a' AS grp"
+    )
+    # EXCEPT must remain a set operator, not fold into the predicate
+    assert {(r.id, r.grp) for r in spark.sql(sql).collect()} == {(3, "b")}
+
+
 def test_using_sample_to_tablesample(spark):
     from de_polars_spark.engine.dialect import translate_duckdb_sql
 
