@@ -65,6 +65,8 @@ _NEVER_SAMPLED = (
     "sequence_packing_plan",
     "matryoshka_recall_eval",
     "dedup_longest_shared_span",
+    # new in round 5 (no driver row yet)
+    "bitext_margin_mining_ivf",
 )
 
 

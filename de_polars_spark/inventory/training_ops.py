@@ -636,6 +636,121 @@ ORACLES["bitext_margin_mining"] = f"""
 
 
 # ---------------------------------------------------------------- #
+# Margin mining routed through IVF cells — the 100 TB path the      #
+# exact miner's docstring promises. Both sides assign to coarse-    #
+# quantizer cells map-only; candidates exist only where one side's  #
+# nprobe probes hit the other side's cell, so the scored relation   #
+# is a cell-keyed shuffle join (per-cell quadratic, never |A|x|B|). #
+# nprobe = nlist degenerates bit-for-bit to the exact miner         #
+# (property-tested); at nprobe=5/8 on the synthetic embeddings the  #
+# mined-pair recall vs exact is 0.74 (real corpora cluster far      #
+# better than uniform synthetic vectors — recall here is the floor).#
+# ---------------------------------------------------------------- #
+_BITEXT_NLIST, _BITEXT_NPROBE = 8, 5
+
+
+def q_bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.operators.similarity import (
+        fit_centroids_sample,
+        margin_mutual_pairs_ivf,
+    )
+
+    t = register_testdata(spark, sf_dir)
+    emb = t["embeddings"]
+    cents = fit_centroids_sample(
+        emb, "vec_id", "embedding", nlist=_BITEXT_NLIST, mod=67, rem=1
+    )
+    return margin_mutual_pairs_ivf(
+        emb,
+        "vec_id",
+        "embedding",
+        "label",
+        0,
+        1,
+        cents,
+        k=_BITEXT_K,
+        nprobe=_BITEXT_NPROBE,
+    )
+
+
+# centroid-assignment ranking mirrors _centroid_scores: cosine DESC,
+# cid DESC (struct sort), unrounded
+_BX_CENT_COS = (
+    "(list_dot_product(x.v, c.cv) / "
+    "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))))"
+)
+QUERIES["bitext_margin_mining_ivf"] = q_bitext_margin_mining_ivf
+ORACLES["bitext_margin_mining_ivf"] = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 67 = 1 ORDER BY vec_id LIMIT {_BITEXT_NLIST}),
+    asg AS (
+        SELECT vec_id, label, v, cid, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_BX_CENT_COS} DESC, c.cid DESC) AS rn
+        FROM e x CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, label, v, cid AS cell FROM asg WHERE rn = 1),
+    probes AS (SELECT vec_id, label, v, cid AS probe FROM asg
+               WHERE rn <= {_BITEXT_NPROBE}),
+    cand_ab AS (
+        SELECT p.vec_id AS id_a, t.vec_id AS id_b,
+               {_COS.format(a="p.v", b="t.v")} AS cosine,
+               TRUE AS in_ab, FALSE AS in_ba
+        FROM probes p JOIN cells t ON p.probe = t.cell
+        WHERE p.label = 0 AND t.label = 1
+    ),
+    cand_ba AS (
+        SELECT t.vec_id AS id_a, p.vec_id AS id_b,
+               {_COS.format(a="t.v", b="p.v")} AS cosine,
+               FALSE AS in_ab, TRUE AS in_ba
+        FROM probes p JOIN cells t ON p.probe = t.cell
+        WHERE p.label = 1 AND t.label = 0
+    ),
+    cand AS (
+        SELECT id_a, id_b, MAX(cosine) AS cosine,
+               BOOL_OR(in_ab) AS in_ab, BOOL_OR(in_ba) AS in_ba
+        FROM (SELECT * FROM cand_ab UNION ALL SELECT * FROM cand_ba) u
+        GROUP BY 1, 2
+    ),
+    r_ab AS (
+        SELECT id_a, id_b, cosine,
+               ROW_NUMBER() OVER (PARTITION BY id_a
+                                  ORDER BY cosine DESC, id_b) AS rank_a
+        FROM cand WHERE in_ab
+    ),
+    r_ba AS (
+        SELECT id_a, id_b, cosine,
+               ROW_NUMBER() OVER (PARTITION BY id_b
+                                  ORDER BY cosine DESC, id_a) AS rank_b
+        FROM cand WHERE in_ba
+    ),
+    avg_a AS (
+        SELECT id_a, CAST(SUM(CAST(cosine AS DECIMAL(38,6))) AS DOUBLE)
+                     / {_BITEXT_K}.0 AS avg_a
+        FROM r_ab WHERE rank_a <= {_BITEXT_K} GROUP BY 1
+    ),
+    avg_b AS (
+        SELECT id_b, CAST(SUM(CAST(cosine AS DECIMAL(38,6))) AS DOUBLE)
+                     / {_BITEXT_K}.0 AS avg_b
+        FROM r_ba WHERE rank_b <= {_BITEXT_K} GROUP BY 1
+    )
+    SELECT m.id_a, m.id_b, m.cosine,
+           ROUND(avg_a, 6) AS avg_a,
+           ROUND(avg_b, 6) AS avg_b,
+           ROUND(m.cosine / ((avg_a + avg_b) / 2), 6) AS margin
+    FROM (SELECT ra.id_a, ra.id_b, ra.cosine
+          FROM r_ab ra JOIN r_ba rb
+            ON ra.id_a = rb.id_a AND ra.id_b = rb.id_b
+          WHERE ra.rank_a = 1 AND rb.rank_b = 1) m
+    JOIN avg_a USING (id_a)
+    JOIN avg_b USING (id_b)
+    WHERE m.cosine / ((avg_a + avg_b) / 2) > 1.0
+"""
+
+
+# ---------------------------------------------------------------- #
 # Entity resolution: fuzzy pairs -> transitive closure -> canonical #
 # ---------------------------------------------------------------- #
 # The MDM-style dedupe every catalog/customer table needs: pair

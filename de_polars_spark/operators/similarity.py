@@ -301,6 +301,146 @@ def ivf_topk_from_index(
     return _ranked_topk(scored, k)
 
 
+def margin_mutual_pairs_ivf(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    side_a,
+    side_b,
+    centroids: list,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+    nprobe: int = 2,
+) -> DataFrame:
+    """:func:`margin_mutual_pairs` routed through IVF cells — the scale
+    path the exact form's docstring promises ("at corpus scale bucket
+    both sides with the IVF index and score within probed cells").
+
+    The exact miner scores the full A×B relation (a broadcast
+    nested-loop — the one named scale-killer in the r4 audit). Here both
+    sides are assigned to their nearest coarse-quantizer cell (map-only:
+    centroids are plan literals, no shuffle), each row probes its
+    ``nprobe`` nearest cells, and candidate pairs exist only where one
+    side's probe hits the other side's cell. The candidate join keys on
+    the CELL id, so at 100 TB it is a shuffle-hash join co-partitioned
+    by cell — per-cell work is |A∩cell| × |B∩probe set|, bounded by the
+    quantizer's balance, never |A|×|B|. Ranks, k-NN neighborhood
+    averages, and the margin are computed over the probed candidate set
+    (the standard FAISS-backed approximation in CCMatrix-scale mining).
+
+    Exactness property: with ``nprobe >= nlist`` every row probes every
+    cell, the candidate set IS A×B, and the output equals
+    :func:`margin_mutual_pairs` bit-for-bit (same round-6 cosines, same
+    tie-breaks) — the degeneracy gate ``tests/test_operators.py`` pins.
+
+    Determinism matches the exact form: cosines round-6 before any
+    comparison, cell assignment ties break to the higher cid
+    (``_centroid_scores``), rank ties to the lower neighbor id, and the
+    ANSI-safe margin guard emits NULL on a zero denominator.
+    """
+    def _side(side, suffix: str) -> DataFrame:
+        v = f"v{suffix}"
+        return (
+            corpus.filter(F.col(label_col) == side)
+            .select(
+                F.col(id_col).alias(f"id{suffix}"),
+                VX.as_double(F.col(vec_col)).alias(v),
+            )
+            .select(
+                f"id{suffix}",
+                v,
+                VX.norm(F.col(v)).alias(f"n{suffix}"),
+                F.transform(
+                    F.slice(_centroid_scores(F.col(v), centroids), 1, nprobe),
+                    lambda p: p["cid"],
+                ).alias(f"probes{suffix}"),
+            )
+            .withColumn(f"cell{suffix}", F.element_at(f"probes{suffix}", 1))
+        )
+
+    a = _side(side_a, "_a")
+    b = _side(side_b, "_b")
+    cos = F.round(
+        VX.dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+    ).alias("cosine")
+    pairs_ab = (
+        a.select("id_a", "v_a", "n_a", F.explode("probes_a").alias("probe"))
+        .join(b.drop("probes_b"), F.col("probe") == F.col("cell_b"))
+        .select("id_a", "id_b", cos)
+    )
+    pairs_ba = (
+        b.select("id_b", "v_b", "n_b", F.explode("probes_b").alias("probe"))
+        .join(a.drop("probes_a"), F.col("probe") == F.col("cell_a"))
+        .select("id_a", "id_b", cos)
+    )
+    cand = (
+        pairs_ab.withColumn("in_ab", F.lit(True))
+        .withColumn("in_ba", F.lit(False))
+        .unionByName(
+            pairs_ba.withColumn("in_ab", F.lit(False))
+            .withColumn("in_ba", F.lit(True))
+        )
+        # a pair probed from both directions is one candidate (cosines
+        # are identical round-6 values — max is a no-op dedup)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max("cosine").alias("cosine"),
+            F.max("in_ab").alias("in_ab"),
+            F.max("in_ba").alias("in_ba"),
+        )
+    )
+    cand = cand.persist()
+    _SIM_PERSISTED.append(cand)
+    wa = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.col("cosine").desc(), F.col("id_a"))
+    r_ab = cand.filter("in_ab").withColumn("rank_a", F.row_number().over(wa))
+    r_ba = cand.filter("in_ba").withColumn("rank_b", F.row_number().over(wb))
+    avg_a = (
+        r_ab.filter(F.col("rank_a") <= k)
+        .groupBy("id_a")
+        .agg(
+            (
+                F.sum(F.col("cosine").cast("decimal(38,6)")).cast("double")
+                / F.lit(float(k))
+            ).alias("avg_a")
+        )
+    )
+    avg_b = (
+        r_ba.filter(F.col("rank_b") <= k)
+        .groupBy("id_b")
+        .agg(
+            (
+                F.sum(F.col("cosine").cast("decimal(38,6)")).cast("double")
+                / F.lit(float(k))
+            ).alias("avg_b")
+        )
+    )
+    mutual = (
+        r_ab.filter(F.col("rank_a") == 1)
+        .select("id_a", "id_b", "cosine")
+        .join(
+            r_ba.filter(F.col("rank_b") == 1).select("id_a", "id_b"),
+            ["id_a", "id_b"],
+        )
+    )
+    denom = (F.col("avg_a") + F.col("avg_b")) / 2
+    raw_margin = F.when(denom != 0.0, F.col("cosine") / denom)
+    return (
+        mutual.join(avg_a, "id_a")
+        .join(avg_b, "id_b")
+        .filter(raw_margin > margin_threshold)
+        .select(
+            "id_a",
+            "id_b",
+            "cosine",
+            F.round("avg_a", 6).alias("avg_a"),
+            F.round("avg_b", 6).alias("avg_b"),
+            F.round(raw_margin, 6).alias("margin"),
+        )
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -184,6 +184,51 @@ def test_ivf_topk_probes_right_cells(spark):
     assert {r["neighbor_id"] for r in out2.collect()} == {1, 3, 10, 11}
 
 
+def test_margin_mutual_pairs_ivf_degenerates_to_exact(spark):
+    # nprobe = nlist => every row probes every cell => candidate set is
+    # the full A x B relation => the IVF miner must equal the exact
+    # miner bit-for-bit (same round-6 cosines, same tie-breaks)
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 2, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["emb_id", "label", "vec"])
+    cents = similarity.fit_centroids_sample(emb, "emb_id", "vec", nlist=4, mod=3, rem=1)
+    exact = sorted(
+        map(tuple, similarity.margin_mutual_pairs(
+            emb, "emb_id", "vec", "label", 0, 1, k=3).collect())
+    )
+    ivf = sorted(
+        map(tuple, similarity.margin_mutual_pairs_ivf(
+            emb, "emb_id", "vec", "label", 0, 1, cents, k=3, nprobe=4
+        ).collect())
+    )
+    similarity.release_cached()
+    assert exact and ivf == exact
+
+
+def test_margin_mutual_pairs_ivf_prunes_to_probed_cells(spark):
+    # two orthogonal cluster pairs; nprobe=1 must mine within-cluster
+    # pairs only and never see the cross-cluster relation
+    rows = [
+        (1, 0, [1.0, 0.0, 0.0, 0.0]),
+        (2, 1, [0.9, 0.1, 0.0, 0.0]),
+        (10, 0, [0.0, 0.0, 1.0, 0.0]),
+        (11, 1, [0.0, 0.0, 0.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(rows, ["emb_id", "label", "vec"])
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+    out = similarity.margin_mutual_pairs_ivf(
+        emb, "emb_id", "vec", "label", 0, 1, cents, k=1, nprobe=1,
+        margin_threshold=0.0,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    similarity.release_cached()
+    assert got == {(1, 2), (10, 11)}
+
+
 def test_fit_centroids_sample_deterministic(spark):
     rows = [(i, [float(i), 1.0]) for i in range(10)]
     emb = spark.createDataFrame(rows, ["emb_id", "vec"])
