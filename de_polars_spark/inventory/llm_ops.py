@@ -661,23 +661,32 @@ ORACLES["text_fingerprint"] = f"""
 
 
 # ---------------------------------------------------------------- #
-# multimodal plumbing (Arrow-batched decode stub)                   #
+# multimodal plumbing (real BMP decode over Arrow batches)          #
 # ---------------------------------------------------------------- #
 def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL bytes end-to-end: the fixture writes a genuine 24-bit BMP per
+    # document (geometry seeded from md5(text)), and decode_images parses
+    # the actual header — magic, int32 dims, bit depth. The oracle
+    # predicts the decoded output analytically (width=1+b0%16,
+    # height=1+b1%16, file size = 54 + height*rowstride).
     t = register_testdata(spark, sf_dir)
-    payload = multimodal.attach_fake_payload(t["documents"], "doc_id", "text")
+    payload = multimodal.attach_bmp_payload(t["documents"], "doc_id", "text")
     return multimodal.decode_images(payload)
 
 
 QUERIES["multimodal_image_decode"] = q_multimodal_image_decode
 ORACLES["multimodal_image_decode"] = """
-    SELECT doc_id,
-           CAST('0x' || substring(md5(text), 1, 2) AS INT) AS width,
-           CAST('0x' || substring(md5(text), 3, 2) AS INT) AS height,
-           CASE CAST('0x' || substring(md5(text), 5, 2) AS INT) % 3
-                WHEN 0 THEN 'RGB' WHEN 1 THEN 'L' ELSE 'RGBA' END AS mode,
-           16 AS n_bytes
-    FROM documents
+    WITH geo AS (
+        SELECT doc_id,
+               1 + CAST('0x' || substring(md5(text), 1, 2) AS INT) % 16
+                   AS width,
+               1 + CAST('0x' || substring(md5(text), 3, 2) AS INT) % 16
+                   AS height
+        FROM documents
+    )
+    SELECT doc_id, width, height, 'RGB' AS mode,
+           CAST(54 + height * (((3 * width + 3) // 4) * 4) AS INT) AS n_bytes
+    FROM geo
 """
 
 #: payload byte i (0-based) as INT, derived from the md5 fake payload
