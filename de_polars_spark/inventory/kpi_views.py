@@ -190,15 +190,27 @@ def _ensure_cur_ext(spark: SparkSession, sf_dir: str) -> str:
     register_testdata(spark, sf_dir)
     cache_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.dirname(os.path.abspath(__file__)))), ".cache")
-    # content-addressed so editing the synthesis CTE invalidates the artifact
-    tag = hashlib.md5(CUR_EXT_CTE.encode()).hexdigest()[:8]
+    # content-addressed so editing the synthesis CTE invalidates the
+    # artifact; "|layout=par" versions the FILE LAYOUT — the original
+    # single-file write made every downstream view's 600k-row projection
+    # run on ONE core (40 MB file < maxPartitionBytes = one scan task),
+    # which WAS the KPI wave's critical path (cur_all stage 6.2s -> ~1s
+    # after parallelizing the layout; r5 wave shave)
+    tag = hashlib.md5((CUR_EXT_CTE + "|layout=par").encode()).hexdigest()[:8]
     path = os.path.join(
         cache_dir,
         f"cur_ext_{os.path.basename(os.path.normpath(sf_dir))}_{tag}.parquet",
     )
     if not os.path.exists(path):
         df = spark.sql(render(CUR_EXT_CTE, "spark") + "\nSELECT * FROM cur")
-        df.write.mode("overwrite").parquet(path)
+        # one file per core: downstream scans parallelize across the
+        # session's full width instead of being a single-task stage.
+        # Row order inside the artifact is irrelevant to every consumer
+        # (all aggregates are decimal/order-free — the repo's
+        # determinism contract), so the round-robin shuffle is safe.
+        df.repartition(spark.sparkContext.defaultParallelism).write.mode(
+            "overwrite"
+        ).parquet(path)
     spark.read.parquet(path).createOrReplaceTempView("cur_ext")
     if active is not None:
         # sf_dir switched: the materialized KPI views were built over the
