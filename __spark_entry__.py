@@ -67,6 +67,8 @@ _NEVER_SAMPLED = (
     "dedup_longest_shared_span",
     # new in round 5 (no driver row yet)
     "bitext_margin_mining_ivf",
+    "hard_negative_mining_ivf",
+    "multimodal_audio_decode",
     # semantics changed in round 5 (real-BMP decode) — needs a fresh row
     "multimodal_image_decode",
 )

@@ -689,6 +689,34 @@ ORACLES["multimodal_image_decode"] = """
     FROM geo
 """
 
+def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # real PCM16 WAV bytes per document; decode_audio walks the actual
+    # RIFF chunk list (fmt/data), so the oracle predicts the parsed
+    # header analytically from the md5-seeded geometry
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_wav_payload(t["documents"], "doc_id", "text")
+    return multimodal.decode_audio(payload)
+
+
+QUERIES["multimodal_audio_decode"] = q_multimodal_audio_decode
+ORACLES["multimodal_audio_decode"] = """
+    WITH geo AS (
+        SELECT doc_id,
+               CASE CAST('0x' || substring(md5(text), 1, 2) AS INT) % 4
+                    WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS sample_rate,
+               100 + (CAST('0x' || substring(md5(text), 3, 2) AS INT) * 256
+                      + CAST('0x' || substring(md5(text), 5, 2) AS INT))
+                     % 2000 AS n_samples
+        FROM documents
+    )
+    SELECT doc_id, sample_rate, 1 AS n_channels, 16 AS bits, n_samples,
+           ROUND(n_samples * 1000.0 / sample_rate, 6) AS duration_ms,
+           CAST(44 + 2 * n_samples AS INT) AS n_bytes
+    FROM geo
+"""
+
+
 #: payload byte i (0-based) as INT, derived from the md5 fake payload
 _PBYTE = "CAST('0x' || substring(md5(text), {pos}, 2) AS INT)"
 

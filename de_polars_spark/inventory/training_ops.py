@@ -156,6 +156,69 @@ ORACLES["hard_negative_mining"] = f"""
 
 
 # ---------------------------------------------------------------- #
+# Hard negatives through IVF cells — the scale path the exact       #
+# miner's docstring names (probe nprobe cells, label filter on the  #
+# candidate set, rank within probed candidates). nprobe = nlist     #
+# degenerates bit-for-bit to hard_negative_mining (property test).  #
+# ---------------------------------------------------------------- #
+_HN_NLIST, _HN_NPROBE = 8, 3
+# centroid-assignment ranking mirrors _centroid_scores: cosine DESC,
+# cid DESC (struct sort), unrounded
+_CENT_COS_XC = (
+    "(list_dot_product(x.v, c.cv) / "
+    "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))))"
+)
+
+
+def q_hard_negative_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    corpus = t["embeddings"]
+    anchors = corpus.filter(F.col("vec_id") % 100 == 0)
+    cents = similarity.fit_centroids_sample(
+        corpus, "vec_id", "embedding", nlist=_HN_NLIST, mod=67, rem=1
+    )
+    out = similarity.hard_negative_topk_ivf(
+        corpus, anchors, "vec_id", "embedding", "label", cents,
+        k=5, nprobe=_HN_NPROBE,
+    )
+    return out.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+QUERIES["hard_negative_mining_ivf"] = q_hard_negative_mining_ivf
+ORACLES["hard_negative_mining_ivf"] = f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % 67 = 1 ORDER BY vec_id LIMIT {_HN_NLIST}),
+    asg AS (
+        SELECT vec_id, label, v, cid, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY {_CENT_COS_XC} DESC, c.cid DESC) AS rn
+        FROM e x CROSS JOIN cents c
+    ),
+    cells AS (SELECT vec_id, label, v, cid AS cell FROM asg WHERE rn = 1),
+    probes AS (SELECT vec_id, label, v, cid AS cell FROM asg
+               WHERE rn <= {_HN_NPROBE} AND vec_id % 100 = 0),
+    scored AS (
+        SELECT p.vec_id AS query_id, t.vec_id AS neighbor_id,
+               t.label AS neighbor_label,
+               {_COS.format(a="p.v", b="t.v")} AS cosine
+        FROM probes p JOIN cells t
+          ON p.cell = t.cell AND p.label <> t.label
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+        FROM scored
+    ) ranked
+    WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------- #
 # int8 quantization profile                                         #
 # ---------------------------------------------------------------- #
 def q_embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:

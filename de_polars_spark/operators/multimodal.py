@@ -123,6 +123,137 @@ def attach_bmp_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def encode_wav(
+    n_samples: int, sample_rate: int = 16000, seed: int = 0
+) -> bytes:
+    """Build a REAL RIFF/WAVE file: PCM16 mono, canonical 44-byte header
+    + little-endian samples. Deterministic triangle-ish fill from
+    ``seed`` so fixtures are stable."""
+    data = bytearray()
+    for i in range(n_samples):
+        v = ((seed * 131 + i * 977) % 2048) - 1024
+        data += struct.pack("<h", v)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return bytes(hdr + fmt + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def parse_wav(b: bytes) -> tuple[int, int, int, int, int]:
+    """Decode a WAV header from actual payload bytes:
+    ``(sample_rate, n_channels, bits, n_samples, n_bytes)``. Walks the
+    RIFF chunk list for real (fmt/data may be preceded by LIST etc.);
+    raises ``ValueError`` on bad magic or non-PCM encodings."""
+    if len(b) < 44 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+        raise ValueError("not a WAV payload (bad RIFF/WAVE magic)")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(b):
+        cid = bytes(b[pos : pos + 4])
+        size = struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    audio_format, channels, rate, _, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"unsupported WAV encoding {audio_format} (PCM only)")
+    return rate, channels, bits, data_size // block_align, len(b)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Real-bytes audio fixture: a genuine PCM16 WAV per row, geometry
+    seeded from ``md5(text)`` (rate from {8000,16000,22050,44100} by
+    b0 % 4, n_samples = 100 + (b1*256+b2) % 2000, fill seed = b3)."""
+
+    def _byte(i: int):
+        return F.conv(F.substring(F.md5(F.col(text_col)), 2 * i + 1, 2), 16, 10).cast(
+            "int"
+        )
+
+    rate = F.element_at(
+        F.array(F.lit(8000), F.lit(16000), F.lit(22050), F.lit(44100)),
+        _byte(0) % 4 + 1,
+    )
+    geo = df.select(
+        F.col(id_col).alias("doc_id"),
+        rate.alias("__rate"),
+        (100 + (_byte(1) * 256 + _byte(2)) % 2000).alias("__n"),
+        _byte(3).alias("__seed"),
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_wav(int(n), int(r), int(s))
+                        for r, n, s in zip(pdf["__rate"], pdf["__n"], pdf["__seed"])
+                    ],
+                }
+            )
+
+    enc = geo.mapInPandas(_enc, schema="doc_id bigint, payload binary")
+    return enc.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("wav").alias("format"),
+            F.length("payload").cast("int").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_channels int, bits int, "
+    "n_samples int, duration_ms double, n_bytes int"
+)
+
+
+def decode_audio(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode: real WAV header parsing per payload."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts = pdf["media_meta"].map(lambda m: m["format"])
+            unknown = set(fmts) - {"wav"}
+            if unknown:
+                raise NotImplementedError(
+                    f"audio decode for {sorted(unknown)} requires ffmpeg, "
+                    "not available in this env (shipped: wav)"
+                )
+            cols = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "bits",
+                "n_samples", "duration_ms", "n_bytes",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                rate, ch, bits, n, size = parse_wav(b)
+                cols["doc_id"].append(doc_id)
+                cols["sample_rate"].append(rate)
+                cols["n_channels"].append(ch)
+                cols["bits"].append(bits)
+                cols["n_samples"].append(n)
+                cols["duration_ms"].append(round(n * 1000.0 / rate, 6))
+                cols["n_bytes"].append(size)
+            yield pd.DataFrame(
+                {
+                    "doc_id": cols["doc_id"],
+                    "sample_rate": pd.Series(cols["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(cols["n_channels"], dtype="int32"),
+                    "bits": pd.Series(cols["bits"], dtype="int32"),
+                    "n_samples": pd.Series(cols["n_samples"], dtype="int32"),
+                    "duration_ms": pd.Series(cols["duration_ms"], dtype="float64"),
+                    "n_bytes": pd.Series(cols["n_bytes"], dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(_decode, schema=AUDIO_SCHEMA)
+
+
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-batch decode. 'bmp' payloads are REALLY parsed (header magic,
     int32 dimensions, bit depth — see :func:`parse_bmp`); 'fake' derives

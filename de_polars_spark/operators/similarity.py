@@ -301,6 +301,74 @@ def ivf_topk_from_index(
     return _ranked_topk(scored, k)
 
 
+def hard_negative_topk_ivf(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    centroids: list,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """:func:`hard_negative_topk` served through IVF cells — the scale
+    composition its docstring promises ("swap the brute scan for the
+    persisted IVF index and apply the same label filter to its probe
+    output").
+
+    The label-inequality predicate joins the CANDIDATE filter (before
+    ranking), so per-anchor work is bounded by its ``nprobe`` cells'
+    populations, never the corpus. ``nprobe >= nlist`` degenerates
+    bit-for-bit to the exact miner (property-tested). Output schema
+    matches the exact form: ``(query_id, neighbor_id, neighbor_label,
+    cosine, rank)``.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        VX.as_double(F.col(vec_col)).alias("cv"),
+    ).select(
+        "neighbor_id",
+        "neighbor_label",
+        "cv",
+        VX.norm(F.col("cv")).alias("cn"),
+        F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias(
+            "cell"
+        ),
+    )
+    q = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        VX.as_double(F.col(vec_col)).alias("qv"),
+    ).select(
+        "query_id",
+        "query_label",
+        "qv",
+        VX.norm(F.col("qv")).alias("qn"),
+        F.explode(
+            F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
+        ).alias("probe"),
+    ).select("query_id", "query_label", "qv", "qn", F.col("probe")["cid"].alias("cell"))
+    scored = c.join(
+        F.broadcast(q),
+        (c["cell"] == q["cell"])
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(VX.dot(q["qv"], c["cv"]) / (q["qn"] * c["cn"]), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neighbor_label", "cosine", "rank")
+    )
+
+
 def margin_mutual_pairs_ivf(
     corpus: DataFrame,
     id_col: str,

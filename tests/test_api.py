@@ -223,3 +223,56 @@ class TestOtherRouters:
             "sql", "kpi", "spend", "optimization",
             "allocation", "discounts", "ai", "mcp",
         }
+
+
+class TestStdlibLauncher:
+    """start_api.py's fallback server: the route table over real HTTP."""
+
+    @pytest.fixture(scope="class")
+    def server(self, finops):
+        import start_api as launcher
+
+        httpd = __import__("http.server", fromlist=["ThreadingHTTPServer"])
+        srv = httpd.ThreadingHTTPServer(
+            ("127.0.0.1", 0), launcher.make_handler_class(
+                __import__(
+                    "de_polars_spark.api.handlers", fromlist=["FinOpsHandlers"]
+                ).FinOpsHandlers(finops)
+            ),
+        )
+        import threading
+
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        yield f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+
+    def test_health_and_query_over_http(self, server):
+        import json
+        import urllib.request
+
+        r = urllib.request.urlopen(f"{server}/health", timeout=60)
+        assert json.loads(r.read())["status"] == "healthy"
+        req = urllib.request.Request(
+            f"{server}/api/v1/finops/sql/query",
+            data=json.dumps({"sql": "SELECT COUNT(*) AS n FROM CUR"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        out = json.loads(urllib.request.urlopen(req, timeout=60).read())
+        assert out["success"] and out["data"][0]["n"] > 0
+
+    def test_errors_map_to_http_statuses(self, server):
+        import json
+        import urllib.error
+        import urllib.request
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{server}/nope", timeout=60)
+        assert ei.value.code == 404
+        req = urllib.request.Request(
+            f"{server}/api/v1/finops/sql/query",
+            data=json.dumps({"sql": "DROP TABLE CUR"}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code in (400, 403, 422)

@@ -180,6 +180,37 @@ def test_bmp_encode_decode_roundtrip():
         multimodal.parse_bmp(bytes(bad))
 
 
+def test_wav_encode_decode_roundtrip():
+    b = multimodal.encode_wav(777, 22050, seed=5)
+    assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+    rate, ch, bits, n, size = multimodal.parse_wav(b)
+    assert (rate, ch, bits, n) == (22050, 1, 16, 777)
+    assert size == len(b) == 44 + 2 * 777
+    with pytest.raises(ValueError):
+        multimodal.parse_wav(b"RIFX" + b[4:])
+    with pytest.raises(ValueError):
+        # non-PCM encoding (format tag 3 = float) is not shipped
+        bad = bytearray(b)
+        bad[20:22] = (3).to_bytes(2, "little")
+        multimodal.parse_wav(bytes(bad))
+
+
+def test_multimodal_real_wav_decode_end_to_end(docs):
+    with_payload = multimodal.attach_wav_payload(docs, "doc_id", "text")
+    out = {r["doc_id"]: r for r in multimodal.decode_audio(with_payload).collect()}
+    assert len(out) == docs.count()
+    import hashlib
+
+    for row in docs.select("doc_id", "text").collect():
+        dig = hashlib.md5(row["text"].encode()).hexdigest()
+        rate = (8000, 16000, 22050, 44100)[int(dig[0:2], 16) % 4]
+        n = 100 + (int(dig[2:4], 16) * 256 + int(dig[4:6], 16)) % 2000
+        got = out[row["doc_id"]]
+        assert (got["sample_rate"], got["n_samples"], got["n_channels"],
+                got["bits"]) == (rate, n, 1, 16)
+        assert got["n_bytes"] == 44 + 2 * n
+
+
 def test_multimodal_real_bmp_decode_end_to_end(docs):
     # real payload bytes flow through Spark: binary column in, parsed
     # header fields out, geometry matching the md5-seeded fixture
@@ -263,6 +294,23 @@ def test_margin_mutual_pairs_ivf_prunes_to_probed_cells(spark):
     got = {(r["id_a"], r["id_b"]) for r in out.collect()}
     similarity.release_cached()
     assert got == {(1, 2), (10, 11)}
+
+
+def test_hard_negative_topk_ivf_degenerates_to_exact(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(5)]) for i in range(36)
+    ]
+    emb = spark.createDataFrame(rows, ["emb_id", "label", "vec"])
+    anchors = emb.filter(F.col("emb_id") % 6 == 0)
+    cents = similarity.fit_centroids_sample(emb, "emb_id", "vec", nlist=4, mod=5, rem=2)
+    exact = sorted(map(tuple, similarity.hard_negative_topk(
+        emb, anchors, "emb_id", "vec", "label", k=3).collect()))
+    ivf = sorted(map(tuple, similarity.hard_negative_topk_ivf(
+        emb, anchors, "emb_id", "vec", "label", cents, k=3, nprobe=4).collect()))
+    assert exact and ivf == exact
 
 
 def test_fit_centroids_sample_deterministic(spark):
