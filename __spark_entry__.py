@@ -69,6 +69,7 @@ _NEVER_SAMPLED = (
     "bitext_margin_mining_ivf",
     "hard_negative_mining_ivf",
     "multimodal_audio_decode",
+    "multimodal_pixel_stats",
     # semantics changed in round 5 (real-BMP decode) — needs a fresh row
     "multimodal_image_decode",
 )

@@ -689,6 +689,43 @@ ORACLES["multimodal_image_decode"] = """
     FROM geo
 """
 
+def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # feature extraction from REAL pixel bytes: the decoder slices the
+    # aligned BGR rows out of each genuine BMP payload and reduces
+    # integer channel sums; the oracle re-derives the deterministic
+    # pixel fill (v = (seed + 7x + 13y) % 256, channels B=v, G=3v%256,
+    # R=5v%256 — operators/multimodal.py encode_bmp) analytically
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_bmp_payload(t["documents"], "doc_id", "text")
+    return multimodal.extract_bmp_channel_stats(payload)
+
+
+QUERIES["multimodal_pixel_stats"] = q_multimodal_pixel_stats
+ORACLES["multimodal_pixel_stats"] = """
+    WITH geo AS (
+        SELECT doc_id,
+               1 + CAST('0x' || substring(md5(text), 1, 2) AS INT) % 16 AS w,
+               1 + CAST('0x' || substring(md5(text), 3, 2) AS INT) % 16 AS h,
+               CAST('0x' || substring(md5(text), 5, 2) AS INT) AS seed
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               (seed + 7 * (p % w) + 13 * (p // w)) % 256 AS v
+        FROM (SELECT doc_id, w, h, seed,
+                     unnest(generate_series(0, w * h - 1)) AS p
+              FROM geo) g
+    )
+    SELECT doc_id,
+           CAST(w * h AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS BIGINT) AS sum_b,
+           CAST(SUM((v * 3) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((v * 5) % 256) AS BIGINT) AS sum_r,
+           CAST(MAX(v) AS BIGINT) AS max_b
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
 def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real PCM16 WAV bytes per document; decode_audio walks the actual
     # RIFF chunk list (fmt/data), so the oracle predicts the parsed

@@ -81,6 +81,46 @@ def parse_bmp(b: bytes) -> tuple[int, int, str, int]:
     return width, abs(height), mode, len(b)
 
 
+def extract_bmp_channel_stats(with_payload: DataFrame) -> DataFrame:
+    """Per-image channel statistics from REAL decoded pixel data: parse
+    the BMP header, slice the 4-byte-aligned BGR rows out of the actual
+    payload, and reduce per-channel integer sums (numpy over the Arrow
+    batch). Integer outputs stay bit-exact across engines — the
+    strict-gate convention for float-free feature extraction."""
+    import numpy as np
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "n_pixels", "sum_b", "sum_g", "sum_r", "max_b",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, _ = parse_bmp(b)
+                rowsize = (3 * w + 3) // 4 * 4
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, count=h * rowsize, offset=54
+                ).reshape(h, rowsize)
+                px = arr[:, : 3 * w].reshape(h, w, 3).astype(np.int64)
+                cols["doc_id"].append(doc_id)
+                cols["n_pixels"].append(w * h)
+                cols["sum_b"].append(int(px[:, :, 0].sum()))
+                cols["sum_g"].append(int(px[:, :, 1].sum()))
+                cols["sum_r"].append(int(px[:, :, 2].sum()))
+                cols["max_b"].append(int(px[:, :, 0].max()))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64" if k != "doc_id" else None)
+                 for k, v in cols.items()}
+            )
+
+    return with_payload.mapInPandas(
+        _stats,
+        schema=(
+            "doc_id bigint, n_pixels bigint, sum_b bigint, sum_g bigint, "
+            "sum_r bigint, max_b bigint"
+        ),
+    )
+
+
 def attach_bmp_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Real-bytes fixture: per row, a genuine BMP file whose geometry
     derives deterministically from ``md5(text)`` (width = 1 + b0 % 16,

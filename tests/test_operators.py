@@ -211,6 +211,22 @@ def test_multimodal_real_wav_decode_end_to_end(docs):
         assert got["n_bytes"] == 44 + 2 * n
 
 
+def test_bmp_pixel_stats_match_handcount(spark):
+    # 2x2 image, seed 10: v(x,y) = (10 + 7x + 13y) % 256
+    # pixels: (0,0)=10 (1,0)=17 (0,1)=23 (1,1)=30 -> sum_b=80
+    payload = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(2, 2, seed=10)),
+          {"format": "bmp"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    r = multimodal.extract_bmp_channel_stats(payload).collect()[0]
+    vals = [10, 17, 23, 30]
+    assert r["n_pixels"] == 4 and r["sum_b"] == sum(vals)
+    assert r["sum_g"] == sum(v * 3 % 256 for v in vals)
+    assert r["sum_r"] == sum(v * 5 % 256 for v in vals)
+    assert r["max_b"] == 30
+
+
 def test_multimodal_real_bmp_decode_end_to_end(docs):
     # real payload bytes flow through Spark: binary column in, parsed
     # header fields out, geometry matching the md5-seeded fixture
