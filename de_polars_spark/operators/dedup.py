@@ -94,25 +94,29 @@ def _gram_strings(
 ) -> DataFrame:
     """``(id, __g)`` word n-gram STRINGS, possibly repeated per doc.
 
-    posexplode + LEAD over a per-doc window instead of the array-HOF
+    posexplode + LEAD over a per-row window instead of the array-HOF
     shingle build: higher-order-function lambdas evaluate interpreted
     (outside whole-stage codegen) and dominate at corpus scale; the
-    window form stays codegen'd and costs one ``id_col`` shuffle, which
-    the consumers' per-doc aggregations need anyway. Docs with fewer
+    window form stays codegen'd and costs one shuffle, which the
+    consumers' per-doc aggregations need anyway. Docs with fewer
     than ``shingle_n`` tokens emit no rows.
 
-    PRECONDITION: ``id_col`` must be unique in ``df`` (one text per id).
-    The LEAD window partitions on the id alone, so duplicate-id rows
-    would interleave their token positions and fabricate cross-row
-    n-grams — unlike the old per-row array form, which was immune. All
-    in-repo callers (minhash/simhash/profile builders) pass a
-    primary-key id; dedupe first if yours is not."""
-    tok = df.select(
-        F.col(id_col), F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok")
+    The window partitions on ``(id, physical row)`` — a per-row tag
+    rides along so DUPLICATE-ID inputs shingle each row independently
+    instead of interleaving token positions into fabricated cross-row
+    n-grams (the r4-documented precondition, now removed; for
+    unique-id inputs the tag is constant per id and the output is
+    unchanged). The tag's values are irrelevant — only within-row
+    equality matters — so monotonically_increasing_id's instability
+    across stage retries is harmless here."""
+    tok = df.withColumn("__row", F.monotonically_increasing_id()).select(
+        F.col(id_col),
+        "__row",
+        F.posexplode(TX.tokens(F.col(text_col))).alias("p", "tok"),
     )
     if shingle_n == 1:
         return tok.select(F.col(id_col), F.col("tok").alias("__g"))
-    wd = Window.partitionBy(id_col).orderBy("p")
+    wd = Window.partitionBy(id_col, "__row").orderBy("p")
     leads = [F.lead("tok", i).over(wd) for i in range(1, shingle_n)]
     return (
         tok.select(

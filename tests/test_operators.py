@@ -47,6 +47,22 @@ def test_ngram_jaccard_exact_similarity(docs):
     assert not any(5 in p for p in sim)  # different block never compared
 
 
+def test_gram_strings_duplicate_ids_do_not_interleave(spark):
+    # two physical rows sharing an id must shingle independently — the
+    # old id-partitioned LEAD window interleaved their token positions
+    # and fabricated cross-row n-grams (r4 ADVICE carried item)
+    from de_polars_spark.operators.dedup import _gram_strings
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (1, "c d"), (2, "e f")], "doc_id bigint, text string"
+    )
+    grams = {
+        (r["doc_id"], r["__g"])
+        for r in _gram_strings(df, "doc_id", "text", 2).collect()
+    }
+    assert grams == {(1, "a b"), (1, "c d"), (2, "e f")}
+
+
 def test_ngram_jaccard_minhash_prefilter(docs):
     exact = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", block_col="lang", threshold=0.5
