@@ -169,10 +169,10 @@ def encode_wav(
     """Build a REAL RIFF/WAVE file: PCM16 mono, canonical 44-byte header
     + little-endian samples. Deterministic triangle-ish fill from
     ``seed`` so fixtures are stable."""
-    data = bytearray()
-    for i in range(n_samples):
-        v = ((seed * 131 + i * 977) % 2048) - 1024
-        data += struct.pack("<h", v)
+    import numpy as np
+
+    i = np.arange(n_samples, dtype=np.int64)
+    data = (((seed * 131 + i * 977) % 2048) - 1024).astype("<i2").tobytes()
     hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
     fmt = b"fmt " + struct.pack(
         "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
