@@ -2823,6 +2823,7 @@ def clear_ivf_index_artifacts(sf_dir: str) -> None:
     base = _ivf_index_dir(sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     shutil.rmtree(f"{base}_appended", ignore_errors=True)
+    shutil.rmtree(f"{base}_appended_compacted", ignore_errors=True)
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
@@ -2954,6 +2955,50 @@ def _ivf_index_append_oracle() -> str:
 
 QUERIES["ann_ivf_index_append"] = q_ann_ivf_index_append
 ORACLES["ann_ivf_index_append"] = _ivf_index_append_oracle()
+
+
+# ---------------------------------------------------------------- #
+# Index compaction: after N append batches each cell dir holds N    #
+# small files (probe latency goes file-open-bound). compact_ivf_    #
+# index rewrites one contiguous file per cell — a PURE layout       #
+# rewrite, staged + atomically renamed. The audit re-emits the      #
+# appended index's per-cell counts/checksums FROM THE COMPACTED     #
+# POSTINGS and checks them against the SAME oracle as the append    #
+# query: identical rows = compaction changed bytes-on-disk layout   #
+# and nothing else. The pytest side additionally asserts the file   #
+# count collapsed and a probe query returns identical results.      #
+# ---------------------------------------------------------------- #
+def q_ann_ivf_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    # build on a COPY of the appended index (the append artifact itself
+    # must stay multi-file so its own query keeps measuring that shape)
+    q_ann_ivf_index_append(spark, sf_dir).collect()
+    base = f"{_ensure_ivf_index(spark, sf_dir)}_appended"
+    path = f"{base}_compacted"
+    if not os.path.exists(path):
+        tmp = f"{path}.tmp-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.copytree(base, tmp)
+        stats = similarity.compact_ivf_index(spark, tmp)
+        # layout collapsed (one task's output per cell), content untouched
+        assert stats["files_after"] <= stats["files_before"]
+        try:
+            os.rename(tmp, path)
+        except OSError:  # concurrent session won the race
+            shutil.rmtree(tmp, ignore_errors=True)
+    _, postings = similarity.load_ivf_index(spark, path)
+    return postings.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("neighbor_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+QUERIES["ann_ivf_index_compact"] = q_ann_ivf_index_compact
+# identical oracle to the append audit BY DESIGN: compaction must not
+# change a single row
+ORACLES["ann_ivf_index_compact"] = _ivf_index_append_oracle()
 
 
 # ---------------------------------------------------------------- #

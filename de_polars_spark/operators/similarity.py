@@ -247,6 +247,58 @@ def append_ivf_index(
     )
 
 
+def compact_ivf_index(spark, path: str) -> dict:
+    """Rewrite the postings of a persisted IVF index into one contiguous
+    file per cell — the maintenance op a production embedding store runs
+    after N incremental :func:`append_ivf_index` batches, each of which
+    adds one small file per touched cell (the classic small-file storm:
+    probe latency becomes file-open-bound, not scan-bound).
+
+    Pure LAYOUT rewrite: rows, values, and cell assignment are
+    untouched, so every query over the compacted index is bit-identical
+    to the uncompacted one (the inventory entry proves it by reusing
+    the append audit's oracle verbatim). Write path mirrors
+    ``build_ivf_index``: repartition("cell") bounds output to one
+    task's file per cell dir, staged into a tmp dir and atomically
+    renamed so a concurrent reader never sees a half-compacted index.
+
+    Returns ``{"files_before": int, "files_after": int}`` (data files
+    only), counted through the Hadoop FileSystem API so the op works on
+    any scheme, not just local disk.
+    """
+    import os
+
+    from de_polars_spark.streaming import fsutil
+
+    postings_dir = os.path.join(path, "postings")
+
+    def _count_data_files(d: str) -> int:
+        fs, jpath = fsutil._fs_path(spark, d)
+        n = 0
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if not name.startswith(("_", ".")):
+                n += 1
+        return n
+
+    before = _count_data_files(postings_dir)
+    df = spark.read.parquet(postings_dir)
+    tmp = f"{postings_dir}.compact-tmp"
+    (
+        df.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(tmp)
+    )
+    old = f"{postings_dir}.pre-compact"
+    fsutil.delete(spark, old)
+    fsutil.rename(spark, postings_dir, old)
+    fsutil.rename(spark, tmp, postings_dir)
+    fsutil.delete(spark, old)
+    return {"files_before": before, "files_after": _count_data_files(postings_dir)}
+
+
 def load_ivf_index(spark, path: str) -> tuple[list, DataFrame]:
     """Load a persisted IVF index: ``(centroids, postings)``.
 

@@ -581,3 +581,34 @@ def test_ivf_index_append_frozen_quantizer(spark, tmp_path):
     cells = {r["neighbor_id"]: r["cell"] for r in postings.collect()}
     assert len(cells) == 5  # history intact + batch appended
     assert cells[20] == 0 and cells[21] == 1  # assigned by frozen centroids
+
+
+def test_ivf_index_compaction_is_pure_layout(spark, tmp_path):
+    from de_polars_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, [1.0 - i / 100.0, i / 100.0]) for i in range(20)],
+        ["emb_id", "vec"],
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, "emb_id", "vec", cents, path)
+    # three append batches -> several small files per touched cell
+    for shift in (100, 200, 300):
+        batch = emb.select((F.col("emb_id") + shift).alias("emb_id"), "vec")
+        similarity.append_ivf_index(batch, "emb_id", "vec", path)
+    queries = emb.limit(3)
+    c0, p0 = similarity.load_ivf_index(spark, path)
+    before = sorted(map(tuple, similarity.ivf_topk_from_index(
+        p0, c0, queries, "emb_id", "vec", k=3, nprobe=2).collect()))
+    rows_before = sorted(
+        (r["neighbor_id"], r["cell"]) for r in p0.collect()
+    )
+    stats = similarity.compact_ivf_index(spark, path)
+    assert stats["files_after"] < stats["files_before"]
+    c1, p1 = similarity.load_ivf_index(spark, path)
+    assert c1 == c0
+    assert sorted((r["neighbor_id"], r["cell"]) for r in p1.collect()) == rows_before
+    after = sorted(map(tuple, similarity.ivf_topk_from_index(
+        p1, c1, queries, "emb_id", "vec", k=3, nprobe=2).collect()))
+    assert after == before  # probe results bit-identical post-compaction

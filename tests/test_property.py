@@ -1401,3 +1401,37 @@ def test_longest_shared_span_matches_model(spark, docs, n):
                 best = max(best, longest)
             expect[(i, j)] = (len(hits), best + n - 1)
     assert got == expect
+
+
+# ---------------------------------------------------------------- #
+# Binary media parsers: encode->parse roundtrips over the whole     #
+# geometry space, no Spark session needed                           #
+# ---------------------------------------------------------------- #
+@given(
+    w=st.integers(min_value=1, max_value=64),
+    h=st.integers(min_value=1, max_value=64),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(deadline=None, max_examples=60)
+def test_bmp_roundtrip_property(w, h, seed):
+    from de_polars_spark.operators import multimodal
+
+    b = multimodal.encode_bmp(w, h, seed)
+    pw, ph, mode, n = multimodal.parse_bmp(b)
+    assert (pw, ph, mode) == (w, h, "RGB")
+    assert n == len(b) == 54 + h * ((3 * w + 3) // 4 * 4)
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(deadline=None, max_examples=60)
+def test_wav_roundtrip_property(n, rate, seed):
+    from de_polars_spark.operators import multimodal
+
+    b = multimodal.encode_wav(n, rate, seed)
+    prate, ch, bits, pn, size = multimodal.parse_wav(b)
+    assert (prate, ch, bits, pn) == (rate, 1, 16, n)
+    assert size == len(b) == 44 + 2 * n
