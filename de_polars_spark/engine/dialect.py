@@ -16,7 +16,10 @@ user queries run unchanged:
 - double-quoted identifiers         → backtick identifiers
 - ``SELECT * EXCLUDE (c)``          → ``SELECT * EXCEPT (c)``
 - ``LIST(x)`` aggregate             → ``collect_list(x)``
-- ``a // b`` integer division       → ``a div b``
+- ``a // b`` integer division       → ``a div b`` (both truncate
+  toward zero, verified incl. negative operands; NOTE DuckDB evaluates
+  FLOAT ``//`` as plain division — float-typed ``//`` is not portable
+  and the reference's assets never use it)
 - ``strftime(x, '%Y-%m')``          → ``date_format(x, 'yyyy-MM')``
   (the %Y %m %d %H %M %S subset; unknown tokens pass through and fail
   in the analyzer rather than silently emitting a wrong format).
