@@ -192,6 +192,8 @@ def parse_wav(b: bytes) -> tuple[int, int, int, int, int]:
         cid = bytes(b[pos : pos + 4])
         size = struct.unpack_from("<I", b, pos + 4)[0]
         if cid == b"fmt ":
+            if pos + 8 + 16 > len(b):  # truncated blob must fail loudly
+                raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
         elif cid == b"data":
             data_size = size

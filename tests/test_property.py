@@ -1435,3 +1435,30 @@ def test_wav_roundtrip_property(n, rate, seed):
     prate, ch, bits, pn, size = multimodal.parse_wav(b)
     assert (prate, ch, bits, pn) == (rate, 1, 16, n)
     assert size == len(b) == 44 + 2 * n
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(deadline=None, max_examples=120)
+def test_media_parsers_never_crash_on_garbage(data):
+    # adversarial/corrupt blobs must raise ValueError (the documented
+    # loud failure), never struct.error / IndexError / hangs
+    from de_polars_spark.operators import multimodal
+
+    for parser in (multimodal.parse_bmp, multimodal.parse_wav):
+        try:
+            parser(data)
+        except ValueError:
+            pass
+
+
+@given(data=st.binary(min_size=0, max_size=150))
+@settings(deadline=None, max_examples=60)
+def test_wav_parser_rejects_corrupt_riff_bodies(data):
+    # a correct magic with garbage chunks must still fail as ValueError
+    from de_polars_spark.operators import multimodal
+
+    blob = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + data
+    try:
+        multimodal.parse_wav(blob)
+    except ValueError:
+        pass
