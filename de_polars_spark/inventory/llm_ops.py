@@ -748,7 +748,7 @@ ORACLES["multimodal_audio_decode"] = """
         FROM documents
     )
     SELECT doc_id, sample_rate, 1 AS n_channels, 16 AS bits, n_samples,
-           ROUND(n_samples * 1000.0 / sample_rate, 6) AS duration_ms,
+           CAST(n_samples * 1000000 // sample_rate AS BIGINT) AS duration_us,
            CAST(44 + 2 * n_samples AS INT) AS n_bytes
     FROM geo
 """

@@ -736,12 +736,9 @@ def q_bitext_margin_mining_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# centroid-assignment ranking mirrors _centroid_scores: cosine DESC,
-# cid DESC (struct sort), unrounded
-_BX_CENT_COS = (
-    "(list_dot_product(x.v, c.cv) / "
-    "(sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))))"
-)
+# centroid-assignment ranking mirrors _centroid_scores (cosine DESC,
+# cid DESC, unrounded) — one canonical fragment, defined once above
+_BX_CENT_COS = _CENT_COS_XC
 QUERIES["bitext_margin_mining_ivf"] = q_bitext_margin_mining_ivf
 ORACLES["bitext_margin_mining_ivf"] = f"""
     WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v

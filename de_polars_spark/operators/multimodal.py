@@ -192,7 +192,10 @@ def parse_wav(b: bytes) -> tuple[int, int, int, int, int]:
         cid = bytes(b[pos : pos + 4])
         size = struct.unpack_from("<I", b, pos + 4)[0]
         if cid == b"fmt ":
-            if pos + 8 + 16 > len(b):  # truncated blob must fail loudly
+            # honor the DECLARED size too: a short fmt chunk must not
+            # silently read the next chunk's header bytes as format
+            # fields
+            if size < 16 or pos + 8 + 16 > len(b):
                 raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
         elif cid == b"data":
@@ -203,6 +206,10 @@ def parse_wav(b: bytes) -> tuple[int, int, int, int, int]:
     audio_format, channels, rate, _, block_align, bits = fmt
     if audio_format != 1:
         raise ValueError(f"unsupported WAV encoding {audio_format} (PCM only)")
+    if block_align == 0 or rate == 0:
+        # corrupt-but-well-formed headers must still fail as ValueError,
+        # never ZeroDivisionError downstream
+        raise ValueError("WAV fmt chunk has zero block_align/sample_rate")
     return rate, channels, bits, data_size // block_align, len(b)
 
 
@@ -252,7 +259,7 @@ def attach_wav_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 AUDIO_SCHEMA = (
     "doc_id bigint, sample_rate int, n_channels int, bits int, "
-    "n_samples int, duration_ms double, n_bytes int"
+    "n_samples int, duration_us bigint, n_bytes int"
 )
 
 
@@ -270,7 +277,7 @@ def decode_audio(with_payload: DataFrame) -> DataFrame:
                 )
             cols = {k: [] for k in (
                 "doc_id", "sample_rate", "n_channels", "bits",
-                "n_samples", "duration_ms", "n_bytes",
+                "n_samples", "duration_us", "n_bytes",
             )}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
                 rate, ch, bits, n, size = parse_wav(b)
@@ -279,7 +286,10 @@ def decode_audio(with_payload: DataFrame) -> DataFrame:
                 cols["n_channels"].append(ch)
                 cols["bits"].append(bits)
                 cols["n_samples"].append(n)
-                cols["duration_ms"].append(round(n * 1000.0 / rate, 6))
+                # INTEGER microseconds: floor division is bit-exact in
+                # every engine, where a float-ms ROUND risked the
+                # Python-banker's-vs-DuckDB-half-away 1-ulp drift class
+                cols["duration_us"].append(n * 1_000_000 // rate)
                 cols["n_bytes"].append(size)
             yield pd.DataFrame(
                 {
@@ -288,7 +298,7 @@ def decode_audio(with_payload: DataFrame) -> DataFrame:
                     "n_channels": pd.Series(cols["n_channels"], dtype="int32"),
                     "bits": pd.Series(cols["bits"], dtype="int32"),
                     "n_samples": pd.Series(cols["n_samples"], dtype="int32"),
-                    "duration_ms": pd.Series(cols["duration_ms"], dtype="float64"),
+                    "duration_us": pd.Series(cols["duration_us"], dtype="int64"),
                     "n_bytes": pd.Series(cols["n_bytes"], dtype="int32"),
                 }
             )

@@ -259,8 +259,18 @@ def compact_ivf_index(spark, path: str) -> dict:
     to the uncompacted one (the inventory entry proves it by reusing
     the append audit's oracle verbatim). Write path mirrors
     ``build_ivf_index``: repartition("cell") bounds output to one
-    task's file per cell dir, staged into a tmp dir and atomically
-    renamed so a concurrent reader never sees a half-compacted index.
+    task's file per cell dir, staged into a tmp dir and swapped in.
+
+    SWAP SEMANTICS, stated honestly: the swap is TWO directory renames
+    (old→.pre-compact, tmp→postings), because a single rename cannot
+    replace a non-empty directory on HDFS/posix. A reader in the
+    instant between them sees a missing ``postings/`` and should
+    retry; a crash in that window is RECOVERABLE — this function (and
+    any caller) can detect ``.pre-compact`` with no ``postings/`` and
+    restore it, which is exactly what the re-entry guard below does.
+    A serving deployment that cannot tolerate the retry window should
+    compact into a COPY and flip a pointer instead (the inventory
+    entry's own shape).
 
     Returns ``{"files_before": int, "files_after": int}`` (data files
     only), counted through the Hadoop FileSystem API so the op works on
@@ -271,6 +281,11 @@ def compact_ivf_index(spark, path: str) -> dict:
     from de_polars_spark.streaming import fsutil
 
     postings_dir = os.path.join(path, "postings")
+    old = f"{postings_dir}.pre-compact"
+    # crash recovery: a previous run that died between the two swap
+    # renames left the data stranded in .pre-compact — restore it
+    if not fsutil.exists(spark, postings_dir) and fsutil.exists(spark, old):
+        fsutil.rename(spark, old, postings_dir)
 
     def _count_data_files(d: str) -> int:
         fs, jpath = fsutil._fs_path(spark, d)
@@ -291,7 +306,6 @@ def compact_ivf_index(spark, path: str) -> dict:
         .partitionBy("cell")
         .parquet(tmp)
     )
-    old = f"{postings_dir}.pre-compact"
     fsutil.delete(spark, old)
     fsutil.rename(spark, postings_dir, old)
     fsutil.rename(spark, tmp, postings_dir)

@@ -1,8 +1,14 @@
 """FastAPI FinOps server module — uvicorn entry point.
 
-Mirrors the reference's ``main.py`` (``/root/reference/main.py``): expose
-an ``app`` built from environment variables, falling back to a local-path
-configuration so the server starts out of the box.
+Mirrors the reference's ``main.py`` (``/root/reference/main.py``):
+expose an ``app`` for ``uvicorn main:app``. The engine comes from
+``start_api.build_engine`` — the SAME factory the stdlib fallback
+server uses, so the two serving paths cannot drift: with FINOPS_* env
+set it builds the configured engine (and FAILS LOUDLY on a bad
+configuration instead of silently serving sample data); with no env it
+bootstraps the demo engine (synthesized sample CUR, clock pinned
+inside the sample's date window) so every analytics route returns real
+rows out of the box.
 
 Usage::
 
@@ -12,22 +18,7 @@ Usage::
 
 from __future__ import annotations
 
-import os
+from de_polars_spark.api.fastapi_app import build_app
+from start_api import build_engine
 
-from de_polars_spark.api.fastapi_app import (
-    create_finops_app,
-    create_finops_app_from_env,
-)
-
-try:
-    app = create_finops_app_from_env()
-except Exception:
-    # no FINOPS_* env set — serve the bundled sample data so /health and
-    # the analytics routes work immediately (reference main.py:28-41
-    # falls back to a default config the same way)
-    app = create_finops_app(
-        local_data_path=os.getenv(
-            "FINOPS_LOCAL_PATH", "/root/testdata/sf0.001"
-        ),
-        data_export_type=os.getenv("FINOPS_DATA_TYPE", "GENERIC"),
-    )
+app = build_app(build_engine())

@@ -83,19 +83,30 @@ def build_engine():
     return FinOpsEngine(config)
 
 
-def _coerce(v: str):
-    """Query-string params arrive as strings; handlers take typed args."""
-    low = v.lower()
-    if low in ("true", "false"):
-        return low == "true"
-    try:
-        return int(v)
-    except ValueError:
-        pass
-    try:
-        return float(v)
-    except ValueError:
-        return v
+def _coerce(v: str, annotation=None):
+    """Query-string params arrive as strings; convert them to the
+    handler's DECLARED parameter type (FastAPI behavior). String-typed
+    (or unannotated) params pass through untouched — numeric-looking
+    ids like '0123' must not be mangled to 123."""
+    import typing
+
+    targets = set()
+    for t in typing.get_args(annotation) or (annotation,):
+        if t in (int, float, bool):
+            targets.add(t)
+    if bool in targets and v.lower() in ("true", "false", "1", "0"):
+        return v.lower() in ("true", "1")
+    if int in targets:
+        try:
+            return int(v)
+        except ValueError:
+            pass
+    if float in targets:
+        try:
+            return float(v)
+        except ValueError:
+            pass
+    return v
 
 
 def make_handler_class(handlers):
@@ -111,12 +122,24 @@ def make_handler_class(handlers):
             self.wfile.write(body)
 
         def _dispatch(self) -> None:
+            import typing
+
             split = urlsplit(self.path)
             name = ROUTES.get((self.command, split.path))
             if name is None:
                 self._respond(404, {"detail": "Not Found"})
                 return
-            kwargs = {k: _coerce(v) for k, v in parse_qsl(split.query)}
+            fn = getattr(handlers, name)
+            try:
+                # handlers.py uses `from __future__ import annotations`,
+                # so resolve the string annotations to real types
+                hints = typing.get_type_hints(fn)
+            except Exception:  # unresolvable hints -> treat as untyped
+                hints = {}
+            kwargs = {
+                k: _coerce(v, hints.get(k))
+                for k, v in parse_qsl(split.query)
+            }
             if self.command == "POST":
                 length = int(self.headers.get("Content-Length") or 0)
                 if length:

@@ -219,7 +219,10 @@ def main() -> None:
     for fl in flags:
         print(fl)
     spark.stop()
-    if any("UNJUSTIFIED" in fl or "STALE" in fl for fl in flags):
+    if any(
+        "UNJUSTIFIED" in fl or "STALE" in fl or "PLAN FAILED" in fl
+        for fl in flags
+    ):
         sys.exit(1)
 
 
