@@ -30,6 +30,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 
 from de_polars_spark.analytics.mcp import parse_query_intent
+from de_polars_spark.functions.local_relation import values_df
 from de_polars_spark.inventory.dialect_macros import render
 from de_polars_spark.inventory.kpi_views import CUR_EXT_CTE, _ensure_cur_ext
 
@@ -273,8 +274,8 @@ def _nl_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append(
             (q, parsed["intent"], ",".join(parsed["services"]), parsed["time_period"])
         )
-    return spark.createDataFrame(
-        rows, "query string, intent string, services string, time_period string"
+    return values_df(
+        spark, rows, "query string, intent string, services string, time_period string"
     )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from de_polars_spark.functions import text as TX
+from de_polars_spark.functions.local_relation import values_df
 from de_polars_spark.operators import dedup, multimodal, sampling, similarity
 from de_polars_spark.sources.registry import register_testdata
 
@@ -1397,8 +1398,8 @@ def q_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned, cents = kmeans_iterations(
         emb, "vec_id", "embedding", seeds, iterations=_KM_ITERS
     )
-    norms = spark.createDataFrame(
-        [(cid,) for cid in range(_KM_K)], "cid int"
+    norms = values_df(
+        spark, [(cid,) for cid in range(_KM_K)], "cid int"
     ).select(
         "cid",
         F.round(
@@ -2376,7 +2377,8 @@ def q_quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_stop"),
     )
     w = _LOGREG_W
-    wdf = spark.createDataFrame(
+    wdf = values_df(
+        spark,
         [(w["w0"], w["w_tok"], w["w_alpha"], w["w_stop"])],
         "w0 int, w_tok int, w_alpha int, w_stop int",
     )
@@ -3943,8 +3945,10 @@ def q_bpe_phrase_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_SY0 + bl + br + _SY1),
             ).alias("seg"),
         )
-    return spark.createDataFrame(
-        merges, "merge_rank int, left_sym string, right_sym string, pair_count bigint"
+    return values_df(
+        spark,
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
     ).orderBy("merge_rank")
 
 

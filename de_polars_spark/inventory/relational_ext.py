@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from de_polars_spark.functions.local_relation import values_df
 from de_polars_spark.inventory.dialect_macros import render
 from de_polars_spark.operators import textrank
 from de_polars_spark.operators.asof import asof_join_backward, range_count_join
@@ -605,9 +606,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))
         .agg(F.count("*").alias("c"))
     )
-    targets = spark.createDataFrame(
-        [(k,) for k in _CMS_KEYS], "user_id bigint"
-    )
+    targets = values_df(spark, [(k,) for k in _CMS_KEYS], "user_id bigint")
     thash = targets.select(
         "user_id", F.explode(hashes).alias("h")
     ).select("user_id", F.col("h.j").alias("j"), F.col("h.cell").alias("cell"))

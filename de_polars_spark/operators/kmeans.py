@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from de_polars_spark.functions.local_relation import values_df
+
 
 def _with_assignment(
     vecs: DataFrame, id_col: str, centroids: list[list[float]]
@@ -51,7 +53,14 @@ def _with_assignment(
     map-side-combinable (cid, dim) aggregation.
     """
     spark = vecs.sparkSession
-    cdf = spark.createDataFrame(
+    # values_df, not createDataFrame: the Python-backed local relation
+    # re-enters a Python worker on EVERY job that executes this lineage
+    # (one per Lloyd round + the final assignment — measured seconds per
+    # round of pure worker round-trip); the VALUES form is a JVM
+    # LocalTableScan with the same codegen-stable data-not-expression
+    # property (functions/local_relation.py)
+    cdf = values_df(
+        spark,
         [([[float(x) for x in c] for c in centroids],)],
         "__cs array<array<double>>",
     )

@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from de_polars_spark.functions import vectors as VX
+from de_polars_spark.functions.local_relation import values_df
 
 
 def fit_pq(
@@ -129,11 +130,10 @@ def _codebook_row(spark, codebooks: list[list[list[float]]]) -> DataFrame:
 
     As data, not literals: literal arrays would re-compile the codegen'd
     argmin expression whenever the codebooks change (same lesson as
-    ``kmeans._with_assignment``)."""
+    ``kmeans._with_assignment``). VALUES-backed (not createDataFrame) so
+    execution never enters a Python worker — local_relation.py."""
     payload = [[[float(x) for x in cw] for cw in cb] for cb in codebooks]
-    return spark.createDataFrame(
-        [(payload,)], "__cb array<array<array<double>>>"
-    )
+    return values_df(spark, [(payload,)], "__cb array<array<array<double>>>")
 
 
 def _sub_sqdist(sub_vec, codeword):

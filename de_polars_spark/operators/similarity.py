@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from de_polars_spark.functions import vectors as VX
+from de_polars_spark.functions.local_relation import values_df
 
 
 #: DataFrames persisted by operators in this module (the margin miner's
@@ -207,7 +208,11 @@ def build_ivf_index(
     c.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "postings")
     )
-    cdf = corpus.sparkSession.createDataFrame(
+    # JVM-side VALUES relation: a createDataFrame here made this tiny
+    # 8-row write cost ~5 s per build (Python worker round trip on the
+    # pickled local relation) — functions/local_relation.py
+    cdf = values_df(
+        corpus.sparkSession,
         [(int(cid), [float(x) for x in cv]) for cid, cv in centroids],
         "cid bigint, cv array<double>",
     )

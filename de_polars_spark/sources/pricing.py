@@ -24,6 +24,8 @@ from typing import Any, Iterable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from de_polars_spark.functions.local_relation import values_df
+
 #: region display names used by the AWS Pricing API
 #: (aws_pricing_manager.py:36-64)
 REGION_DISPLAY_NAMES = {
@@ -377,7 +379,8 @@ def build_pricing_tables(
         "instance_type string, region_code string, operating_system string, "
         "price_per_hour_usd double, vcpu int, memory_gb double"
     )
-    aws_pricing = spark.createDataFrame(
+    aws_pricing = values_df(
+        spark,
         [
             (
                 r["instance_type"], r["region_code"], r["operating_system"],
@@ -398,13 +401,15 @@ def build_pricing_tables(
         and r["instance_type"].split(".")[0] in ("m5", "r5", "m6g", "r6g")
         for engine_name in ("PostgreSQL", "MySQL")
     ]
-    aws_rds_pricing = spark.createDataFrame(
+    aws_rds_pricing = values_df(
+        spark,
         rds_rows,
         "instance_class string, region_code string, database_engine string, "
         "price_per_hour_usd double",
     )
     plans = manager.backend.get_savings_plans()
-    aws_savings_plans = spark.createDataFrame(
+    aws_savings_plans = values_df(
+        spark,
         [
             (
                 p["savings_plan_arn"], p["savings_plan_id"], p["offering_type"],
@@ -428,7 +433,8 @@ def build_pricing_tables(
         for p in plans
         if p["offering_type"] == "ComputeSavingsPlans"
     ]
-    aws_savings_plans_rates = spark.createDataFrame(
+    aws_savings_plans_rates = values_df(
+        spark,
         rate_rows,
         "instance_type string, region string, savings_plan_id string, "
         "rate_usd_per_hour double",

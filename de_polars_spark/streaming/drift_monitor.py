@@ -24,6 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from de_polars_spark.functions.local_relation import values_df
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
 
 
@@ -40,7 +41,8 @@ def batch_psi(
     sink's per-batch work IS this function."""
     spark = df.sparkSession
     ne = sum(ref_counts.values())
-    ref = spark.createDataFrame(
+    ref = values_df(
+        spark,
         [(int(b), int(ref_counts.get(b, 0))) for b in range(bins)],
         "bucket int, n_expected long",
     )

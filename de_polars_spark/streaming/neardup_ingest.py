@@ -47,6 +47,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from de_polars_spark.functions.local_relation import values_df
 from de_polars_spark.operators.dedup import _minhash_sig_df
 from de_polars_spark.streaming import fsutil
 from de_polars_spark.streaming.sink import idempotent_parquet_sink
@@ -106,7 +107,7 @@ def neardup_ingest_sink(
                 "left_semi",
             ).select(id_col).distinct()
             if state_exists
-            else spark.createDataFrame([], f"{id_col} long").select(
+            else values_df(spark, [], f"{id_col} long").select(
                 F.col(id_col).cast(df.schema[id_col].dataType)
             )
         )
