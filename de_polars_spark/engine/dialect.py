@@ -108,7 +108,9 @@ _FN_MAP = {
     "list_distinct": "array_distinct",
     "list_contains": "array_contains",
     "list_sort": "array_sort",
-    "array_to_string": "array_join",
+    # array_to_string is NOT a plain rename: DuckDB returns NULL for an
+    # empty array (string_agg semantics), Spark's array_join returns ''
+    # — see _rewrite_array_to_string (found by tests/test_dialect_fuzz.py)
     "list_transform": "transform",
     "list_filter": "filter",
     # epoch extraction: same input type, same integer output
@@ -159,6 +161,78 @@ _DATE_DIFF = re.compile(
     r"minute|second)'\s*,",
     re.IGNORECASE,
 )
+
+
+def _split_call_args(sql: str, open_idx: int) -> tuple[list[str], int]:
+    """Top-level argument texts of the call whose ``(`` sits at
+    ``open_idx``, plus the index of its closing ``)``.
+
+    Respects nested parens/brackets and single-quoted literals (with
+    DuckDB's doubled-quote escape), so argument commas inside either
+    never split."""
+    depth = 0
+    args: list[str] = []
+    cur_start = open_idx + 1
+    i = open_idx
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":  # escaped ''
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0:
+                args.append(sql[cur_start:i])
+                return args, i
+        elif ch == "," and depth == 1:
+            args.append(sql[cur_start:i])
+            cur_start = i + 1
+        i += 1
+    raise DialectTranslationError("unbalanced parentheses in function call")
+
+
+_ARRAY_TO_STRING = re.compile(r"\barray_to_string\s*\(", re.IGNORECASE)
+
+
+def _rewrite_array_to_string(sql: str) -> str:
+    """DuckDB ``array_to_string(a, sep)`` → a Spark CASE form.
+
+    Not a plain rename to ``array_join``: on an EMPTY array DuckDB
+    returns NULL (it is ``list_aggregate(.., 'string_agg', ..)``, and
+    string_agg over zero rows is NULL) while Spark's array_join returns
+    ``''``. A ``nullif(.., '')`` would over-correct — joining arrays of
+    empty strings legitimately yields ``''`` in both engines — so the
+    array expression is duplicated into an explicit size guard:
+    ``CASE WHEN size(a) = 0 THEN NULL ELSE array_join(a, sep) END``
+    (NULL input: size(NULL) is NULL, the WHEN is not taken, and
+    array_join(NULL, ..) is NULL — matching DuckDB). Runs before
+    tokenization because the separator is a string literal.
+    Found by the differential fuzzer (tests/test_dialect_fuzz.py).
+    """
+    while True:
+        m = _ARRAY_TO_STRING.search(sql)
+        if not m:
+            return sql
+        args, close = _split_call_args(sql, m.end() - 1)
+        if len(args) != 2:
+            raise DialectTranslationError(
+                f"array_to_string expects 2 arguments, got {len(args)}"
+            )
+        arr, sep = args[0].strip(), args[1].strip()
+        repl = (
+            f"CASE WHEN size({arr}) = 0 THEN CAST(NULL AS STRING) "
+            f"ELSE array_join({arr}, {sep}) END"
+        )
+        sql = sql[: m.start()] + repl + sql[close + 1 :]
 
 
 def _rewrite_date_diff(sql: str) -> str:
@@ -408,6 +482,9 @@ def translate_duckdb_sql(sql: str) -> str:
     # date_diff's unit is a string literal too (boundary-crossing
     # semantics preserved by operand truncation — see _rewrite_date_diff)
     sql = _rewrite_date_diff(sql)
+    # array_to_string's separator is a string literal, and its empty-array
+    # semantics need a CASE guard, not a rename (_rewrite_array_to_string)
+    sql = _rewrite_array_to_string(sql)
     sql = _READ_PARQUET_ONE.sub(lambda m: f"parquet.`{m.group('path')}`", sql)
 
     def _list_repl(m: re.Match) -> str:

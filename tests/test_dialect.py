@@ -122,8 +122,11 @@ def test_list_function_family_renames(spark, sf_dir):
     assert t("SELECT list_distinct(string_split(text, ' ')) FROM d") == (
         "SELECT array_distinct(split(text, ' ')) FROM d"
     )
+    # array_to_string is a CASE guard, not a rename: DuckDB yields NULL
+    # for an empty array, Spark's array_join yields '' (fuzzer find)
     assert t("SELECT array_to_string(list_sort(a), ',') FROM d") == (
-        "SELECT array_join(array_sort(a), ',') FROM d"
+        "SELECT CASE WHEN size(array_sort(a)) = 0 THEN CAST(NULL AS STRING) "
+        "ELSE array_join(array_sort(a), ',') END FROM d"
     )
     # runnable end-to-end on Spark
     from de_polars_spark.sources.registry import register_testdata

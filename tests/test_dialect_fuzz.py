@@ -1,0 +1,225 @@
+"""Differential fuzz of the DuckDB→Spark dialect shim.
+
+Random TYPED expression trees are rendered as DuckDB SQL, translated via
+``translate_duckdb_sql``, executed on BOTH engines over the same parquet
+(the ``part`` table at sf0.001, via a ``read_parquet('…')`` literal so
+the path rewrite is exercised on every example), and compared with the
+strict driver-mirror harness (``de_polars_spark.testing.compare`` — the
+same byte-hash discipline as the grading gate).
+
+Hand-written dialect tests check the rewrites we THOUGHT about; the
+fuzzer's job is the interactions nobody wrote down (a fn-map rename
+inside a lambda inside a CASE arm, ``||`` chains feeding list functions,
+nullif-guarded division under coalesce, …).
+
+Grammar constraints — each excludes a KNOWN engine divergence that is
+not the shim's to fix (documented here so a future widening knows what
+it is re-opening):
+
+- int leaves are bounded (``% 997`` / small literals) and int ops capped
+  at depth 3: DuckDB ERRORS on bigint overflow, non-ANSI Spark WRAPS.
+- ``/`` is always rendered ``a / nullif(b, 0)``: double x/0 is ±Infinity
+  in DuckDB but NULL in non-ANSI Spark.
+- ``//`` operands are wrapped in abs(): DuckDB floors (-7//2 = -4),
+  Spark's DIV truncates toward zero (-3).
+- floor/ceil results are cast ``::BIGINT``: DuckDB returns DOUBLE,
+  Spark returns BIGINT — same value, dtype-visible under the hash gate.
+- regexp patterns are literal words: RE2 vs java.util.regex.
+- no double→varchar casts: shortest-repr formatting algorithms differ.
+- no date/timestamp leaves: the temporal rewrites (strftime, date_diff,
+  epoch_*) have dedicated hand-written tests in test_dialect.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from de_polars_spark.engine.dialect import translate_duckdb_sql
+from de_polars_spark.testing import compare
+
+PART = os.path.join(
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+    "part.parquet",
+)
+
+# ------------------------------------------------------------------ #
+# typed expression grammar: every strategy yields DuckDB SQL text of  #
+# a known type; combinators keep both engines inside portable ground  #
+# ------------------------------------------------------------------ #
+
+_INT_LEAVES = ["(p_partkey % 997)", "p_size", "7", "0", "13", "251"]
+_NUM_LEAVES = ["p_retailprice", "(p_size * 1.5)", "0.25", "100.0", "-3.5"]
+_STR_LEAVES = ["p_name", "p_type", "p_brand", "'plum'", "'STEEL fin'"]
+_WORDS = ["plum", "steel", "of", "fin", "tan"]
+
+
+def _ints(depth: int):
+    leaf = st.sampled_from(_INT_LEAVES)
+    if depth <= 0:
+        return leaf
+    sub = _ints(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        # abs() on both operands: DuckDB // floors, Spark DIV truncates —
+        # they only agree on non-negatives
+        st.tuples(sub, sub).map(lambda t: f"(abs({t[0]}) // (abs({t[1]}) + 1))"),
+        _strs(depth - 1).map(lambda s: f"length({s})"),
+        _nums(depth - 1).map(lambda n: f"(floor({n}))::BIGINT"),
+        _nums(depth - 1).map(lambda n: f"(ceil({n}))::BIGINT"),
+    )
+
+
+def _nums(depth: int):
+    leaf = st.sampled_from(_NUM_LEAVES)
+    if depth <= 0:
+        return leaf
+    sub = _nums(depth - 1)
+    return st.one_of(
+        leaf,
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        # nullif guard: x/0 diverges (Infinity vs NULL) — x/NULL is NULL
+        # in both engines
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} / nullif({t[1]}, 0))"),
+        sub.map(lambda x: f"abs({x})"),
+        st.tuples(sub, st.integers(0, 4)).map(lambda t: f"round({t[0]}, {t[1]})"),
+        _ints(depth - 1).map(lambda i: f"({i})::DOUBLE"),
+        st.tuples(_bools(depth - 1), sub, sub).map(
+            lambda t: f"(CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END)"
+        ),
+        st.tuples(sub, st.sampled_from(_NUM_LEAVES)).map(
+            lambda t: f"coalesce(nullif({t[0]}, 0), {t[1]})"
+        ),
+    )
+
+
+def _strs(depth: int):
+    leaf = st.sampled_from(_STR_LEAVES)
+    if depth <= 0:
+        return leaf
+    sub = _strs(depth - 1)
+    return st.one_of(
+        leaf,
+        sub.map(lambda s: f"upper({s})"),
+        sub.map(lambda s: f"lower({s})"),
+        sub.map(lambda s: f"trim({s})"),
+        sub.map(lambda s: f"reverse({s})"),
+        st.tuples(sub, st.integers(1, 5), st.integers(0, 8)).map(
+            lambda t: f"substr({t[0]}, {t[1]}, {t[2]})"
+        ),
+        st.tuples(sub, sub).map(lambda t: f"({t[0]} || {t[1]})"),
+        st.tuples(sub, st.sampled_from(_WORDS), st.sampled_from(_WORDS)).map(
+            lambda t: f"replace({t[0]}, '{t[1]}', '{t[2]}')"
+        ),
+        st.tuples(_arrs(depth - 1), st.sampled_from(["-", ",", ""])).map(
+            lambda t: f"array_to_string({t[0]}, '{t[1]}')"
+        ),
+        st.tuples(_bools(depth - 1), sub, sub).map(
+            lambda t: f"(CASE WHEN {t[0]} THEN {t[1]} ELSE {t[2]} END)"
+        ),
+    )
+
+
+def _arrs(depth: int):
+    leaf = st.sampled_from(
+        ["string_split(p_name, ' ')", "string_split(p_type, ' ')"]
+    )
+    if depth <= 0:
+        return leaf
+    sub = _arrs(depth - 1)
+    return st.one_of(
+        leaf,
+        sub.map(lambda a: f"list_distinct({a})"),
+        sub.map(lambda a: f"list_sort({a})"),
+        st.tuples(sub, st.integers(1, 6)).map(
+            lambda t: f"list_filter({t[0]}, x -> length(x) > {t[1]})"
+        ),
+        sub.map(lambda a: f"list_transform({a}, x -> upper(x))"),
+    )
+
+
+def _bools(depth: int):
+    base = st.one_of(
+        st.tuples(
+            _nums(max(depth - 1, 0)),
+            st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+            _nums(max(depth - 1, 0)),
+        ).map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+        st.tuples(
+            _strs(max(depth - 1, 0)), st.sampled_from(_WORDS)
+        ).map(lambda t: f"({t[0]} LIKE '%{t[1]}%')"),
+        st.tuples(_arrs(max(depth - 1, 0)), st.sampled_from(_WORDS)).map(
+            lambda t: f"list_contains({t[0]}, '{t[1]}')"
+        ),
+        # literal-word pattern only: RE2 vs java.util.regex
+        st.tuples(_strs(max(depth - 1, 0)), st.sampled_from(_WORDS)).map(
+            lambda t: f"regexp_matches({t[0]}, '{t[1]}')"
+        ),
+    )
+    if depth <= 0:
+        return base
+    sub = _bools(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(sub, st.sampled_from(["AND", "OR"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        sub.map(lambda b: f"(NOT {b})"),
+    )
+
+
+def _scalar(depth: int):
+    """Top-level column: scalar types only (the strict gate rejects
+    arrays — the same rule the inventory queries live under)."""
+    return st.one_of(_nums(depth), _ints(depth), _strs(depth))
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(exprs=st.lists(_scalar(3), min_size=6, max_size=10))
+def test_dialect_fuzz_differential(spark, exprs):
+    cols = ", ".join(f"{e} AS e{i}" for i, e in enumerate(exprs))
+    sql = (
+        f"SELECT p_partkey, {cols} "
+        f"FROM read_parquet('{PART}') ORDER BY p_partkey"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    translated = translate_duckdb_sql(sql)
+    got = spark.sql(translated).toPandas()
+    problems = compare(got, duck)
+    assert not problems, (
+        f"dialect drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
+    )
+
+
+def test_fuzz_grammar_smoke(spark):
+    """One fixed deep expression per family — a fast deterministic
+    canary so a grammar regression fails loudly outside hypothesis."""
+    sql = (
+        "SELECT p_partkey, "
+        "round(p_retailprice / nullif(p_size, 0), 3) AS e0, "
+        "(abs((p_partkey % 997)) // (abs(p_size) + 1)) AS e1, "
+        "array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), '-') AS e2, "
+        "(CASE WHEN regexp_matches(p_type, 'STEEL') THEN upper(p_brand) "
+        " ELSE reverse(p_brand) END) AS e3, "
+        "(floor(p_retailprice))::BIGINT AS e4, "
+        "length(array_to_string(list_filter(string_split(p_name, ' '), "
+        "x -> length(x) > 3), ',')) AS e5 "
+        f"FROM read_parquet('{PART}') ORDER BY p_partkey"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    got = spark.sql(translate_duckdb_sql(sql)).toPandas()
+    assert not compare(got, duck)

@@ -175,7 +175,10 @@ def main() -> None:
                 f"- `{name}`: widest scan reads {info['max_scan_cols']} columns — "
                 "check projection pruning"
             )
-        if info["codegen"] == 0:
+        if info["codegen"] == 0 and info["scans"] > 0:
+            # scans == 0 means the whole result is a driver-computed
+            # LocalTableScan (e.g. nl_intent_router's parsed rows via
+            # values_df) — there is nothing to codegen, by design
             flags.append(f"- `{name}`: no WholeStageCodegen span (interpreted plan)")
     if not only:
         audited = {r["name"] for r in rows}
