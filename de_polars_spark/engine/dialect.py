@@ -395,12 +395,18 @@ def _rewrite_qualify(sql: str, _n: int = 0) -> str:
             (SELECT *, (pred) AS __qpN FROM (SELECT body) __qbN) __qsN
           WHERE __qpN [tail]
 
-    Window functions in ``pred`` evaluate over the body's output — the
-    post-grouping timing QUALIFY specifies. LIMITATION: the predicate
-    may reference only columns the body SELECTs (DuckDB also allows
-    un-projected source columns; those surface as an analyzer error
-    here, never as wrong rows). Innermost QUALIFY rewrites first so
-    nested subqueries compose."""
+    The predicate column is INJECTED into the body's own select list
+    (just before its top-level FROM), not computed in an outer wrapper:
+    inside the body's scope it can reference un-projected source columns
+    (``QUALIFY row_number() OVER (ORDER BY p_retailprice) <= 1`` with
+    p_retailprice not selected — DuckDB allows this; an outer wrapper
+    cannot see it — found by tests/test_dialect_fuzz.py) and select
+    ALIASES resolve via Spark's lateral column aliasing, including
+    aliases of window expressions. ``SELECT DISTINCT`` bodies fall back
+    to the outer-wrapper form (injecting a column would change the
+    DISTINCT grouping); there the predicate is limited to projected
+    columns, surfacing as an analyzer error, never wrong rows.
+    Innermost QUALIFY rewrites first so nested subqueries compose."""
     # locate all QUALIFY keywords with their paren depth
     hits = []  # (depth, start, end)
     depth = 0
@@ -458,9 +464,39 @@ def _rewrite_qualify(sql: str, _n: int = 0) -> str:
     pred = sql[qe:pred_end].strip()
     tail = sql[pred_end:scope_end]
     tag = _n
+    # body-relative position of the top-level FROM and whether the
+    # select list is DISTINCT (first word after SELECT)
+    from_at = None
+    distinct = False
+    bdepth = 0
+    word_no = 0
+    for kind, s, e in _scan_tokens(body):
+        if kind == "char":
+            if body[s] == "(":
+                bdepth += 1
+            elif body[s] == ")":
+                bdepth -= 1
+        elif kind == "word" and bdepth == 0:
+            word_no += 1
+            w = body[s:e].upper()
+            if word_no == 2 and w == "DISTINCT":
+                distinct = True
+            if w == "FROM":
+                from_at = s
+                break
+    if distinct:
+        injected = (
+            f"SELECT *, ({pred}) AS __qp{tag} FROM ({body}) __qb{tag}"
+        )
+    elif from_at is None:  # FROM-less body (SELECT <exprs> QUALIFY ...)
+        injected = f"{body}, ({pred}) AS __qp{tag}"
+    else:
+        injected = (
+            f"{body[:from_at]}, ({pred}) AS __qp{tag} {body[from_at:]}"
+        )
     new_scope = (
         f"SELECT * EXCEPT (__qp{tag}) FROM "
-        f"(SELECT *, ({pred}) AS __qp{tag} FROM ({body}) __qb{tag}) __qs{tag} "
+        f"({injected}) __qs{tag} "
         f"WHERE __qp{tag} {tail}"
     )
     return _rewrite_qualify(

@@ -52,8 +52,13 @@ PART = os.path.join(
 # a known type; combinators keep both engines inside portable ground  #
 # ------------------------------------------------------------------ #
 
+# numeric literals in e-notation: `0.25` parses as DECIMAL in BOTH
+# engines, but pandas receives DuckDB decimals as float64 and Spark
+# decimals as object(Decimal) — dtype-visible drift in the strict
+# harness that is a conversion artifact, not engine semantics. `0.25e0`
+# is a true DOUBLE in both.
 _INT_LEAVES = ["(p_partkey % 997)", "p_size", "7", "0", "13", "251"]
-_NUM_LEAVES = ["p_retailprice", "(p_size * 1.5)", "0.25", "100.0", "-3.5"]
+_NUM_LEAVES = ["p_retailprice", "(p_size * 1.5e0)", "0.25e0", "100.0e0", "-3.5e0"]
 _STR_LEAVES = ["p_name", "p_type", "p_brand", "'plum'", "'STEEL fin'"]
 _WORDS = ["plum", "steel", "of", "fin", "tan"]
 
@@ -179,8 +184,16 @@ def _bools(depth: int):
 
 def _scalar(depth: int):
     """Top-level column: scalar types only (the strict gate rejects
-    arrays — the same rule the inventory queries live under)."""
-    return st.one_of(_nums(depth), _ints(depth), _strs(depth))
+    arrays — the same rule the inventory queries live under).
+
+    Int expressions are widened ``::BIGINT`` at the edge: intermediate
+    int widths differ between the engines (Spark length() is INT,
+    DuckDB's is BIGINT) — same values, dtype-visible in the harness."""
+    return st.one_of(
+        _nums(depth),
+        _ints(depth).map(lambda i: f"({i})::BIGINT"),
+        _strs(depth),
+    )
 
 
 @settings(
@@ -202,6 +215,65 @@ def test_dialect_fuzz_differential(spark, exprs):
     problems = compare(got, duck)
     assert not problems, (
         f"dialect drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
+    )
+
+
+# ------------------------------------------------------------------ #
+# QUALIFY / window fuzz: _rewrite_qualify is a token-scanner rewrite   #
+# (Spark has no QUALIFY) — compose random window functions, qualify   #
+# predicates, and outer clauses around it. Every window ORDER BY ends #
+# in the unique p_partkey so both engines rank deterministically.     #
+# ------------------------------------------------------------------ #
+
+_WINDOWS = [
+    "row_number() OVER (PARTITION BY p_brand ORDER BY p_partkey)",
+    "row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)",
+    "rank() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey)",
+    "dense_rank() OVER (ORDER BY p_size, p_partkey)",
+    "sum(p_size) OVER (PARTITION BY p_brand)",
+    "count(*) OVER (PARTITION BY p_type)",
+    "lag(p_size, 1) OVER (PARTITION BY p_brand ORDER BY p_partkey)",
+    "min(p_partkey) OVER (PARTITION BY p_brand)",
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    wins=st.lists(st.sampled_from(_WINDOWS), min_size=1, max_size=3, unique=True),
+    qualify_on_alias=st.booleans(),
+    k=st.integers(1, 4),
+    outer_limit=st.booleans(),
+)
+def test_qualify_fuzz_differential(spark, wins, qualify_on_alias, k, outer_limit):
+    # ::BIGINT on every window output: DuckDB's sum(int) is HUGEINT
+    # (pandas float64) while Spark's is BIGINT — dtype-conversion drift,
+    # not semantics
+    cols = ", ".join(f"({w})::BIGINT AS w{i}" for i, w in enumerate(wins))
+    # qualify either repeats the window expression or references its
+    # alias (exercising Spark's lateral alias resolution post-injection)
+    pred = f"w0 <= {k}" if qualify_on_alias else f"{wins[0]} <= {k}"
+    tail = f" ORDER BY p_partkey LIMIT {40 * k}" if outer_limit else " ORDER BY p_partkey"
+    sql = (
+        f"SELECT p_partkey, p_brand, {cols} "
+        f"FROM read_parquet('{PART}') QUALIFY {pred}{tail}"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    translated = translate_duckdb_sql(sql)
+    got = spark.sql(translated).toPandas()
+    # int-width drift between engines (rank/count widths) is a pandas
+    # conversion artifact — align to int64 before the strict compare
+    for frame in (got, duck):
+        for c in frame.columns:
+            if str(frame[c].dtype).startswith("int"):
+                frame[c] = frame[c].astype("int64")
+    problems = compare(got, duck)
+    assert not problems, (
+        f"qualify drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
     )
 
 
