@@ -125,6 +125,8 @@ _FN_CALL = re.compile(
     r"\b(" + "|".join(_FN_MAP) + r")\s*\(", re.IGNORECASE
 )
 
+_VARCHAR_CAST = re.compile(r"\s+AS\s+(?:VARCHAR|TEXT)\s*\)", re.IGNORECASE)
+_VARCHAR_PG = re.compile(r"::\s*(?:VARCHAR|TEXT)\b(?!\s*\()", re.IGNORECASE)
 _EXCLUDE = re.compile(r"(?<=\*)\s+EXCLUDE\s*\(", re.IGNORECASE)
 _LIST_AGG = re.compile(r"\bLIST\s*\(", re.IGNORECASE)
 _INT_DIV = re.compile(r"(?<=[\w)\s])//(?=[\w(\s])")
@@ -327,6 +329,15 @@ def _rewrite_segment(seg: str) -> str:
     while prev != seg:  # nested :: casts resolve innermost-out
         prev = seg
         seg = _PG_CAST.sub(lambda m: f"CAST({m.group('expr')} AS {m.group('type')})", seg)
+    # DuckDB's length-free VARCHAR/TEXT ≙ Spark STRING; Spark's parser
+    # REQUIRES a length on bare VARCHAR. Cast-context only (``AS TYPE)``)
+    # so identifiers named ``text`` (documents.text) are never touched;
+    # VARCHAR(n) is valid Spark and passes through. (fuzzer find)
+    seg = _VARCHAR_CAST.sub(" AS STRING)", seg)
+    # same mapping for :: casts the _PG_CAST rewrite could not reach
+    # (bases spanning string literals fall through to Spark's native ::
+    # operator, which also rejects bare VARCHAR)
+    seg = _VARCHAR_PG.sub("::STRING", seg)
     # DuckDB star-EXCLUDE -> Spark star-EXCEPT
     seg = _EXCLUDE.sub(" EXCEPT (", seg)
     # DuckDB LIST(x) aggregate -> collect_list

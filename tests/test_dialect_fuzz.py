@@ -277,6 +277,67 @@ def test_qualify_fuzz_differential(spark, wins, qualify_on_alias, k, outer_limit
     )
 
 
+# ------------------------------------------------------------------ #
+# Temporal fuzz: strftime (format-token map), date_diff (boundary-    #
+# crossing semantics preserved by operand truncation), extraction     #
+# functions, and ::DATE casts — over the orders timestamps plus fixed #
+# literals so both operand shapes (column, literal) appear on both    #
+# sides of every rewrite.                                             #
+# ------------------------------------------------------------------ #
+
+ORDERS = os.path.join(
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+    "orders.parquet",
+)
+
+_TS = ["o_orderdate", "TIMESTAMP '2024-01-15 12:30:00'", "TIMESTAMP '1995-06-17 00:00:00'"]
+_FMTS = ["%Y", "%m", "%d", "%Y-%m", "%Y-%m-%d", "%H"]
+_UNITS = ["year", "quarter", "month", "week", "day", "hour", "minute", "second"]
+
+
+def _temporal():
+    ts = st.sampled_from(_TS)
+    return st.one_of(
+        st.tuples(ts, st.sampled_from(_FMTS)).map(
+            lambda t: f"strftime({t[0]}, '{t[1]}')"
+        ),
+        st.tuples(st.sampled_from(_UNITS), ts, ts).map(
+            lambda t: f"(date_diff('{t[0]}', {t[1]}, {t[2]}))::BIGINT"
+        ),
+        st.tuples(st.sampled_from(["year", "month", "day", "hour"]), ts).map(
+            lambda t: f"({t[0]}({t[1]}))::BIGINT"
+        ),
+        # ::VARCHAR on top of ::DATE: both engines print ISO dates, while
+        # raw DATE reaches pandas as object (Spark) vs datetime64 (DuckDB)
+        ts.map(lambda c: f"(({c})::DATE)::VARCHAR"),
+        st.tuples(ts, ts).map(
+            lambda t: f"(CASE WHEN {t[0]} < {t[1]} THEN 'lt' ELSE 'ge' END)"
+        ),
+    )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(exprs=st.lists(_temporal(), min_size=6, max_size=10))
+def test_temporal_fuzz_differential(spark, exprs):
+    cols = ", ".join(f"{e} AS e{i}" for i, e in enumerate(exprs))
+    sql = (
+        f"SELECT o_orderkey, {cols} "
+        f"FROM read_parquet('{ORDERS}') ORDER BY o_orderkey"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    translated = translate_duckdb_sql(sql)
+    got = spark.sql(translated).toPandas()
+    problems = compare(got, duck)
+    assert not problems, (
+        f"temporal drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
+    )
+
+
 def test_fuzz_grammar_smoke(spark):
     """One fixed deep expression per family — a fast deterministic
     canary so a grammar regression fails loudly outside hypothesis."""
