@@ -338,6 +338,64 @@ def test_temporal_fuzz_differential(spark, exprs):
     )
 
 
+# ------------------------------------------------------------------ #
+# Aggregation fuzz: GROUP BY ALL / ordinals / explicit keys, HAVING,  #
+# DISTINCT counts — the clause plumbing around expressions. Double    #
+# sums go through DECIMAL(18,2) then ::DOUBLE (exact in both engines, #
+# order-free — the same DSUM discipline the inventory oracles use);   #
+# raw double sums would diverge in the low bits by reduction order.   #
+# ------------------------------------------------------------------ #
+
+_KEYS = ["p_brand", "p_type", "substr(p_brand, 1, 6)", "upper(p_type)"]
+_AGGS = [
+    "(count(*))::BIGINT",
+    "(count(DISTINCT p_size))::BIGINT",
+    "(sum(p_size))::BIGINT",
+    "(min(p_size))::BIGINT",
+    "(max(p_size))::BIGINT",
+    "min(p_name)",
+    "max(p_type)",
+    "(sum(CASE WHEN p_size > 25 THEN 1 ELSE 0 END))::BIGINT",
+    "(sum((p_retailprice)::DECIMAL(18,2)))::DOUBLE",
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    keys=st.lists(st.sampled_from(_KEYS), min_size=1, max_size=2, unique=True),
+    aggs=st.lists(st.sampled_from(_AGGS), min_size=1, max_size=4, unique=True),
+    group_style=st.sampled_from(["ALL", "ordinal", "explicit"]),
+    having_min=st.one_of(st.none(), st.integers(1, 4)),
+)
+def test_aggregation_fuzz_differential(spark, keys, aggs, group_style, having_min):
+    key_cols = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    agg_cols = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+    if group_style == "ALL":
+        group = "ALL"
+    elif group_style == "ordinal":
+        group = ", ".join(str(i + 1) for i in range(len(keys)))
+    else:
+        group = ", ".join(keys)
+    having = f" HAVING count(*) >= {having_min}" if having_min else ""
+    order = ", ".join(str(i + 1) for i in range(len(keys)))
+    sql = (
+        f"SELECT {key_cols}, {agg_cols} FROM read_parquet('{PART}') "
+        f"GROUP BY {group}{having} ORDER BY {order}"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    translated = translate_duckdb_sql(sql)
+    got = spark.sql(translated).toPandas()
+    problems = compare(got, duck)
+    assert not problems, (
+        f"aggregation drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
+    )
+
+
 def test_fuzz_grammar_smoke(spark):
     """One fixed deep expression per family — a fast deterministic
     canary so a grammar regression fails loudly outside hypothesis."""
