@@ -396,6 +396,70 @@ def test_aggregation_fuzz_differential(spark, keys, aggs, group_style, having_mi
     )
 
 
+# ------------------------------------------------------------------ #
+# Join fuzz: join-type spellings (incl. DuckDB's bare SEMI/ANTI,      #
+# which Spark 4 also parses), ON predicates with extra conditions,    #
+# and NULL-producing outer sides — the clause plumbing between two    #
+# read_parquet scans.                                                 #
+# ------------------------------------------------------------------ #
+
+CUSTOMER = os.path.join(
+    os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+    "customer.parquet",
+)
+ORDERS_T = ORDERS  # alias for readability in the join template
+
+_JOIN_TYPES = ["JOIN", "LEFT JOIN", "SEMI JOIN", "ANTI JOIN"]
+_EXTRA_ON = [
+    "",
+    " AND o.o_totalprice > 50000.0e0",
+    " AND o.o_orderstatus = 'O'",
+    " AND (c.c_custkey % 3) = 0",
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    jt=st.sampled_from(_JOIN_TYPES),
+    extra=st.sampled_from(_EXTRA_ON),
+    agg_side=st.booleans(),
+)
+def test_join_fuzz_differential(spark, jt, extra, agg_side):
+    semi_anti = jt in ("SEMI JOIN", "ANTI JOIN")
+    if semi_anti or agg_side:
+        # semi/anti expose only the left side; aggregate form groups it
+        proj = "c.c_custkey, (count(*))::BIGINT AS n"
+        tail = " GROUP BY 1 ORDER BY 1"
+    else:
+        # row form: right side may be NULL under LEFT JOIN — order by a
+        # full deterministic key set
+        proj = "c.c_custkey, o.o_orderkey, o.o_orderstatus"
+        tail = " ORDER BY c.c_custkey, o.o_orderkey"
+    sql = (
+        f"SELECT {proj} FROM read_parquet('{CUSTOMER}') c "
+        f"{jt} read_parquet('{ORDERS_T}') o "
+        f"ON c.c_custkey = o.o_custkey{'' if semi_anti else extra}{tail}"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    translated = translate_duckdb_sql(sql)
+    got = spark.sql(translated).toPandas()
+    # LEFT JOIN NULLs push int columns to float64 on one side only when
+    # the other engine had no NULLs in the sampled rows — align widths
+    for frame in (got, duck):
+        for c in frame.columns:
+            if str(frame[c].dtype).startswith("int"):
+                frame[c] = frame[c].astype("int64")
+    problems = compare(got, duck)
+    assert not problems, (
+        f"join drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
+    )
+
+
 def test_fuzz_grammar_smoke(spark):
     """One fixed deep expression per family — a fast deterministic
     canary so a grammar regression fails loudly outside hypothesis."""
