@@ -70,6 +70,7 @@ _NEVER_SAMPLED = (
     "hard_negative_mining_ivf",
     "multimodal_audio_decode",
     "multimodal_pixel_stats",
+    "multimodal_video_frames",
     "ann_ivf_index_compact",
     # semantics changed in round 5 (real-BMP decode) — needs a fresh row
     "multimodal_image_decode",

@@ -824,6 +824,50 @@ ORACLES["multimodal_frame_sample"] = f"""
 """
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL container bytes: a genuine YUV4MPEG2 stream per document
+    # (text header + FRAME markers + raw C444 planes), parsed by the
+    # pure-Python walker in operators/multimodal.py — frame count, rate,
+    # and geometry come from the actual header, and each kept frame's
+    # checksum sums its ACTUAL Y-plane bytes. The oracle predicts all of
+    # it analytically from the md5-seeded synthesis formula (Y byte =
+    # (seed + 13*frame + pixel) % 256), with the pixel sum evaluated
+    # over a static unnest(range(48)) spine filtered to w*h — no lateral
+    # needed. every_n=2 keeps even frames; timestamps are integer
+    # microseconds at the parsed 4:1 fps (floor-division exactness, the
+    # WAV duration_us rule).
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_y4m_payload(t["documents"], "doc_id", "text")
+    return multimodal.sample_video_frames(payload, every_n=2)
+
+
+QUERIES["multimodal_video_frames"] = q_multimodal_video_frames
+ORACLES["multimodal_video_frames"] = f"""
+    WITH geo AS (
+        SELECT doc_id,
+               4 + {_pbyte(0)} % 5 AS w,
+               3 + {_pbyte(1)} % 4 AS h,
+               1 + {_pbyte(2)} % 6 AS nf,
+               {_pbyte(3)} AS seed
+        FROM documents
+    ),
+    fids AS (SELECT unnest(range(6)) AS fid),
+    px AS (SELECT unnest(range(48)) AS j),
+    frames AS (
+        SELECT g.doc_id, g.w, g.h, g.nf, g.seed, f.fid
+        FROM geo g CROSS JOIN fids f
+        WHERE f.fid < g.nf AND f.fid % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(fid AS INT) AS frame_id,
+           CAST(fid * 1000000 // 4 AS BIGINT) AS frame_ts_us,
+           CAST((SELECT SUM((seed + 13 * fid + px.j) % 256) FROM px
+                 WHERE px.j < w * h) AS BIGINT) AS y_checksum,
+           CAST(nf AS INT) AS n_frames
+    FROM frames
+"""
+
+
 # ---------------------------------------------------------------- #
 # deterministic sampling (operators/sampling.py)                    #
 # ---------------------------------------------------------------- #

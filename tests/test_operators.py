@@ -612,3 +612,46 @@ def test_ivf_index_compaction_is_pure_layout(spark, tmp_path):
     after = sorted(map(tuple, similarity.ivf_topk_from_index(
         p1, c1, queries, "emb_id", "vec", k=3, nprobe=2).collect()))
     assert after == before  # probe results bit-identical post-compaction
+
+
+def test_y4m_encode_parse_roundtrip():
+    b = multimodal.encode_y4m(5, 4, 3, fps_num=4, fps_den=1, seed=7)
+    assert b.startswith(b"YUV4MPEG2 ")
+    w, h, num, den, offs = multimodal.parse_y4m(b)
+    assert (w, h, num, den, len(offs)) == (5, 4, 4, 1, 3)
+    # each offset points at real Y-plane data: first byte of frame fid
+    # is (seed + 13*fid + 0) % 256
+    for fid, off in enumerate(offs):
+        assert b[off] == (7 + 13 * fid) % 256
+    with pytest.raises(ValueError):
+        multimodal.parse_y4m(b"XUV4MPEG2" + b[9:])  # bad magic
+    with pytest.raises(ValueError):
+        multimodal.parse_y4m(b[: len(b) - 5])  # truncated frame data
+    with pytest.raises(ValueError):
+        # unshipped colorspace fails loudly, not misparsed strides
+        multimodal.parse_y4m(b.replace(b"C444", b"C420", 1))
+
+
+def test_y4m_frame_sampling_end_to_end(spark):
+    import numpy as np
+
+    payload = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_y4m(3, 2, 5, seed=9)),
+          {"format": "y4m"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    rows = {r["frame_id"]: r
+            for r in multimodal.sample_video_frames(payload, every_n=2).collect()}
+    # frames 0, 2, 4 kept; checksum = sum((9 + 13*fid + j) % 256, j<6)
+    assert sorted(rows) == [0, 2, 4]
+    for fid, r in rows.items():
+        assert r["n_frames"] == 5
+        assert r["frame_ts_us"] == fid * 1_000_000 // 4
+        assert r["y_checksum"] == sum((9 + 13 * fid + j) % 256 for j in range(6))
+    # unshipped formats raise the documented loud error
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"\x00\x01"), {"format": "mp4"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="ffmpeg"):
+        multimodal.sample_video_frames(bad).collect()

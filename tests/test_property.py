@@ -1462,3 +1462,34 @@ def test_wav_parser_rejects_corrupt_riff_bodies(data):
         multimodal.parse_wav(blob)
     except ValueError:
         pass
+
+
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=16),
+    nf=st.integers(min_value=0, max_value=8),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(deadline=None, max_examples=60)
+def test_y4m_roundtrip_property(w, h, nf, seed):
+    from de_polars_spark.operators import multimodal
+
+    b = multimodal.encode_y4m(w, h, nf, seed=seed)
+    pw, ph, num, den, offs = multimodal.parse_y4m(b)
+    assert (pw, ph, num, den, len(offs)) == (w, h, 4, 1, nf)
+    # every frame's Y plane is the documented ramp over REAL bytes
+    for fid, off in enumerate(offs):
+        assert b[off] == (seed + 13 * fid) % 256
+        assert b[off + w * h - 1] == (seed + 13 * fid + w * h - 1) % 256
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(deadline=None, max_examples=120)
+def test_y4m_parser_never_crashes_on_garbage(data):
+    from de_polars_spark.operators import multimodal
+
+    for blob in (data, b"YUV4MPEG2 " + data, b"YUV4MPEG2 W4 H3 F4:1 C444\n" + data):
+        try:
+            multimodal.parse_y4m(blob)
+        except ValueError:
+            pass
