@@ -868,6 +868,51 @@ ORACLES["multimodal_video_frames"] = f"""
 """
 
 
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pixel path: parse the genuine BMP payload, gather with the
+    # integer nearest-neighbor source map (out_idx * src_dim // out_dim)
+    # over the ACTUAL BGR rows, and reduce the resized image to integer
+    # channel sums. The oracle replays the same gather analytically from
+    # the md5-seeded pixel formula over a static 8x8 output grid. The
+    # fake-payload multimodal_resize entry stays (it checks the metadata
+    # plumbing and keeps its driver row); this one checks the pixels.
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_bmp_payload(t["documents"], "doc_id", "text")
+    return multimodal.resize_bmp_nearest(payload, 8, 8)
+
+
+QUERIES["multimodal_resize_real"] = q_multimodal_resize_real
+ORACLES["multimodal_resize_real"] = f"""
+    WITH geo AS (
+        SELECT doc_id,
+               1 + {_pbyte(0)} % 16 AS w,
+               1 + {_pbyte(1)} % 16 AS h,
+               {_pbyte(2)} AS seed
+        FROM documents
+    ),
+    grid AS (
+        SELECT a.i, b.j
+        FROM (SELECT unnest(range(8)) AS i) a
+        CROSS JOIN (SELECT unnest(range(8)) AS j) b
+    ),
+    px AS (
+        SELECT g.doc_id, g.w, g.h,
+               (g.seed + 7 * (grid.i * g.w // 8)
+                       + 13 * (grid.j * g.h // 8)) % 256 AS v
+        FROM geo g CROSS JOIN grid
+    )
+    SELECT doc_id,
+           CAST(MIN(w) AS INT) AS src_w,
+           CAST(MIN(h) AS INT) AS src_h,
+           CAST(8 AS INT) AS out_w,
+           CAST(8 AS INT) AS out_h,
+           CAST(SUM(v) AS BIGINT) AS sum_b,
+           CAST(SUM((v * 3) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((v * 5) % 256) AS BIGINT) AS sum_r
+    FROM px GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- #
 # deterministic sampling (operators/sampling.py)                    #
 # ---------------------------------------------------------------- #

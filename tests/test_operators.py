@@ -655,3 +655,28 @@ def test_y4m_frame_sampling_end_to_end(spark):
     )
     with pytest.raises(Exception, match="ffmpeg"):
         multimodal.sample_video_frames(bad).collect()
+
+
+def test_bmp_resize_real_matches_handcount(spark):
+    # 5x3 source, seed 11, resized to 2x2: sx=[0,2], sy=[0,1]
+    payload = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(5, 3, seed=11)),
+          {"format": "bmp"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    r = multimodal.resize_bmp_nearest(payload, 2, 2).collect()[0]
+    picks = [(11 + 7 * x + 13 * y) % 256 for x in (0, 2) for y in (0, 1)]
+    assert (r["src_w"], r["src_h"], r["out_w"], r["out_h"]) == (5, 3, 2, 2)
+    assert r["sum_b"] == sum(picks)
+    assert r["sum_g"] == sum((v * 3) % 256 for v in picks)
+    assert r["sum_r"] == sum((v * 5) % 256 for v in picks)
+    # upscale: every source pixel appears >= once, sums bounded
+    r2 = multimodal.resize_bmp_nearest(payload, 10, 6).collect()[0]
+    assert (r2["out_w"], r2["out_h"]) == (10, 6)
+    # unshipped formats raise the documented loud error
+    bad = spark.createDataFrame(
+        [(2, bytearray(b"\x00"), {"format": "jpeg"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="PIL"):
+        multimodal.resize_bmp_nearest(bad, 2, 2).collect()
