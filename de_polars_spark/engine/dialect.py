@@ -321,6 +321,24 @@ def _strftime_repl(m: re.Match) -> str:
     return f"date_format({m.group('expr').strip()}, {fmt})"
 
 
+#: strptime is strftime's inverse (string → timestamp); same token map,
+#: Spark side is to_timestamp. DuckDB's argument order is
+#: (string, format) — matching Spark's, so only the name and format
+#: tokens translate.
+_STRPTIME = re.compile(
+    r"strptime\s*\(\s*(?P<expr>[^,()]+(?:\([^()]*\))?[^,()]*)\s*,\s*"
+    r"(?P<fmt>'(?:[^']|'')*')\s*\)",
+    re.IGNORECASE,
+)
+
+
+def _strptime_repl(m: re.Match) -> str:
+    fmt = m.group("fmt")
+    for tok, spark in _STRFTIME_MAP.items():
+        fmt = fmt.replace(tok, spark)
+    return f"to_timestamp({m.group('expr').strip()}, {fmt})"
+
+
 def _rewrite_segment(seg: str) -> str:
     """Apply rewrites to a segment known to contain no string literals,
     except the FROM-'path' / regex patterns which this runs before
@@ -526,6 +544,7 @@ def translate_duckdb_sql(sql: str) -> str:
     # strftime carries its format as a string literal, so it must run
     # before tokenization (like the path/regex rewrites above)
     sql = _STRFTIME.sub(_strftime_repl, sql)
+    sql = _STRPTIME.sub(_strptime_repl, sql)
     # date_diff's unit is a string literal too (boundary-crossing
     # semantics preserved by operand truncation — see _rewrite_date_diff)
     sql = _rewrite_date_diff(sql)

@@ -310,3 +310,19 @@ def test_date_diff_unit_literal_to_timestampdiff(spark):
         expect = duckdb.sql(duck_sql).fetchall()[0][0]
         got = spark.sql(t(duck_sql)).collect()[0]["d"]
         assert got == expect, (unit, a, b, got, expect)
+
+
+def test_strptime_to_to_timestamp(spark):
+    assert t("SELECT strptime('2024-01-15', '%Y-%m-%d') AS ts") == (
+        "SELECT to_timestamp('2024-01-15', 'yyyy-MM-dd') AS ts"
+    )
+    # end-to-end: round-trips strftime output, both engines agree
+    import duckdb
+
+    sql = (
+        "SELECT strptime(strftime(TIMESTAMP '1995-06-17 10:30:00', "
+        "'%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS ts"
+    )
+    duck = duckdb.connect().execute(sql).fetchone()[0]
+    got = spark.sql(t(sql)).collect()[0]["ts"]
+    assert got == duck
