@@ -23,12 +23,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-5 head: the one query whose latest driver row is red
-# (inverted_index — r4 err was the array postings column, now serialized
-# via array_join and strict-hash green locally), followed by the exact 28
-# queries with no row in any CORRECTNESS_r01..r04 sample (computed as
-# set(QUERIES) − union of r1-r4 keys; all strict-hash green locally and in
-# the full tools/check_correctness sweep), followed by round-5 additions.
+# Round-5 head (37 names, driver sample budget 50): the one query whose
+# latest driver row is red (inverted_index — r4 err was the array
+# postings column, now serialized via array_join and strict-hash green
+# locally), followed by the exact 28 queries with no row in any
+# CORRECTNESS_r01..r04 sample (computed as set(QUERIES) − union of r1-r4
+# keys; all strict-hash green locally and in the full
+# tools/check_correctness sweep), followed by round-5 additions (incl.
+# the second-session multimodal_video_frames / multimodal_resize_real).
 # Recompute next round as set(QUERIES) − union(CORRECTNESS_r01..r05 keys).
 # (kpi_view_tracker is NOT here — it already has a green r3 row; bench.py
 # pins it first in ITS run order so the KPI materialization wave still
