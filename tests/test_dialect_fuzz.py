@@ -460,6 +460,60 @@ def test_join_fuzz_differential(spark, jt, extra, agg_side):
     )
 
 
+# ------------------------------------------------------------------ #
+# Composition fuzz: CTEs, set operators, nested subqueries, QUALIFY   #
+# at depth — the token-scanner rewrites (QUALIFY scope detection,     #
+# EXCLUDE, path refs) are the shim's riskiest code, and their bugs    #
+# live in COMPOSITION, not in single clauses.                         #
+# ------------------------------------------------------------------ #
+
+_SET_OPS = ["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]
+_INNER_FILTERS = ["p_size > 25", "p_size > 45", "p_brand LIKE '%2%'", "p_size < 10"]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    setop=st.sampled_from(_SET_OPS),
+    f1=st.sampled_from(_INNER_FILTERS),
+    f2=st.sampled_from(_INNER_FILTERS),
+    use_cte=st.booleans(),
+    qualify_k=st.integers(1, 3),
+)
+def test_composition_fuzz_differential(spark, setop, f1, f2, use_cte, qualify_k):
+    inner = (
+        f"SELECT p_brand, p_partkey, p_size FROM read_parquet('{PART}') "
+        f"QUALIFY row_number() OVER (PARTITION BY p_brand "
+        f"ORDER BY p_size, p_partkey) <= {qualify_k}"
+    )
+    if use_cte:
+        sql = (
+            f"WITH top AS ({inner}) "
+            f"SELECT p_brand FROM top WHERE {f1} OR p_partkey >= 0 "
+            f"{setop} "
+            f"SELECT p_brand FROM read_parquet('{PART}') WHERE {f2} "
+            f"ORDER BY 1"
+        )
+    else:
+        sql = (
+            f"SELECT p_brand FROM ({inner}) q WHERE p_partkey % 2 = 0 "
+            f"{setop} "
+            f"SELECT p_brand FROM read_parquet('{PART}') WHERE {f2} "
+            f"ORDER BY 1"
+        )
+    duck = duckdb.connect().execute(sql).df()
+    translated = translate_duckdb_sql(sql)
+    got = spark.sql(translated).toPandas()
+    problems = compare(got, duck)
+    assert not problems, (
+        f"composition drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
+    )
+
+
 def test_fuzz_grammar_smoke(spark):
     """One fixed deep expression per family — a fast deterministic
     canary so a grammar regression fails loudly outside hypothesis."""
