@@ -913,6 +913,53 @@ ORACLES["multimodal_resize_real"] = f"""
 """
 
 
+def q_multimodal_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL pixel path for patch pooling: quadrant of pixel (x, y) is
+    # (x*2 // w, y*2 // h) over the ACTUAL decoded BGR rows; the oracle
+    # replays the same floor-quadrant assignment over a static 16x16
+    # pixel spine filtered to (w, h) and aggregates the synthesis
+    # formula per quadrant. The fake-payload multimodal_features entry
+    # stays for its plumbing check and existing driver row.
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_bmp_payload(t["documents"], "doc_id", "text")
+    return multimodal.extract_bmp_block_features(payload)
+
+
+QUERIES["multimodal_features_real"] = q_multimodal_features_real
+ORACLES["multimodal_features_real"] = f"""
+    WITH geo AS (
+        SELECT doc_id,
+               1 + {_pbyte(0)} % 16 AS w,
+               1 + {_pbyte(1)} % 16 AS h,
+               {_pbyte(2)} AS seed
+        FROM documents
+    ),
+    grid AS (
+        SELECT a.x, b.y
+        FROM (SELECT unnest(range(16)) AS x) a
+        CROSS JOIN (SELECT unnest(range(16)) AS y) b
+    ),
+    px AS (
+        SELECT g.doc_id,
+               grid.x * 2 // g.w AS qx,
+               grid.y * 2 // g.h AS qy,
+               (g.seed + 7 * grid.x + 13 * grid.y) % 256 AS v
+        FROM geo g CROSS JOIN grid
+        WHERE grid.x < g.w AND grid.y < g.h
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN qx = 0 AND qy = 0 THEN v END) AS BIGINT) AS sum_q00,
+           CAST(SUM(CASE WHEN qx = 0 AND qy = 1 THEN v END) AS BIGINT) AS sum_q01,
+           CAST(SUM(CASE WHEN qx = 1 AND qy = 0 THEN v END) AS BIGINT) AS sum_q10,
+           CAST(SUM(CASE WHEN qx = 1 AND qy = 1 THEN v END) AS BIGINT) AS sum_q11,
+           CAST(COUNT(CASE WHEN qx = 0 AND qy = 0 THEN 1 END) AS BIGINT) AS n_q00,
+           CAST(COUNT(CASE WHEN qx = 0 AND qy = 1 THEN 1 END) AS BIGINT) AS n_q01,
+           CAST(COUNT(CASE WHEN qx = 1 AND qy = 0 THEN 1 END) AS BIGINT) AS n_q10,
+           CAST(COUNT(CASE WHEN qx = 1 AND qy = 1 THEN 1 END) AS BIGINT) AS n_q11
+    FROM px GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------- #
 # deterministic sampling (operators/sampling.py)                    #
 # ---------------------------------------------------------------- #

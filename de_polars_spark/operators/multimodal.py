@@ -676,3 +676,67 @@ def resize_bmp_nearest(
             )
 
     return with_payload.mapInPandas(_resize, schema=BMP_RESIZED_SCHEMA)
+
+
+BMP_FEATURES_SCHEMA = (
+    "doc_id bigint, sum_q00 bigint, sum_q01 bigint, sum_q10 bigint, "
+    "sum_q11 bigint, n_q00 bigint, n_q01 bigint, n_q10 bigint, n_q11 bigint"
+)
+
+
+def extract_bmp_block_features(with_payload: DataFrame) -> DataFrame:
+    """Pooled features from REAL decoded pixels: split the actual BGR
+    rows into a 2x2 quadrant grid (quadrant of pixel (x, y) is
+    (x*2 // w, y*2 // h) — integer floor, exactly reproducible in SQL)
+    and emit each quadrant's B-channel integer sum and pixel count.
+    This is the patch-pooling step a vision featurizer runs before an
+    embedding head; integer outputs keep it bit-exact under the strict
+    gate, and the payload column dies at this operator boundary."""
+    import numpy as np
+
+    def _feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts = pdf["media_meta"].map(lambda m: m["format"])
+            unknown = set(fmts) - {"bmp"}
+            if unknown:
+                raise NotImplementedError(
+                    f"pixel features for {sorted(unknown)} requires PIL, "
+                    "not available in this env (shipped: bmp)"
+                )
+            cols = {k: [] for k in (
+                "doc_id", "sum_q00", "sum_q01", "sum_q10", "sum_q11",
+                "n_q00", "n_q01", "n_q10", "n_q11",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, _ = parse_bmp(b)
+                rowsize = (3 * w + 3) // 4 * 4
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, count=h * rowsize, offset=54
+                ).reshape(h, rowsize)
+                blue = arr[:, : 3 * w].reshape(h, w, 3)[:, :, 0].astype(np.int64)
+                qx = np.arange(w, dtype=np.int64) * 2 // w  # 0/1 per column
+                qy = np.arange(h, dtype=np.int64) * 2 // h  # 0/1 per row
+                cols["doc_id"].append(doc_id)
+                for gx in (0, 1):
+                    for gy in (0, 1):
+                        mask = np.outer(qy == gy, qx == gx)
+                        cnt = int(mask.sum())
+                        # a 1-wide/1-tall image has EMPTY right/bottom
+                        # quadrants: NULL sum (SQL aggregate-over-no-rows
+                        # semantics), count 0
+                        cols[f"sum_q{gx}{gy}"].append(
+                            int(blue[mask].sum()) if cnt else None
+                        )
+                        cols[f"n_q{gx}{gy}"].append(cnt)
+            yield pd.DataFrame(
+                {
+                    k: pd.Series(
+                        v,
+                        dtype=None if k == "doc_id"
+                        else ("Int64" if k.startswith("sum_") else "int64"),
+                    )
+                    for k, v in cols.items()
+                }
+            )
+
+    return with_payload.mapInPandas(_feats, schema=BMP_FEATURES_SCHEMA)

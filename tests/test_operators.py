@@ -680,3 +680,27 @@ def test_bmp_resize_real_matches_handcount(spark):
     )
     with pytest.raises(Exception, match="PIL"):
         multimodal.resize_bmp_nearest(bad, 2, 2).collect()
+
+
+def test_bmp_block_features_match_handcount(spark):
+    # 3x2 source, seed 5: qx=[0,0,1], qy=[0,1]
+    payload = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_bmp(3, 2, seed=5)),
+          {"format": "bmp"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    r = multimodal.extract_bmp_block_features(payload).collect()[0]
+    v = {(x, y): (5 + 7 * x + 13 * y) % 256 for x in range(3) for y in range(2)}
+    assert r["sum_q00"] == v[(0, 0)] + v[(1, 0)] and r["n_q00"] == 2
+    assert r["sum_q01"] == v[(0, 1)] + v[(1, 1)] and r["n_q01"] == 2
+    assert r["sum_q10"] == v[(2, 0)] and r["n_q10"] == 1
+    assert r["sum_q11"] == v[(2, 1)] and r["n_q11"] == 1
+    # 1x1 image: right/bottom quadrants are EMPTY -> NULL sums, 0 counts
+    tiny = spark.createDataFrame(
+        [(2, bytearray(multimodal.encode_bmp(1, 1, seed=9)),
+          {"format": "bmp"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    r2 = multimodal.extract_bmp_block_features(tiny).collect()[0]
+    assert r2["sum_q00"] == 9 and r2["n_q00"] == 1
+    assert r2["sum_q11"] is None and r2["n_q11"] == 0
