@@ -109,6 +109,10 @@ def _literal(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):
+        if not -(2**63) <= v < 2**63:
+            # Python ints are unbounded; a literal outside long range
+            # would surface as a confusing parser error downstream
+            raise TypeError(f"integer {v} exceeds BIGINT range")
         return f"{v}L"
     if isinstance(v, float):
         if math.isnan(v):

@@ -514,6 +514,61 @@ def test_composition_fuzz_differential(spark, setop, f1, f2, use_cte, qualify_k)
     )
 
 
+# ------------------------------------------------------------------ #
+# Subquery-predicate fuzz: IN / EXISTS / NOT EXISTS / correlated      #
+# scalar subqueries — Catalyst plans these as semi/anti/scalar        #
+# subquery joins; the shim must pass the shapes through intact.       #
+# Thresholds use EXACT aggregates (count/min/max) only: a float avg   #
+# threshold could legitimately flip rows that sit within reduction-   #
+# order epsilon of the mean.                                          #
+# ------------------------------------------------------------------ #
+
+_SUBQ_PREDS = [
+    "c_custkey IN (SELECT o_custkey FROM {orders} WHERE o_totalprice > 100000.0e0)",
+    "c_custkey NOT IN (SELECT o_custkey FROM {orders} WHERE o_orderstatus = 'F')",
+    "EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey "
+    "AND o.o_orderpriority LIKE '1%')",
+    "NOT EXISTS (SELECT 1 FROM {orders} o WHERE o.o_custkey = c.c_custkey)",
+    "c_acctbal > (SELECT max(c_acctbal) FROM {customer}) * 0.5e0",
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    preds=st.lists(st.sampled_from(_SUBQ_PREDS), min_size=1, max_size=2, unique=True),
+    conj=st.sampled_from(["AND", "OR"]),
+    with_count=st.booleans(),
+)
+def test_subquery_fuzz_differential(spark, preds, conj, with_count):
+    orders = f"read_parquet('{ORDERS}')"
+    customer = f"read_parquet('{CUSTOMER}')"
+    where = f" {conj} ".join(
+        f"({p.format(orders=orders, customer=customer)})" for p in preds
+    )
+    count_col = (
+        f", (SELECT count(*)::BIGINT FROM {orders} o "
+        f"WHERE o.o_custkey = c.c_custkey) AS n_orders"
+        if with_count
+        else ""
+    )
+    sql = (
+        f"SELECT c_custkey{count_col} FROM {customer} c "
+        f"WHERE {where} ORDER BY 1"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    translated = translate_duckdb_sql(sql)
+    got = spark.sql(translated).toPandas()
+    problems = compare(got, duck)
+    assert not problems, (
+        f"subquery drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
+    )
+
+
 def test_fuzz_grammar_smoke(spark):
     """One fixed deep expression per family — a fast deterministic
     canary so a grammar regression fails loudly outside hypothesis."""
