@@ -110,6 +110,16 @@ def test_row_cap_guard(spark):
         values_df(spark, [(i,) for i in range(11)], "i int", max_rows=10)
 
 
+def test_bigint_range_guard(spark):
+    # unbounded Python ints must fail up front, not as a parser error
+    with pytest.raises(TypeError, match="BIGINT range"):
+        values_df(spark, [(2**63,)], "v bigint")
+    # boundary values pass
+    rows = [(-(2**63),), (2**63 - 1,)]
+    got = sorted(r["v"] for r in values_df(spark, rows, "v bigint").collect())
+    assert got == [-(2**63), 2**63 - 1]
+
+
 def test_unsupported_types_fail_loudly(spark):
     with pytest.raises(TypeError, match="use createDataFrame"):
         values_df(spark, [({"k": 1},)], "m map<string,int>")
