@@ -569,6 +569,61 @@ def test_subquery_fuzz_differential(spark, preds, conj, with_count):
     )
 
 
+# ------------------------------------------------------------------ #
+# Window-frame fuzz: ROWS/RANGE BETWEEN bounds, frame-dependent       #
+# functions (first_value, rolling sum/min/count), lead with default — #
+# frame semantics are identical between the engines, and every window #
+# ORDER BY ends in the unique p_partkey for determinism.              #
+# ------------------------------------------------------------------ #
+
+_FRAME_FNS = ["sum(p_size)", "min(p_size)", "max(p_size)", "count(*)"]
+_FRAMES = [
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING",
+    "RANGE BETWEEN 5 PRECEDING AND CURRENT ROW",
+]
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(_FRAME_FNS),
+    frame=st.sampled_from(_FRAMES),
+    partitioned=st.booleans(),
+    extra=st.sampled_from(
+        [
+            "",
+            ", first_value(p_type) OVER (PARTITION BY p_brand ORDER BY "
+            "p_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv",
+            ", (lead(p_size, 2, -1) OVER (PARTITION BY p_brand ORDER BY "
+            "p_partkey))::BIGINT AS l2",
+        ]
+    ),
+)
+def test_window_frame_fuzz_differential(spark, fn, frame, partitioned, extra):
+    # RANGE frames need a numeric ORDER BY key; p_partkey is unique so
+    # both ROWS and RANGE stay deterministic
+    part = "PARTITION BY p_brand " if partitioned else ""
+    sql = (
+        f"SELECT p_partkey, ({fn} OVER ({part}ORDER BY p_partkey "
+        f"{frame}))::BIGINT AS w{extra} "
+        f"FROM read_parquet('{PART}') ORDER BY 1"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    translated = translate_duckdb_sql(sql)
+    got = spark.sql(translated).toPandas()
+    problems = compare(got, duck)
+    assert not problems, (
+        f"window-frame drift on:\n  {sql}\n→ {translated}\n" + "\n".join(problems)
+    )
+
+
 def test_fuzz_grammar_smoke(spark):
     """One fixed deep expression per family — a fast deterministic
     canary so a grammar regression fails loudly outside hypothesis."""
