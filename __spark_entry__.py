@@ -75,6 +75,7 @@ _NEVER_SAMPLED = (
     "multimodal_video_frames",
     "multimodal_resize_real",
     "multimodal_features_real",
+    "jsonl_source_roundtrip",
     "ann_ivf_index_compact",
     # semantics changed in round 5 (real-BMP decode) — needs a fresh row
     "multimodal_image_decode",

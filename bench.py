@@ -66,6 +66,11 @@ def main() -> None:
     from de_polars_spark.inventory.kpi_views import _ensure_cur_ext, clear_kpi_artifacts
 
     _ensure_cur_ext(spark, sf_dir)
+    # likewise the documents-as-JSONL fixture: the round-trip query
+    # measures the line-splittable INGEST, not the one-time fixture copy
+    from de_polars_spark.sources.jsonl import ensure_documents_jsonl
+
+    ensure_documents_jsonl(spark, sf_dir)
     # drop any pre-existing KPI view artifacts: the materialization wave
     # must be paid (and measured) inside this run, not inherited from a
     # previous session's .cache

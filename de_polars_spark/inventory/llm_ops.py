@@ -4551,3 +4551,40 @@ ORACLES["mixture_token_budget_plan"] = f"""
            ROUND(CAST(a1 + a2 AS DOUBLE) / n_tokens, 6) AS epochs
     FROM alloc ORDER BY source
 """
+
+
+# ---------------------------------------------------------------- #
+# JSONL source round trip (sources/jsonl.py). The documents table   #
+# is rendered once as a content-addressed JSONL artifact, read back #
+# with the explicit-schema line-splittable scan, and aggregated;    #
+# the oracle aggregates the ORIGINAL table directly — equality      #
+# proves the JSON encoding (string escaping included) round-trips   #
+# losslessly. text_checksum sums a 48-bit md5 prefix per document,  #
+# so one flipped text byte anywhere breaks the group's hash.        #
+# ---------------------------------------------------------------- #
+def q_jsonl_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from de_polars_spark.sources import jsonl as JS
+
+    path = JS.ensure_documents_jsonl(spark, sf_dir)
+    df = JS.read_jsonl(spark, path, JS.DOCUMENTS_JSONL_SCHEMA)
+    text_hash = F.conv(F.substring(F.md5(F.col("text")), 1, 12), 16, 10).cast(
+        "bigint"
+    )
+    return df.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        F.sum(text_hash).cast("bigint").alias("text_checksum"),
+    )
+
+
+QUERIES["jsonl_source_roundtrip"] = q_jsonl_source_roundtrip
+ORACLES["jsonl_source_roundtrip"] = """
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+           CAST(SUM(CAST('0x' || substring(md5(text), 1, 12) AS BIGINT))
+                AS BIGINT) AS text_checksum
+    FROM documents GROUP BY 1, 2
+"""

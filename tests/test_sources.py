@@ -137,3 +137,42 @@ class TestPartitioner:
         assert results["top.sql"].endswith("top.parquet")
         assert spark.read.parquet(results["top.sql"]).count() == 3
         assert results["bad.sql"].startswith("ERROR:")
+
+
+def test_jsonl_roundtrip_adversarial_strings(spark, tmp_path):
+    from de_polars_spark.sources import jsonl as JS
+
+    rows = [
+        (1, 'quote " and \\ backslash', "en"),
+        (2, "newline\nand\ttab", "de"),
+        (3, "unicode — 世界 🚀 ü", "fr"),
+        (4, "", "en"),
+        (5, None, "xx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    path = str(tmp_path / "docs_jsonl")
+    JS.write_jsonl(df, path)
+    back = JS.read_jsonl(spark, path, "doc_id bigint, text string, lang string")
+    got = sorted(map(tuple, back.collect()))
+    # Spark's JSON writer DROPS null fields from the line; the explicit
+    # schema reads them back as NULL — lossless for our purposes
+    assert got == sorted(rows)
+
+
+def test_jsonl_failfast_on_malformed_line(spark, tmp_path):
+    import pytest as _pytest
+
+    from de_polars_spark.sources import jsonl as JS
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-00000.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n{not json at all\n'
+    )
+    with _pytest.raises(Exception, match="Malformed|FAILFAST|corrupt"):
+        JS.read_jsonl(spark, str(p), "doc_id bigint, text string").collect()
+    # PERMISSIVE mode instead quarantines: good rows survive
+    ok = JS.read_jsonl(
+        spark, str(p), "doc_id bigint, text string", mode="PERMISSIVE"
+    )
+    assert ok.where("doc_id = 1").count() == 1
