@@ -13,7 +13,11 @@ how this scales to 100 TB:
 - **Line-splittable.** JSONL (unlike a JSON array file) splits on
   newlines, so a 100 TB corpus parallelizes by byte ranges exactly
   like CSV — no single-reader bottleneck. ``multiLine`` stays off for
-  this reason.
+  this reason. Gzip members (``.jsonl.gz``, how corpora usually
+  arrive) decompress transparently by extension but are NOT
+  byte-range splittable — one reader per file — so a huge corpus must
+  ship as MANY gz files sized near the target partition size, never
+  one.
 
 The content-addressed fixture writer (``ensure_documents_jsonl``)
 renders the immutable ``documents`` parquet as a JSONL artifact once

@@ -176,3 +176,24 @@ def test_jsonl_failfast_on_malformed_line(spark, tmp_path):
         spark, str(p), "doc_id bigint, text string", mode="PERMISSIVE"
     )
     assert ok.where("doc_id = 1").count() == 1
+
+
+def test_jsonl_gzip_reads_transparently(spark, tmp_path):
+    # .jsonl.gz is how corpora actually arrive; Spark decompresses by
+    # extension. The SCALE caveat (documented in sources/jsonl.py): a
+    # gzip member is NOT byte-range splittable — one reader per file —
+    # so huge corpora must ship as MANY gz files, not one.
+    import gzip
+
+    from de_polars_spark.sources import jsonl as JS
+
+    p = tmp_path / "gz"
+    p.mkdir()
+    with gzip.open(p / "part-00000.jsonl.gz", "wt") as fh:
+        fh.write('{"doc_id": 1, "text": "alpha"}\n{"doc_id": 2, "text": "bêta"}\n')
+    with gzip.open(p / "part-00001.jsonl.gz", "wt") as fh:
+        fh.write('{"doc_id": 3, "text": "γάμμα"}\n')
+    back = JS.read_jsonl(spark, str(p), "doc_id bigint, text string")
+    assert sorted(map(tuple, back.collect())) == [
+        (1, "alpha"), (2, "bêta"), (3, "γάμμα"),
+    ]
