@@ -301,6 +301,13 @@ def _temporal():
         st.tuples(ts, st.sampled_from(_FMTS)).map(
             lambda t: f"strftime({t[0]}, '{t[1]}')"
         ),
+        # strptime inverts strftime: render then reparse with a FULL
+        # round-trip format, compare as ISO text (timestamp dtype would
+        # hit the pandas object/datetime64 conversion artifact)
+        ts.map(
+            lambda c: "((strptime(strftime("
+            f"{c}, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S'))::DATE)::VARCHAR"
+        ),
         st.tuples(st.sampled_from(_UNITS), ts, ts).map(
             lambda t: f"(date_diff('{t[0]}', {t[1]}, {t[2]}))::BIGINT"
         ),
