@@ -23,63 +23,73 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-5 head (37 names, driver sample budget 50): the one query whose
-# latest driver row is red (inverted_index — r4 err was the array
-# postings column, now serialized via array_join and strict-hash green
-# locally), followed by the exact 28 queries with no row in any
-# CORRECTNESS_r01..r04 sample (computed as set(QUERIES) − union of r1-r4
-# keys; all strict-hash green locally and in the full
-# tools/check_correctness sweep), followed by round-5 additions (incl.
-# the second-session multimodal_video_frames / multimodal_resize_real).
-# Recompute next round as set(QUERIES) − union(CORRECTNESS_r01..r05 keys).
-# (kpi_view_tracker is NOT here — it already has a green r3 row; bench.py
-# pins it first in ITS run order so the KPI materialization wave still
-# compiles on a fresh JVM, without burning a correctness sample slot.)
-_NEVER_SAMPLED = (
-    # latest driver row red (r4 canonicalizer err); fixed, awaiting resample
-    "inverted_index",
-    # never driver-sampled (strict-hash green locally)
-    "dsir_importance_select",
-    "bpe_phrase_merges",
-    "token_entropy_by_source",
-    "psi_drift_report",
-    "cluster_aware_split",
-    "mixture_token_budget_plan",
-    "streaming_late_arrival_audit",
-    "user_overlap_theta_sketch",
-    "cross_source_overlap_matrix",
-    "quality_prune_plan",
-    "zipf_token_slope",
-    "embedding_centroid_shift",
-    "k_anonymity_report",
-    "qi_uniqueness_ladder",
-    "dedup_containment",
-    "hard_negative_mining",
-    "embedding_int8_quant",
-    "embedding_centroid_silhouette",
-    "tokenizer_fertility",
-    "curriculum_phase_plan",
-    "timeseries_gapfill",
-    "consistent_subset_sample",
-    "retrieval_mrr_ndcg",
-    "bitext_margin_mining",
-    "entity_resolution",
-    "sequence_packing_plan",
-    "matryoshka_recall_eval",
-    "dedup_longest_shared_span",
-    # new in round 5 (no driver row yet)
-    "bitext_margin_mining_ivf",
-    "hard_negative_mining_ivf",
-    "multimodal_audio_decode",
-    "multimodal_pixel_stats",
-    "multimodal_video_frames",
-    "multimodal_resize_real",
-    "multimodal_features_real",
-    "jsonl_source_roundtrip",
-    "ann_ivf_index_compact",
-    # semantics changed in round 5 (real-BMP decode) — needs a fresh row
-    "multimodal_image_decode",
+# Round-6 head (50 names = the full driver sample budget): coverage is
+# complete after r5 (all 195 inventory queries have a green driver row,
+# zero latest-reds), so the head's job rotates from "never sampled" to
+# "re-certify the current tree oldest-green-first". Computed as the 50
+# queries whose NEWEST green row in CORRECTNESS_r01..r05 is oldest
+# (min newest-round ascending, inventory-order tiebreak): the 9 r1-green
+# + 37 r2-green names — all of which predate the values_df migration,
+# the dialect-shim rewrites, and the _gram_strings window change — plus
+# the 4 oldest r3 names. Recompute next round from r01..r06.
+# (kpi_view_tracker has a green r3 row and is deliberately NOT burned
+# here; bench.py pins it first in ITS run order for codegen warmth.)
+_RECERTIFY_HEAD = (
+    # newest green row = r1
+    "finops_line_item_types",
+    "finops_amortized_ladder",
+    "finops_kpi_spine",
+    "finops_spend_mom",
+    "finops_idle_detection",
+    "finops_rightsizing",
+    "finops_negotiation_tiers",
+    "kpi_view_summary",
+    "kpi_view_instance_all",
+    # newest green row = r2
+    "anomaly_zscore",
+    "lag_mom_yoy",
+    "lag_partitioned",
+    "lag_over_agg",
+    "rank_event_types",
+    "topk_days_per_type",
+    "distinct_months",
+    "scalar_functions_showcase",
+    "recent_orders_interval",
+    "ordered_limit_sample",
+    "union_distinct_statuses",
+    "json_props_extract",
+    "sessionization",
+    "hourly_rollup",
+    "star_join_regions",
+    "map_column_access",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprint",
+    "multimodal_resize",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "sample_hash_bernoulli",
+    "sample_stratified",
+    "sample_train_split",
+    "corpus_length_quantiles",
+    # newest green row = r3 (4 oldest in inventory order)
+    "sample_weighted",
+    "pipeline_corpus_curation",
+    "dedup_pagerank",
+    "benchmark_contamination",
 )
+_NEVER_SAMPLED = _RECERTIFY_HEAD
 
 
 def _ordered(mapping: dict) -> dict:
