@@ -125,7 +125,6 @@ _FN_CALL = re.compile(
     r"\b(" + "|".join(_FN_MAP) + r")\s*\(", re.IGNORECASE
 )
 
-_VARCHAR_CAST = re.compile(r"\s+AS\s+(?:VARCHAR|TEXT)\s*\)", re.IGNORECASE)
 _VARCHAR_PG = re.compile(r"::\s*(?:VARCHAR|TEXT)\b(?!\s*\()", re.IGNORECASE)
 _EXCLUDE = re.compile(r"(?<=\*)\s+EXCLUDE\s*\(", re.IGNORECASE)
 _LIST_AGG = re.compile(r"\bLIST\s*\(", re.IGNORECASE)
@@ -202,6 +201,65 @@ def _split_call_args(sql: str, open_idx: int) -> tuple[list[str], int]:
     raise DialectTranslationError("unbalanced parentheses in function call")
 
 
+def _inside_literal(sql: str, pos: int) -> bool:
+    """True iff ``pos`` falls inside a single-quoted SQL string literal.
+
+    Quote-parity scan: DuckDB/Spark escape a quote inside a literal by
+    doubling (``''``), which contributes two quote characters, so the
+    count of ``'`` strictly before ``pos`` is odd exactly when ``pos``
+    is inside a literal. Used by the pre-tokenization rewrites (whose
+    own patterns must match string literals — format strings, regexes)
+    to honor the module contract that rewrites never alter the
+    CONTENTS of an unrelated literal (e.g. ``SELECT 'see
+    array_to_string(a, b)'`` must pass through untouched)."""
+    return sql.count("'", 0, pos) % 2 == 1
+
+
+def _rewrite_varchar_cast(sql: str) -> str:
+    """``CAST(x AS VARCHAR)`` / ``AS TEXT`` → ``AS STRING``, cast-anchored.
+
+    DuckDB's length-free VARCHAR/TEXT ≙ Spark STRING (Spark's parser
+    REQUIRES a length on bare VARCHAR); VARCHAR(n) is valid Spark and
+    passes through (the type word is not immediately followed by ``)``).
+    One forward token pass tracks, per paren depth, whether the opener
+    is the word CAST/TRY_CAST, so a projection alias named text/varchar
+    before a closing paren (``(SELECT 1 AS text)``) is never renamed —
+    only a genuine cast's type token is. String literals are skipped by
+    the token scan. Runs pre-tokenization because a cast's input
+    expression may itself contain a literal (``CAST('x' AS VARCHAR)``),
+    which would otherwise split the cast across rewrite segments."""
+    spans: list[tuple[int, int]] = []  # [s, e) spans to become "AS STRING"
+    stack: list[bool] = []  # per open paren: opener is CAST/TRY_CAST
+    words: list[tuple[str, int, int]] = []  # (UPPER, start, end), last two
+    for kind, s, e in _scan_tokens(sql):
+        if kind == "word":
+            words.append((sql[s:e].upper(), s, e))
+            if len(words) > 2:
+                words.pop(0)
+        elif kind == "char":
+            c = sql[s]
+            if c == "(":
+                stack.append(
+                    bool(words)
+                    and words[-1][0] in ("CAST", "TRY_CAST")
+                    and sql[words[-1][2] : s].strip() == ""
+                )
+            elif c == ")":
+                in_cast = stack.pop() if stack else False
+                if in_cast and len(words) == 2:
+                    (w1, s1, e1), (w2, s2, e2) = words
+                    if (
+                        w1 == "AS"
+                        and w2 in ("VARCHAR", "TEXT")
+                        and sql[e1:s2].strip() == ""
+                        and sql[e2:s].strip() == ""
+                    ):
+                        spans.append((s1, s))
+    for s1, s in reversed(spans):
+        sql = sql[:s1] + "AS STRING" + sql[s:]
+    return sql
+
+
 _ARRAY_TO_STRING = re.compile(r"\barray_to_string\s*\(", re.IGNORECASE)
 
 
@@ -220,10 +278,14 @@ def _rewrite_array_to_string(sql: str) -> str:
     tokenization because the separator is a string literal.
     Found by the differential fuzzer (tests/test_dialect_fuzz.py).
     """
+    pos = 0
     while True:
-        m = _ARRAY_TO_STRING.search(sql)
+        m = _ARRAY_TO_STRING.search(sql, pos)
         if not m:
             return sql
+        if _inside_literal(sql, m.start()):
+            pos = m.end()
+            continue
         args, close = _split_call_args(sql, m.end() - 1)
         if len(args) != 2:
             raise DialectTranslationError(
@@ -235,6 +297,7 @@ def _rewrite_array_to_string(sql: str) -> str:
             f"ELSE array_join({arr}, {sep}) END"
         )
         sql = sql[: m.start()] + repl + sql[close + 1 :]
+        pos = m.start()  # re-scan repl: nested calls live inside {arr}
 
 
 def _rewrite_date_diff(sql: str) -> str:
@@ -245,6 +308,10 @@ def _rewrite_date_diff(sql: str) -> str:
         if not m:
             out.append(sql[pos:])
             break
+        if _inside_literal(sql, m.start()):
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
         unit = m.group("part").lower()
         # scan the two remaining args: depth-0 comma splits, string
         # literals skipped, stop at the depth-0 closing paren
@@ -315,6 +382,8 @@ _STRFTIME = re.compile(
 
 
 def _strftime_repl(m: re.Match) -> str:
+    if _inside_literal(m.string, m.start()):
+        return m.group(0)
     fmt = m.group("fmt")
     for tok, spark in _STRFTIME_MAP.items():
         fmt = fmt.replace(tok, spark)
@@ -333,6 +402,8 @@ _STRPTIME = re.compile(
 
 
 def _strptime_repl(m: re.Match) -> str:
+    if _inside_literal(m.string, m.start()):
+        return m.group(0)
     fmt = m.group("fmt")
     for tok, spark in _STRFTIME_MAP.items():
         fmt = fmt.replace(tok, spark)
@@ -343,15 +414,20 @@ def _rewrite_segment(seg: str) -> str:
     """Apply rewrites to a segment known to contain no string literals,
     except the FROM-'path' / regex patterns which this runs before
     literal splitting (handled in translate_duckdb_sql)."""
+    def _pg_cast_repl(m: re.Match) -> str:
+        typ = m.group("type")
+        # length-free VARCHAR/TEXT ≙ Spark STRING (VARCHAR(n) passes
+        # through — the type group would include the parens)
+        if typ.upper() in ("VARCHAR", "TEXT"):
+            typ = "STRING"
+        return f"CAST({m.group('expr')} AS {typ})"
+
     prev = None
     while prev != seg:  # nested :: casts resolve innermost-out
         prev = seg
-        seg = _PG_CAST.sub(lambda m: f"CAST({m.group('expr')} AS {m.group('type')})", seg)
-    # DuckDB's length-free VARCHAR/TEXT ≙ Spark STRING; Spark's parser
-    # REQUIRES a length on bare VARCHAR. Cast-context only (``AS TYPE)``)
-    # so identifiers named ``text`` (documents.text) are never touched;
-    # VARCHAR(n) is valid Spark and passes through. (fuzzer find)
-    seg = _VARCHAR_CAST.sub(" AS STRING)", seg)
+        seg = _PG_CAST.sub(_pg_cast_repl, seg)
+    # length-free VARCHAR/TEXT inside CAST(..) is rewritten by
+    # _rewrite_varchar_cast (pre-tokenization, cast-anchored);
     # same mapping for :: casts the _PG_CAST rewrite could not reach
     # (bases spanning string literals fall through to Spark's native ::
     # operator, which also rejects bare VARCHAR)
@@ -494,11 +570,18 @@ def _rewrite_qualify(sql: str, _n: int = 0) -> str:
     tail = sql[pred_end:scope_end]
     tag = _n
     # body-relative position of the top-level FROM and whether the
-    # select list is DISTINCT (first word after SELECT)
+    # select list is DISTINCT (first word after SELECT); also detect a
+    # top-level GROUP BY ALL — injecting the predicate column into such
+    # a body would make it participate in Spark's ALL resolution
+    # (grouping by a window expression → analyzer error), so it takes
+    # the same outer-wrapper fallback as DISTINCT (ADVICE r5; covered
+    # by tests/test_dialect_fuzz.py)
     from_at = None
     distinct = False
+    group_by_all = False
     bdepth = 0
     word_no = 0
+    prev2 = prev1 = None
     for kind, s, e in _scan_tokens(body):
         if kind == "char":
             if body[s] == "(":
@@ -510,10 +593,12 @@ def _rewrite_qualify(sql: str, _n: int = 0) -> str:
             w = body[s:e].upper()
             if word_no == 2 and w == "DISTINCT":
                 distinct = True
-            if w == "FROM":
+            if w == "FROM" and from_at is None:
                 from_at = s
-                break
-    if distinct:
+            if w == "ALL" and prev1 == "BY" and prev2 == "GROUP":
+                group_by_all = True
+            prev2, prev1 = prev1, w
+    if distinct or group_by_all:
         injected = (
             f"SELECT *, ({pred}) AS __qp{tag} FROM ({body}) __qb{tag}"
         )
@@ -551,6 +636,10 @@ def translate_duckdb_sql(sql: str) -> str:
     # array_to_string's separator is a string literal, and its empty-array
     # semantics need a CASE guard, not a rename (_rewrite_array_to_string)
     sql = _rewrite_array_to_string(sql)
+    # CAST(.. AS VARCHAR/TEXT) → AS STRING: pre-tokenization because the
+    # cast input may contain a literal; cast-anchored so aliases named
+    # text/varchar are untouched (_rewrite_varchar_cast)
+    sql = _rewrite_varchar_cast(sql)
     sql = _READ_PARQUET_ONE.sub(lambda m: f"parquet.`{m.group('path')}`", sql)
 
     def _list_repl(m: re.Match) -> str:

@@ -150,6 +150,16 @@ def values_df(
             f"values_df is a driver-state channel, got {len(rows)} rows "
             f"(cap {max_rows}) — distribute real data as files instead"
         )
+    # arity check: rows longer than the column list would render extra
+    # VALUES columns that the CAST projection silently DROPS (and
+    # shorter rows would mis-align) — createDataFrame raises here, and
+    # a drop-in replacement must too (ADVICE r5)
+    for i, row in enumerate(rows):
+        if len(row) != len(cols):
+            raise ValueError(
+                f"values_df row {i} has {len(row)} values for "
+                f"{len(cols)} schema columns"
+            )
     # CAST every column to the declared type: VALUES-side literals are
     # rendered wide (bigint/double) and the cast pins the exact schema,
     # including NULL-only and empty-array columns whose literal type

@@ -326,3 +326,68 @@ def test_strptime_to_to_timestamp(spark):
     duck = duckdb.connect().execute(sql).fetchone()[0]
     got = spark.sql(t(sql)).collect()[0]["ts"]
     assert got == duck
+
+
+# --- round-6 ADVICE regressions: literal-content protection, ---------
+# --- cast-anchored VARCHAR, QUALIFY × GROUP BY ALL -------------------
+
+
+def test_prelex_rewrites_skip_literal_contents():
+    """array_to_string/strftime/strptime/date_diff run before
+    tokenization (their args carry literals) but must never rewrite a
+    mention INSIDE an unrelated string literal (ADVICE r5)."""
+    for fn in (
+        "array_to_string(a, b)",
+        "strftime(x, '%Y')".replace("'", "''"),
+        "strptime(x, '%Y')".replace("'", "''"),
+        "date_diff('day', a, b)".replace("'", "''"),
+    ):
+        sql = f"SELECT 'see {fn}' AS s"
+        assert t(sql) == sql, t(sql)
+    # a real call AFTER a literal that mentions the function still rewrites
+    s = t("SELECT 'array_to_string(x, y)' AS doc, array_to_string(a, '-') AS j FROM t")
+    assert "'array_to_string(x, y)'" in s and "array_join(a, '-')" in s
+
+
+def test_varchar_rewrite_is_cast_anchored():
+    """An alias named text/varchar before a closing paren is an
+    identifier, not a cast type — never renamed (ADVICE r5)."""
+    assert t("(SELECT 1 AS text)") == "(SELECT 1 AS text)"
+    assert t("SELECT * FROM (SELECT p_type AS varchar)") == (
+        "SELECT * FROM (SELECT p_type AS varchar)"
+    )
+    # genuine casts in every reachable shape still map to STRING
+    assert t("SELECT CAST(x AS VARCHAR) FROM t") == "SELECT CAST(x AS STRING) FROM t"
+    assert t("SELECT TRY_CAST(x AS TEXT) FROM t") == "SELECT TRY_CAST(x AS STRING) FROM t"
+    assert t("SELECT CAST('x' AS TEXT)") == "SELECT CAST('x' AS STRING)"
+    assert t("SELECT CAST(CAST(x AS VARCHAR) AS TEXT) FROM t") == (
+        "SELECT CAST(CAST(x AS STRING) AS STRING) FROM t"
+    )
+    assert t("SELECT x::VARCHAR, y::TEXT FROM t") == (
+        "SELECT CAST(x AS STRING), CAST(y AS STRING) FROM t"
+    )
+    # VARCHAR(n) is valid Spark — passes through
+    assert "VARCHAR(30)" in t("SELECT CAST(x AS VARCHAR(30)) FROM t")
+
+
+def test_qualify_group_by_all_uses_wrapper(spark):
+    """GROUP BY ALL + QUALIFY: injecting the predicate column would make
+    it participate in Spark's ALL resolution (analyzer error) — the
+    rewrite must fall back to the outer-wrapper form (ADVICE r5)."""
+    sql = (
+        "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY ALL "
+        "QUALIFY row_number() OVER (ORDER BY n DESC, o_orderstatus) <= 2"
+    )
+    out = t(sql)
+    assert "__qb" in out  # wrapper marker
+    rows = spark.sql(out).collect()
+    assert len(rows) == 2
+    # oracle: hand-wrapped equivalent (window over the grouped result)
+    explicit = spark.sql(
+        "SELECT o_orderstatus, n FROM ("
+        "  SELECT o_orderstatus, n, row_number() OVER "
+        "    (ORDER BY n DESC, o_orderstatus) AS rn FROM ("
+        "    SELECT o_orderstatus, count(*) AS n FROM orders "
+        "    GROUP BY o_orderstatus) g) w WHERE rn <= 2"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, explicit))

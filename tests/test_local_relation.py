@@ -127,3 +127,13 @@ def test_unsupported_types_fail_loudly(spark):
 
     with pytest.raises(TypeError, match="cannot render"):
         values_df(spark, [(np.float32(1.5),)], "v double")
+
+
+def test_row_arity_mismatch_fails_loudly(spark):
+    """Rows longer than the schema would render extra VALUES columns the
+    CAST projection silently drops; shorter rows mis-align — both must
+    raise, as createDataFrame does (ADVICE r5)."""
+    with pytest.raises(ValueError, match="row 0 has 2 values for 1"):
+        values_df(spark, [(1, 2)], "i int")
+    with pytest.raises(ValueError, match="row 1 has 1 values for 2"):
+        values_df(spark, [(1, 2), (3,)], "a int, b int")
