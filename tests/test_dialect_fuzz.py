@@ -277,6 +277,64 @@ def test_qualify_fuzz_differential(spark, wins, qualify_on_alias, k, outer_limit
     )
 
 
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    use_all=st.booleans(),
+    # integer-typed aggregates only: float→int :: casts hit the known
+    # round(DuckDB)-vs-truncate(Spark) cast divergence, excluded suite-wide
+    agg=st.sampled_from(["count(*)", "sum(p_size)", "min(p_partkey)"]),
+    k=st.integers(1, 3),
+)
+def test_qualify_grouped_body_differential(spark, use_all, agg, k):
+    """QUALIFY over a grouped body, explicit keys and GROUP BY ALL
+    (ADVICE r5). Explicit keys: injection form, differential vs DuckDB
+    with the predicate referencing the aggregate expression directly.
+    GROUP BY ALL: DuckDB itself REFUSES the combination ('Combining
+    QUALIFY with GROUP BY ALL is not supported yet', Binder Error), so
+    there is no oracle — the shim's wrapper fallback is a strict
+    SUPERSET of DuckDB here, checked against the explicit-key result
+    Spark-vs-Spark instead."""
+    explicit_sql = (
+        f"SELECT p_brand, ({agg})::BIGINT AS n "
+        f"FROM read_parquet('{PART}') GROUP BY p_brand "
+        f"QUALIFY row_number() OVER (ORDER BY {agg} DESC, p_brand) <= {k} "
+        f"ORDER BY p_brand"
+    )
+    if use_all:
+        all_sql = explicit_sql.replace("GROUP BY p_brand", "GROUP BY ALL").replace(
+            f"ORDER BY {agg} DESC", "ORDER BY n DESC"
+        )
+        with pytest.raises(duckdb.BinderException, match="GROUP BY ALL"):
+            duckdb.connect().execute(all_sql)
+        translated = translate_duckdb_sql(all_sql)
+        assert "__qb" in translated  # wrapper form taken
+        got = spark.sql(translated).toPandas()
+        want = spark.sql(translate_duckdb_sql(explicit_sql)).toPandas()
+        problems = compare(got, want)
+        assert not problems, (
+            f"GROUP BY ALL wrapper drift on:\n  {all_sql}\n→ {translated}\n"
+            + "\n".join(problems)
+        )
+        return
+    duck = duckdb.connect().execute(explicit_sql).df()
+    translated = translate_duckdb_sql(explicit_sql)
+    got = spark.sql(translated).toPandas()
+    for frame in (got, duck):
+        for c in frame.columns:
+            if str(frame[c].dtype).startswith("int"):
+                frame[c] = frame[c].astype("int64")
+    problems = compare(got, duck)
+    assert not problems, (
+        f"grouped-qualify drift on:\n  {explicit_sql}\n→ {translated}\n"
+        + "\n".join(problems)
+    )
+
+
 # ------------------------------------------------------------------ #
 # Temporal fuzz: strftime (format-token map), date_diff (boundary-    #
 # crossing semantics preserved by operand truncation), extraction     #
