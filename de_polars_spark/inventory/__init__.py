@@ -30,6 +30,7 @@ def _load() -> tuple[dict, dict]:
         kpi_views,
         llm_ops,
         pricing,
+        recall_clustered,
         relational_ext,
         scale_ops,
         streaming_ops,
@@ -40,7 +41,7 @@ def _load() -> tuple[dict, dict]:
     oracles: dict = {}
     for mod in (core_sql, llm_ops, finops, kpi_views, pricing, driver_math,
                 streaming_ops, relational_ext, scale_ops, corpus_ops,
-                training_ops):
+                training_ops, recall_clustered):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -3683,9 +3683,10 @@ def _pq_subspace_ctes() -> str:
     return "".join(parts)
 
 
-def _pq_adc_scored() -> str:
+def _pq_adc_scored(qmod: int = 100) -> str:
     """The shared q/scored CTE tail: ADC distance as a decimal sum of
-    ROUNDed per-subspace terms (order-free, engine-exact)."""
+    ROUNDed per-subspace terms (order-free, engine-exact). ``qmod``
+    selects the query set (vec_id % qmod = 0)."""
     terms = []
     for j in range(_PQ_M):
         off = j * _PQ_DSUB
@@ -3699,7 +3700,7 @@ def _pq_adc_scored() -> str:
         f"JOIN codes{j} k{j} ON k{j}.vec_id = x.vec_id" for j in range(_PQ_M)
     )
     return f""",
-    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % {qmod} = 0),
     scored AS (
         SELECT q.query_id, x.vec_id AS neighbor_id,
                CAST(CAST({" + ".join(terms)} AS DECIMAL(38,6)) AS DOUBLE) AS adist
@@ -3791,15 +3792,14 @@ def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_recall_oracle() -> str:
+def _pq_recall_tail() -> str:
+    """The recall-scoring SQL after the ``e``/codes/``scored`` chain —
+    shared by the uniform and clustered PQ recall oracles."""
     exact_d2 = (
         "ROUND(list_aggregate(list_transform(generate_series(1, 64), "
         "i -> (q.qv[i] - x.v[i]) * (q.qv[i] - x.v[i])), 'sum'), 6)"
     )
-    return (
-        _pq_chain()
-        + _pq_adc_scored()
-        + f""",
+    return f""",
     approx AS (
         SELECT query_id, neighbor_id FROM (
             SELECT scored.*, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -3830,7 +3830,10 @@ def _pq_recall_oracle() -> str:
     GROUP BY a.query_id
     ORDER BY a.query_id
 """
-    )
+
+
+def _pq_recall_oracle() -> str:
+    return _pq_chain() + _pq_adc_scored() + _pq_recall_tail()
 
 
 QUERIES["ann_pq_recall_eval"] = q_ann_pq_recall_eval
