@@ -91,6 +91,27 @@ BNL_JUSTIFIED: dict[str, str] = {
         "anchor; the production scale path is bitext_margin_mining_ivf "
         "(cell-bucketed, per-cell quadratic)"
     ),
+    # round-6 clustered/near-dup recall fixtures (recall_clustered.py):
+    # each composes an already-justified eval-baseline over a derived
+    # corpus; the derivation itself is a 10-row (or N/4-leader)
+    # broadcast join, never a BNL
+    "ann_recall_eval_clustered": (
+        "eval-baseline: ann_recall_eval's exact-BNL shape over the clustered "
+        "fixture — grades the IVF operating point (measured recall 0.983)"
+    ),
+    "ann_pq_recall_eval_clustered": (
+        "eval-baseline: ann_pq_recall_eval's exact + un-pruned ADC shapes over "
+        "the clustered fixture (recall-ladder midpoint, 0.40)"
+    ),
+    "ann_pq_recall_eval_neardup": (
+        "eval-baseline: same shapes over the near-dup fixture — PQ's designed "
+        "regime (measured recall 0.933)"
+    ),
+    "bitext_ivf_pair_recall_clustered": (
+        "eval-baseline: runs the exact miner (documented BNL anchor) AND the "
+        "cell-bucketed IVF miner over the paired fixture to measure pair "
+        "recall (1.0 over 100 true pairs)"
+    ),
 }
 #: legacy alias used by older docs
 CROSS_JOIN_OK = set(BNL_JUSTIFIED)
@@ -189,7 +210,8 @@ def main() -> None:
                 "nested-loop join anymore) — remove it"
             )
 
-    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+    out_name = os.environ.get("SPARK_GRAFT_PLANS_OUT", "PLANS.md")
+    with open(os.path.join(REPO, out_name), "w") as f:
         f.write(
             "# Physical-plan audit\n\n"
             f"Generated by `tools/audit_plans.py` at `{SF_DIR}`. Facts that\n"
@@ -216,7 +238,7 @@ def main() -> None:
         f.write("\n".join(flags) if flags else "None — every plan is the intended shape.")
         f.write("\n")
     print(
-        f"PLANS.md written: {len(rows)} plans, {len(justified)} justified-BNL, "
+        f"{out_name} written: {len(rows)} plans, {len(justified)} justified-BNL, "
         f"{len(flags)} flags"
     )
     for fl in flags:
