@@ -163,6 +163,18 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        # artifact-building query constructors (pair graph, KPI wave,
+        # IVF index) execute real jobs before the plan is explained —
+        # at sf1 those OOM the 1g default heap
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        # audit() executes each plan (AQE finalizes strategies at
+        # runtime); at sf1 a broadcast-side build can exceed the 1g
+        # default result cap mid-session even when the query's own
+        # result is rows-small
+        .config("spark.driver.maxResultSize", "4g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,6 +183,9 @@ def main() -> None:
 
     only = set(sys.argv[1:])
     rows, flags, justified = [], [], []
+    from de_polars_spark.operators.dedup import release_cached as _rel_dedup
+    from de_polars_spark.operators.similarity import release_cached as _rel_sim
+
     for name, fn in entry_mod.queries().items():
         if only and name not in only:
             continue
@@ -179,6 +194,13 @@ def main() -> None:
         except Exception as exc:  # pragma: no cover - audit robustness
             flags.append(f"- `{name}`: PLAN FAILED — {exc}")
             continue
+        finally:
+            # same hygiene as bench.py: dedup/similarity ops persist
+            # internally; 200 executed plans otherwise accumulate
+            # cached postings until the storage pressure distorts (or
+            # kills) late queries
+            _rel_dedup()
+            _rel_sim()
         rows.append(info)
         if info["bnl"]:
             if name in BNL_JUSTIFIED:
