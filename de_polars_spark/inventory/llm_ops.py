@@ -227,6 +227,49 @@ ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
 
 
 # ---------------------------------------------------------------- #
+# Capped LSH banding — the PRODUCTION form of the pair generator.   #
+# The uncapped form above is the oracle anchor and is quadratic in  #
+# the corpus at a fixed band-collision rate (measured at sf1:       #
+# 10x docs -> 158x pairs, SURVEY §13); max_bucket_size drops the    #
+# boilerplate buckets whose B^2 expansions drive that growth        #
+# (sf0.1 -> sf1 capped: 31.9k -> 143k pairs, near-linear). This     #
+# query oracle-checks the cap semantics themselves: a bucket        #
+# participates iff 2 <= |bucket| <= cap.                            #
+# ---------------------------------------------------------------- #
+_LSH_CAP = 16
+
+
+def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        t["documents"],
+        "doc_id",
+        "text",
+        _N_HASHES,
+        _BAND_SIZE,
+        shingle_n=2,
+        max_bucket_size=_LSH_CAP,
+    )
+
+
+QUERIES["dedup_minhash_lsh_capped"] = q_dedup_minhash_lsh_capped
+ORACLES["dedup_minhash_lsh_capped"] = f"""
+    WITH {_minhash_band_ctes()},
+    sized AS (
+        SELECT band_id, band_key, COUNT(DISTINCT doc_id) AS n
+        FROM bands WHERE band_key IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ok AS (SELECT band_id, band_key FROM sized WHERE n <= {_LSH_CAP})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN ok USING (band_id, band_key)
+    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------- #
 # Batch form of the streaming MinHash-LSH admission rule            #
 # (streaming/neardup_ingest.py, which this binds to the oracle):    #
 # a doc is rejected iff it shares a band key with a LOWER-id doc —  #
