@@ -197,3 +197,31 @@ def test_jsonl_gzip_reads_transparently(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == [
         (1, "alpha"), (2, "bêta"), (3, "γάμμα"),
     ]
+
+
+def test_sf1_generator_schema_parity(tmp_path):
+    """tools/gen_testdata.py must emit arrow schemas IDENTICAL to the
+    driver's testdata (column names, int widths, float32 embedding
+    lists, timestamp[us]) — the sf1 bench artifact is only comparable
+    if the shapes match exactly."""
+    import importlib.util
+    import os
+
+    import pyarrow.parquet as pq
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_testdata",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_testdata.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "tiny")
+    mod.main(["--out", out, "--scale", "0.0005"])
+    src = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        want = pq.read_schema(os.path.join(src, f"{t}.parquet"))
+        got = pq.read_schema(os.path.join(out, f"{t}.parquet"))
+        assert got.equals(want, check_metadata=False), (
+            f"{t}: generated schema {got} != driver schema {want}"
+        )

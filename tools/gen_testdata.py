@@ -67,11 +67,27 @@ def _ts_us(days_from: str, day_span: int, rng, n: int) -> np.ndarray:
     return (base + rng.integers(0, span_us, n)).astype("datetime64[us]")
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "testdata", "sf1"))
-    args = ap.parse_args()
+    ap.add_argument(
+        "--scale", type=float, default=1.0,
+        help="row-count multiplier on the sf1 sizes (tests use tiny values)",
+    )
+    args = ap.parse_args(argv)
     out = args.out
+    sc = args.scale
+    global N_CUSTOMER, N_SUPPLIER, N_PART, N_ORDERS, N_LINEITEM_ORDERS
+    global N_EVENTS, N_DOCS, N_EMB
+    if sc != 1.0:
+        N_CUSTOMER = max(10, int(N_CUSTOMER * sc))
+        N_SUPPLIER = max(10, int(N_SUPPLIER * sc))
+        N_PART = max(10, int(N_PART * sc))
+        N_ORDERS = max(10, int(N_ORDERS * sc))
+        N_LINEITEM_ORDERS = N_ORDERS
+        N_EVENTS = max(10, int(N_EVENTS * sc))
+        N_DOCS = max(10, int(N_DOCS * sc))
+        N_EMB = max(10, int(N_EMB * sc))
     os.makedirs(out, exist_ok=True)
     rng = np.random.Generator(np.random.PCG64(42))
 
