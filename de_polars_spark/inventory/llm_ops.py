@@ -81,13 +81,32 @@ ORACLES["dedup_fingerprint"] = f"""
 _N_HASHES, _BAND_SIZE = 8, 2
 
 
+def _lsh_graph_cap() -> int | None:
+    """Optional bucket cap for the SHARED pair graph (production switch).
+
+    Default None = exact banding, which is what every consumer's DuckDB
+    oracle reproduces — the correctness gate. Uncapped banding is
+    quadratic in the corpus at a fixed band-collision rate (measured at
+    sf1: 10x docs -> 158x pairs -> dedup_graph_stats 448 s), so a real
+    deployment sets ``SPARK_GRAFT_LSH_CAP`` (e.g. 16) and the six graph
+    consumers inherit the near-linear capped graph; the cap is part of
+    the artifact's content address, so capped and exact graphs never
+    cross-contaminate. Cap semantics themselves are oracle-checked by
+    ``dedup_minhash_lsh_capped``."""
+    import os
+
+    raw = os.environ.get("SPARK_GRAFT_LSH_CAP", "").strip()
+    return int(raw) if raw else None
+
+
 def _pair_graph_artifact_dir(sf_dir: str) -> str:
     """Content-addressed artifact path for the shared MinHash pair graph.
 
     Keyed on the corpus (sf_dir basename — testdata is immutable), the
-    LSH parameters, and a hash of the generating implementation, so any
-    edit to the MinHash/LSH code invalidates cached graphs. Same pattern
-    as ``kpi_views._kpi_artifact_dir``."""
+    LSH parameters (incl. the optional production bucket cap), and a
+    hash of the generating implementation, so any edit to the
+    MinHash/LSH code invalidates cached graphs. Same pattern as
+    ``kpi_views._kpi_artifact_dir``."""
     import hashlib
     import inspect
     import os
@@ -102,7 +121,7 @@ def _pair_graph_artifact_dir(sf_dir: str) -> str:
         + inspect.getsource(dedup.minhash_lsh_pairs)
     )
     tag = hashlib.md5(
-        f"{impl}|{_N_HASHES}|{_BAND_SIZE}|shingle2".encode()
+        f"{impl}|{_N_HASHES}|{_BAND_SIZE}|shingle2|cap={_lsh_graph_cap()}".encode()
     ).hexdigest()[:8]
     return os.path.join(
         cache_dir,
@@ -176,7 +195,8 @@ def _dedup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _pair_graph_artifact_dir(sf_dir)
     if not os.path.exists(path):
         pairs = dedup.minhash_lsh_pairs(
-            t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+            t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE,
+            shingle_n=2, max_bucket_size=_lsh_graph_cap(),
         )
         tmp = f"{path}.tmp-{os.getpid()}"
         pairs.write.mode("overwrite").parquet(tmp)

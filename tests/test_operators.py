@@ -767,3 +767,28 @@ def test_png_channel_sums_match_handcount(spark):
     assert r["sum_r"] == sum(vals)
     assert r["sum_g"] == sum(v * 3 % 256 for v in vals)
     assert r["sum_b"] == sum(v * 5 % 256 for v in vals)
+
+
+def test_pair_graph_cap_switch(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_LSH_CAP reroutes the SHARED pair-graph artifact to the
+    capped (near-linear) form under a distinct content address; the
+    default stays the exact oracle-anchored graph (SURVEY §13 A/B:
+    uncapped banding is quadratic in the corpus)."""
+    import de_polars_spark.inventory.llm_ops as L
+
+    p_exact = L._pair_graph_artifact_dir(sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_CAP", "16")
+    p_capped = L._pair_graph_artifact_dir(sf_dir)
+    assert p_exact != p_capped  # capped and exact graphs never mix
+    n_capped = L._dedup_pair_graph(spark, sf_dir).count()
+    from de_polars_spark.operators.dedup import minhash_lsh_pairs
+    from de_polars_spark.sources.registry import register_testdata
+
+    t = register_testdata(spark, sf_dir)
+    want = minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", L._N_HASHES, L._BAND_SIZE,
+        shingle_n=2, max_bucket_size=16,
+    ).count()
+    assert n_capped == want
+    monkeypatch.delenv("SPARK_GRAFT_LSH_CAP")
+    assert L._dedup_pair_graph(spark, sf_dir).count() >= n_capped
