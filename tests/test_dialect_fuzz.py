@@ -707,3 +707,67 @@ def test_fuzz_grammar_smoke(spark):
     duck = duckdb.connect().execute(sql).df()
     got = spark.sql(translate_duckdb_sql(sql)).toPandas()
     assert not compare(got, duck)
+
+
+# ------------------------------------------------------------------ #
+# Surface 9: literal-content protection. The pre-tokenization         #
+# rewrites (array_to_string, strftime/strptime, date_diff, the        #
+# cast-anchored VARCHAR pass) must never alter text INSIDE a string   #
+# literal even when that text looks exactly like a rewrite target     #
+# (ADVICE r5; guarded by _inside_literal / _rewrite_varchar_cast).    #
+# Each case pairs a booby-trapped literal with a REAL rewrite in the  #
+# same statement: the literal must survive translation verbatim AND   #
+# both engines must agree on every value.                             #
+# ------------------------------------------------------------------ #
+
+_TRAP_LITERALS = [
+    "see array_to_string(a, b) here",
+    "strptime(x, '%Y') inside",
+    "strftime(ts, '%Y-%m') inside",
+    "date_diff('day', a, b) text",
+    "CAST(x AS VARCHAR) quoted",
+    "also x::date and y::TEXT",
+    "SELECT 1 AS text) trailing",
+    "read_parquet('nope.parquet')",
+    "a QUALIFY row_number() OVER ()",
+]
+_REAL_REWRITES = [
+    ("array_to_string(string_split(p_name, ' '), '-')", "string"),
+    ("strptime('2024-01-15', '%Y-%m-%d')::DATE::VARCHAR", "string"),
+    ("date_diff('day', DATE '2024-01-01', o_orderdate::DATE)::BIGINT", "int"),
+    ("CAST(o_orderkey AS VARCHAR)", "string"),
+]
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lit=st.sampled_from(_TRAP_LITERALS),
+    real=st.sampled_from(range(len(_REAL_REWRITES))),
+)
+def test_literal_protection_fuzz(spark, lit, real):
+    expr, _ = _REAL_REWRITES[real]
+    esc = lit.replace("'", "''")
+    if "p_name" in expr:
+        src, key = PART, "p_partkey"
+    else:
+        src, key = ORDERS, "o_orderkey"
+    sql = (
+        f"SELECT {key}, '{esc}' AS lit, {expr} AS v "
+        f"FROM read_parquet('{src}') ORDER BY {key} LIMIT 50"
+    )
+    translated = translate_duckdb_sql(sql)
+    assert f"'{esc}'" in translated, (
+        f"literal altered by translation:\n  {sql}\n→ {translated}"
+    )
+    duck = duckdb.connect().execute(sql).df()
+    got = spark.sql(translated).toPandas()
+    problems = compare(got, duck)
+    assert not problems, (
+        f"literal-protection drift on:\n  {sql}\n→ {translated}\n"
+        + "\n".join(problems)
+    )
