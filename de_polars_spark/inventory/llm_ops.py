@@ -2200,9 +2200,14 @@ ORACLES["quality_by_source"] = f"""
 # the precision path.                                               #
 # ---------------------------------------------------------------- #
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # honors the same SPARK_GRAFT_LSH_CAP production switch as the
+    # shared pair graph (unset = exact banding, the oracle's semantics;
+    # the estimator's candidate set is otherwise quadratic like any
+    # uncapped banding — measured 10.1M pairs at sf1)
     t = register_testdata(spark, sf_dir)
     return dedup.minhash_estimate_pairs(
-        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE, shingle_n=2
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE,
+        shingle_n=2, max_bucket_size=_lsh_graph_cap(),
     )
 
 
