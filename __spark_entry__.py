@@ -23,71 +23,67 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-6 head (50 names = the full driver sample budget): coverage is
-# complete after r5 (all 195 inventory queries have a green driver row,
-# zero latest-reds), so the head's job rotates from "never sampled" to
-# "re-certify the current tree oldest-green-first". Computed as the 50
-# queries whose NEWEST green row in CORRECTNESS_r01..r05 is oldest
-# (min newest-round ascending, inventory-order tiebreak): the 9 r1-green
-# + 37 r2-green names — all of which predate the values_df migration,
-# the dialect-shim rewrites, and the _gram_strings window change — plus
-# the 4 oldest r3 names. Recompute next round from r01..r06.
-# (kpi_view_tracker has a green r3 row and is deliberately NOT burned
-# here; bench.py pins it first in ITS run order for codegen warmth.)
+# Round-7 head (50 names = the full driver sample budget), per the r6
+# verdict: the 6 round-6 additions that have NO driver row in any
+# round, then the oldest-green re-certification tail — the 44 oldest
+# names whose newest green row in CORRECTNESS_r01..r06 is r3
+# (inventory-order tiebreak; the remaining 2 r3 names —
+# range_join_error_burst, tfidf_top_terms — plus the 49 r4 names form
+# the r8 head). After this round no query's newest green driver row is
+# older than r4.
 _RECERTIFY_HEAD = (
-    # newest green row = r1
-    "finops_line_item_types",
-    "finops_amortized_ladder",
-    "finops_kpi_spine",
-    "finops_spend_mom",
-    "finops_idle_detection",
-    "finops_rightsizing",
-    "finops_negotiation_tiers",
-    "kpi_view_summary",
-    "kpi_view_instance_all",
-    # newest green row = r2
-    "anomaly_zscore",
-    "lag_mom_yoy",
-    "lag_partitioned",
-    "lag_over_agg",
-    "rank_event_types",
-    "topk_days_per_type",
-    "distinct_months",
-    "scalar_functions_showcase",
-    "recent_orders_interval",
-    "ordered_limit_sample",
-    "union_distinct_statuses",
-    "json_props_extract",
-    "sessionization",
-    "hourly_rollup",
-    "star_join_regions",
-    "map_column_access",
-    "dedup_exact",
-    "dedup_fingerprint",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "dedup_components",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "text_lang_id",
-    "text_quality",
-    "text_token_stats",
-    "text_fingerprint",
-    "multimodal_resize",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "sample_hash_bernoulli",
-    "sample_stratified",
-    "sample_train_split",
-    "corpus_length_quantiles",
-    # newest green row = r3 (4 oldest in inventory order)
-    "sample_weighted",
-    "pipeline_corpus_curation",
-    "dedup_pagerank",
-    "benchmark_contamination",
+    # never driver-sampled (added in round 6)
+    "dedup_minhash_lsh_capped",
+    "multimodal_png_decode",
+    "ann_recall_eval_clustered",
+    "ann_pq_recall_eval_clustered",
+    "ann_pq_recall_eval_neardup",
+    "bitext_ivf_pair_recall_clustered",
+    # newest green row = r3 (44 oldest in inventory order)
+    "text_repetition_stats",
+    "text_pii_scrub",
+    "shard_packing",
+    "kmeans_embeddings",
+    "text_unigram_logprob",
+    "mixture_resample_sqrt",
+    "dedup_semantic",
+    "gopher_quality_filter",
+    "token_diversity_profile",
+    "quality_logreg_score",
+    "embedding_pool_chunks",
+    "ann_recall_eval",
+    "per_source_cap",
+    "ann_multiprobe_topk",
+    "ann_ivf_kmeans_topk",
+    "embedding_norm_profile",
+    "fuzzy_part_names",
+    "join_key_skew_report",
+    "histogram_equidepth_price",
+    "dedup_graph_stats",
+    "dedup_cluster_size_histogram",
+    "kpi_view_tracker",
+    "pricing_efficiency_join",
+    "pricing_sp_coverage",
+    "pricing_cheapest_option",
+    "forecast_linear_seasonal",
+    "forecast_naive_next_month",
+    "forecast_regression",
+    "volatility_classification",
+    "commitment_roi_sim",
+    "nl_intent_router",
+    "streaming_windowed_costs",
+    "session_window_agg",
+    "interval_join_attribution",
+    "rollup_returnflag_status",
+    "cube_orders_status_priority",
+    "grouping_sets_lineitem",
+    "quantile_price_profile",
+    "rolling_frame_avg",
+    "semi_anti_open_only_customers",
+    "window_rank_suite",
+    "pivot_orders_status",
+    "unpivot_revenue_metrics",
+    "asof_purchase_attribution",
 )
 _NEVER_SAMPLED = _RECERTIFY_HEAD
 
