@@ -59,8 +59,25 @@ def main() -> None:
     if "kpi_view_tracker" in qs:
         qs = {"kpi_view_tracker": qs.pop("kpi_view_tracker")} | qs
 
+    # optional subset run (e.g. the sf1 exact-anchor slice): comma-list
+    # of query names; unknown names are reported, not silently dropped
+    only_raw = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only_raw:
+        only = [n.strip() for n in only_raw.split(",") if n.strip()]
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"WARNING: unknown SPARK_GRAFT_BENCH_ONLY names: {unknown}",
+                  file=sys.stderr)
+        qs = {n: qs[n] for n in only if n in qs}
+
     # warm-up: JVM/codegen spin-up is a constant, not a per-query cost
-    qs["pricing_summary"](spark, sf_dir).collect()
+    qs.get("pricing_summary", next(iter(qs.values())))(spark, sf_dir).collect()
+    # ... and so is Python/Arrow worker spin-up (one trivial mapInPandas
+    # round trip): without it the first multimodal/mapInPandas query in
+    # run order absorbs ~2s of worker fork cost, which moved between
+    # queries whenever the head rotation changed run order (r6 verdict:
+    # multimodal_resize "10x regression" that was pure relocation)
+    spark.range(1).mapInPandas(lambda it: it, "id long").collect()
     # one-time synthetic-CUR materialization is shared test-data prep for
     # the whole kpi/finops/pricing family, not any single query's cost
     from de_polars_spark.inventory.kpi_views import _ensure_cur_ext, clear_kpi_artifacts
@@ -76,8 +93,9 @@ def main() -> None:
     # previous session's .cache
     clear_kpi_artifacts(sf_dir)
     # same honesty rule for the shared MinHash pair-graph artifact and
-    # the persisted IVF index: the first consumer in bench order pays
-    # the build
+    # the persisted IVF index: cleared here, then rebuilt under their
+    # own "artifact:*" rows below so the cost is measured under a
+    # stable name instead of by whichever consumer runs first
     from de_polars_spark.inventory.llm_ops import (
         clear_dedup_pair_artifacts,
         clear_ivf_index_artifacts,
@@ -92,6 +110,44 @@ def main() -> None:
     from de_polars_spark.operators.bucketing import clear_bucketed_artifacts
 
     clear_bucketed_artifacts(spark, sf_dir)
+
+    # Shared-artifact builds are timed as their OWN named rows (below,
+    # "artifact:*") instead of being absorbed by whichever consumer
+    # happens to run first: r5->r6 showed nine phantom ">1.5x
+    # regressions" that were all build costs relocating to new
+    # first-consumers after the correctness head rotated run order.
+    # Consumers therefore measure WARM and stay comparable round over
+    # round; the builds stay measured, just under stable names.
+    import time as _t
+
+    artifact_builds: dict[str, float] = {}
+
+    def _pay(name: str, fn) -> None:
+        t0 = _t.perf_counter()
+        fn()
+        artifact_builds[f"artifact:{name}"] = round(_t.perf_counter() - t0, 4)
+
+    # (skipped for subset runs: their queries either don't touch shared
+    # artifacts or should pay the build visibly inside the slice)
+    if not only_raw:
+        from de_polars_spark.inventory import llm_ops as _L
+        from de_polars_spark.inventory.kpi_views import _ensure_kpi_views
+
+        _pay("kpi_views", lambda: _ensure_kpi_views(spark, sf_dir))
+        _pay(
+            "dedup_pair_graph",
+            lambda: _L._dedup_pair_graph(spark, sf_dir).count(),
+        )
+        _pay(
+            "dedup_components",
+            lambda: _L._dedup_components(spark, sf_dir).count(),
+        )
+        _pay("ivf_index", lambda: _L._ensure_ivf_index(spark, sf_dir))
+        _pay("pq_codebooks", lambda: _L._ensure_pq_codebooks(spark, sf_dir))
+
+        from de_polars_spark.operators.dedup import release_cached as _rd
+
+        _rd()  # builds persist shingle relations; queries start clean
 
     from de_polars_spark.operators.dedup import release_cached as _release_dedup
     from de_polars_spark.operators.similarity import (
@@ -108,12 +164,13 @@ def main() -> None:
     # timings vary up to ~2.4x between contended and uncontended runs
     # while totals agree within ~15%; SPARK_GRAFT_BENCH_REPS=2 (or more)
     # times each query that many times and reports the per-query MIN.
-    # NOTE on artifacts: the content-addressed caches (KPI wave, dedup
-    # pair graph, IVF index, PQ codebooks, bucketed layouts) are cleared
-    # once above, so under reps>1 the first rep of a build-paying query
-    # pays the build and rep 2+ hits the cache — the MIN is therefore the
-    # steady-state (cached) cost by design; ``timings_first`` preserves
-    # the build-paying first-rep number so neither is lost.
+    # NOTE on artifacts: the multi-consumer caches (KPI wave, pair
+    # graph, components, IVF index, PQ codebooks) are cleared AND
+    # rebuilt above under their own "artifact:*" rows, so every rep of
+    # every consumer measures warm. Single-consumer builds (bucketed
+    # layouts, recall fixtures) still land in their owning query's
+    # first rep; ``timings_first`` preserves that build-paying number
+    # while the MIN reports steady state.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "1")))
     timings: dict[str, float] = {}
     timings_first: dict[str, float] = {}
@@ -134,12 +191,13 @@ def main() -> None:
             gc.collect()
         timings[name] = round(best, 4)
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(timings.values()) + sum(artifact_builds.values()), 4)
     record = {
         "metric": "inventory_suite_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "artifact_builds": artifact_builds,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -153,6 +211,13 @@ def main() -> None:
     # The round number is inferred as 1 + the highest existing driver
     # artifact (the driver writes BENCH_r0N.json AFTER this run), and the
     # stable -latest name feeds tools/bench_compare.py.
+    #
+    # Provenance split (r6 verdict item): single-pass runs — the
+    # driver's recording — write to BENCH_full_driver_*, so they never
+    # overwrite the builder's committed min-of-N artifacts; only reps>1
+    # builder runs own the BENCH_full_rNN / BENCH_full_latest names.
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY) and non-default scale factors
+    # get their own names so sf0.1 artifacts are never clobbered either.
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [
         int(m.group(1))
@@ -160,7 +225,18 @@ def main() -> None:
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
     nxt = (max(rounds) + 1) if rounds else 1
-    for fname in (f"BENCH_full_r{nxt:02d}.json", "BENCH_full_latest.json"):
+    sf_part = "" if sf == 0.1 else f"sf{sf:g}_".replace(".", "p")
+    subset_part = "subset_" if only_raw else ""
+    if reps == 1 and sf == 0.1 and not only_raw:
+        # the driver's recording shape: single pass, default sf, full
+        # inventory — its own name so it never clobbers committed maps
+        names = (f"BENCH_full_driver_r{nxt:02d}.json",)
+    else:
+        names = (
+            f"BENCH_full_{sf_part}{subset_part}r{nxt:02d}.json",
+            f"BENCH_full_{sf_part}{subset_part}latest.json",
+        )
+    for fname in names:
         with open(os.path.join(here, fname), "w") as fh:
             json.dump(record, fh, indent=1, sort_keys=True)
             fh.write("\n")
