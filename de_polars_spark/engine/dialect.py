@@ -204,15 +204,34 @@ def _split_call_args(sql: str, open_idx: int) -> tuple[list[str], int]:
 def _inside_literal(sql: str, pos: int) -> bool:
     """True iff ``pos`` falls inside a single-quoted SQL string literal.
 
-    Quote-parity scan: DuckDB/Spark escape a quote inside a literal by
-    doubling (``''``), which contributes two quote characters, so the
-    count of ``'`` strictly before ``pos`` is odd exactly when ``pos``
-    is inside a literal. Used by the pre-tokenization rewrites (whose
-    own patterns must match string literals — format strings, regexes)
-    to honor the module contract that rewrites never alter the
-    CONTENTS of an unrelated literal (e.g. ``SELECT 'see
-    array_to_string(a, b)'`` must pass through untouched)."""
-    return sql.count("'", 0, pos) % 2 == 1
+    Quote-AWARE scan (not bare quote parity — an apostrophe inside a
+    double-quoted identifier like ``SELECT "o'brien"`` would flip a
+    parity count and misclassify the whole rest of the statement, the
+    r6 ADVICE finding): walks literal/identifier spans left to right,
+    honoring ``''`` doubling inside literals and ``""`` doubling inside
+    identifiers. Used by the pre-tokenization rewrites (whose own
+    patterns must match string literals — format strings, regexes) to
+    honor the module contract that rewrites never alter the CONTENTS
+    of an unrelated literal (e.g. ``SELECT 'see array_to_string(a,
+    b)'`` must pass through untouched)."""
+    i, n = 0, len(sql)
+    while i < n and i <= pos:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if j + 1 < n and sql[j + 1] == ch:  # doubled escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            if i < pos <= j:
+                return ch == "'"  # double-quoted spans are identifiers
+            i = j + 1
+        else:
+            i += 1
+    return False
 
 
 def _rewrite_varchar_cast(sql: str) -> str:

@@ -409,9 +409,16 @@ def q_bitext_ivf_pair_recall_clustered(
         "n_exact",
         "n_ivf",
         "n_common",
-        F.round(F.col("n_common") / F.col("n_exact").cast("double"), 6).alias(
-            "pair_recall"
-        ),
+        # NULL (not NaN/inf/error) when the exact miner selects no pairs:
+        # Spark and DuckDB disagree on 0/0 styles, so both sides guard
+        # the degenerate corpus explicitly (r6 ADVICE item).
+        F.round(
+            F.when(
+                F.col("n_exact") > 0,
+                F.col("n_common") / F.col("n_exact").cast("double"),
+            ),
+            6,
+        ).alias("pair_recall"),
     )
 
 
@@ -673,7 +680,9 @@ ORACLES["bitext_ivf_pair_recall_clustered"] = f"""
            CAST((SELECT COUNT(*) FROM isel) AS BIGINT) AS n_ivf,
            CAST((SELECT COUNT(*) FROM xsel JOIN isel USING (id_a, id_b))
                 AS BIGINT) AS n_common,
-           ROUND((SELECT COUNT(*) FROM xsel JOIN isel USING (id_a, id_b))
-                 / CAST((SELECT COUNT(*) FROM xsel) AS DOUBLE), 6)
-               AS pair_recall
+           CASE WHEN (SELECT COUNT(*) FROM xsel) = 0 THEN NULL
+                ELSE ROUND((SELECT COUNT(*) FROM xsel
+                            JOIN isel USING (id_a, id_b))
+                           / CAST((SELECT COUNT(*) FROM xsel) AS DOUBLE), 6)
+           END AS pair_recall
 """

@@ -349,6 +349,17 @@ def test_prelex_rewrites_skip_literal_contents():
     assert "'array_to_string(x, y)'" in s and "array_join(a, '-')" in s
 
 
+def test_apostrophe_in_quoted_identifier_does_not_flip_parity():
+    """An apostrophe inside a double-quoted IDENTIFIER is not a literal
+    delimiter: a genuine rewrite after it must still fire, and a
+    mention inside a later real literal must still be protected
+    (ADVICE r6: the bare quote-parity scan misclassified both)."""
+    s = t('SELECT "o\'brien", array_to_string(a, \'-\') AS j FROM t')
+    assert "o'brien" in s and "array_join(a, '-')" in s
+    s2 = t('SELECT "o\'brien", \'see array_to_string(x, y)\' AS doc FROM t')
+    assert "'see array_to_string(x, y)'" in s2
+
+
 def test_varchar_rewrite_is_cast_anchored():
     """An alias named text/varchar before a closing paren is an
     identifier, not a cast type — never renamed (ADVICE r5)."""

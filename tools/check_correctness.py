@@ -46,6 +46,19 @@ def main() -> int:
     import __spark_entry__ as e
     from de_polars_spark.engine.session import get_spark
 
+    # The committed oracles model the DEFAULT pair-graph cap (16 — see
+    # inventory/llm_ops._LSH_CAP); any override desynchronizes the six
+    # graph-consumer oracles, so a sweep under one would report spurious
+    # failures. Refuse rather than mislead (r6 ADVICE item).
+    cap_env = os.environ.get("SPARK_GRAFT_LSH_CAP", "").strip()
+    if cap_env and cap_env != "16":
+        print(
+            "REFUSING: SPARK_GRAFT_LSH_CAP=%r is set — the committed "
+            "oracles model the default cap (16); unset the override "
+            "before running the correctness sweep." % cap_env
+        )
+        return 2
+
     only = set(sys.argv[1:])
     spark = get_spark("correctness-check")
     con = duck_connection()
