@@ -80,23 +80,35 @@ ORACLES["dedup_fingerprint"] = f"""
 # dedup: MinHash + LSH candidate pairs
 _N_HASHES, _BAND_SIZE = 8, 2
 
+# The production bucket cap (= operators/dedup.DEFAULT_MAX_BUCKET_SIZE).
+# Since round 7 this is the DEFAULT for the shared pair graph and its
+# six consumers (components, keep_best, pagerank, graph_stats,
+# cluster_size_histogram, cluster_aware_split) — their oracles model
+# the cap. The uncapped exact form stays as the documented opt-out,
+# anchored by dedup_minhash_lsh's exact oracle (r6 verdict: the exact
+# default measured quadratic at sf1 — 10x docs -> 158x pairs,
+# graph_stats 448 s vs 1.0 s capped — so out-of-the-box must be capped).
+_LSH_CAP = 16
+
 
 def _lsh_graph_cap() -> int | None:
-    """Optional bucket cap for the SHARED pair graph (production switch).
+    """Bucket cap for the SHARED pair graph (default: capped).
 
-    Default None = exact banding, which is what every consumer's DuckDB
-    oracle reproduces — the correctness gate. Uncapped banding is
-    quadratic in the corpus at a fixed band-collision rate (measured at
-    sf1: 10x docs -> 158x pairs -> dedup_graph_stats 448 s), so a real
-    deployment sets ``SPARK_GRAFT_LSH_CAP`` (e.g. 16) and the six graph
-    consumers inherit the near-linear capped graph; the cap is part of
-    the artifact's content address, so capped and exact graphs never
-    cross-contaminate. Cap semantics themselves are oracle-checked by
-    ``dedup_minhash_lsh_capped``."""
+    Returns :data:`_LSH_CAP` unless ``SPARK_GRAFT_LSH_CAP`` overrides
+    it: a positive integer sets a different cap; ``0``/``none``/``exact``
+    opt out into exact (uncapped) banding. The cap is part of the
+    artifact's content address, so capped and exact graphs never
+    cross-contaminate. NOTE: any override desynchronizes the six graph
+    consumers from their committed cap-16 oracles —
+    ``tools/check_correctness.py`` refuses to run with the override set."""
     import os
 
-    raw = os.environ.get("SPARK_GRAFT_LSH_CAP", "").strip()
-    return int(raw) if raw else None
+    raw = os.environ.get("SPARK_GRAFT_LSH_CAP", "").strip().lower()
+    if not raw:
+        return _LSH_CAP
+    if raw in ("0", "none", "exact"):
+        return None
+    return int(raw)
 
 
 def _pair_graph_artifact_dir(sf_dir: str) -> str:
@@ -208,7 +220,16 @@ def _dedup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup_pair_graph(spark, sf_dir)
+    # The EXACT-banding oracle anchor (max_bucket_size=None is the
+    # documented opt-out from the capped production default): every
+    # bucket expanded, which is precisely what the DuckDB band
+    # self-join below reproduces. The shared production artifact the
+    # graph consumers read is the capped form (_dedup_pair_graph).
+    t = register_testdata(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE,
+        shingle_n=2, max_bucket_size=None,
+    )
 
 
 def _minhash_band_ctes() -> str:
@@ -231,14 +252,33 @@ def _minhash_band_ctes() -> str:
     bands AS ({bands})"""
 
 
-def _minhash_oracle() -> str:
-    return f"""
+def _minhash_oracle(cap: int | None = None) -> str:
+    """DuckDB pair-set CTE: exact banding (``cap=None``) or the capped
+    production form (a band bucket participates iff its DISTINCT-doc
+    size is <= cap — the same predicate minhash_lsh_pairs applies to
+    its collect_set bucket before pair expansion)."""
+    if cap is None:
+        return f"""
     WITH {_minhash_band_ctes()}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a
     JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
                AND a.doc_id < b.doc_id
     WHERE a.band_key IS NOT NULL
+    """
+    return f"""
+    WITH {_minhash_band_ctes()},
+    sized AS (
+        SELECT band_id, band_key, COUNT(DISTINCT doc_id) AS n
+        FROM bands WHERE band_key IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    ok AS (SELECT band_id, band_key FROM sized WHERE n <= {cap})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN ok USING (band_id, band_key)
+    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
     """
 
 
@@ -247,46 +287,22 @@ ORACLES["dedup_minhash_lsh"] = _minhash_oracle()
 
 
 # ---------------------------------------------------------------- #
-# Capped LSH banding — the PRODUCTION form of the pair generator.   #
-# The uncapped form above is the oracle anchor and is quadratic in  #
-# the corpus at a fixed band-collision rate (measured at sf1:       #
-# 10x docs -> 158x pairs, SURVEY §13); max_bucket_size drops the    #
-# boilerplate buckets whose B^2 expansions drive that growth        #
-# (sf0.1 -> sf1 capped: 31.9k -> 143k pairs, near-linear). This     #
-# query oracle-checks the cap semantics themselves: a bucket        #
-# participates iff 2 <= |bucket| <= cap.                            #
+# Capped LSH banding — the PRODUCTION pair graph (the round-7       #
+# default: uncapped banding is quadratic in the corpus at a fixed   #
+# band-collision rate — measured at sf1: 10x docs -> 158x pairs,    #
+# SURVEY §13 — so max_bucket_size drops the boilerplate buckets     #
+# whose B^2 expansions drive that growth; sf0.1 -> sf1 capped:      #
+# 31.9k -> 143k pairs, near-linear). This query serves the SHARED   #
+# capped artifact every graph consumer reads, so its oracle         #
+# certifies both the cap semantics (a bucket participates iff       #
+# 2 <= |bucket| <= cap) and the artifact itself.                    #
 # ---------------------------------------------------------------- #
-_LSH_CAP = 16
-
-
 def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = register_testdata(spark, sf_dir)
-    return dedup.minhash_lsh_pairs(
-        t["documents"],
-        "doc_id",
-        "text",
-        _N_HASHES,
-        _BAND_SIZE,
-        shingle_n=2,
-        max_bucket_size=_LSH_CAP,
-    )
+    return _dedup_pair_graph(spark, sf_dir)
 
 
 QUERIES["dedup_minhash_lsh_capped"] = q_dedup_minhash_lsh_capped
-ORACLES["dedup_minhash_lsh_capped"] = f"""
-    WITH {_minhash_band_ctes()},
-    sized AS (
-        SELECT band_id, band_key, COUNT(DISTINCT doc_id) AS n
-        FROM bands WHERE band_key IS NOT NULL
-        GROUP BY 1, 2
-    ),
-    ok AS (SELECT band_id, band_key FROM sized WHERE n <= {_LSH_CAP})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM bands a
-    JOIN ok USING (band_id, band_key)
-    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
-               AND a.doc_id < b.doc_id
-"""
+ORACLES["dedup_minhash_lsh_capped"] = _minhash_oracle(_LSH_CAP)
 
 
 # ---------------------------------------------------------------- #
@@ -378,8 +394,11 @@ ORACLES["dedup_simhash"] = _simhash_oracle()
 # exact pair set) so the bench collect stays O(distances) not O(pairs).
 def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
+    # max_bucket_size=None: the exact oracle anchor (the brute-force
+    # XOR self-join below); production corpora keep the capped default.
     pairs = dedup.simhash_hamming_pairs(
-        t["documents"], "doc_id", "text", max_distance=3, bits=32
+        t["documents"], "doc_id", "text", max_distance=3, bits=32,
+        max_bucket_size=None,
     )
     return (
         pairs.groupBy("hamming")
@@ -411,8 +430,11 @@ ORACLES["dedup_simhash_hamming"] = f"""
 # dedup: n-gram Jaccard pairs (blocked by lang)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
+    # max_bucket_size=None: the exact oracle anchor (full posting-list
+    # Jaccard below); production corpora keep the capped default.
     return dedup.ngram_jaccard_pairs(
-        t["documents"], "doc_id", "text", "lang", threshold=0.3, shingle_n=2
+        t["documents"], "doc_id", "text", "lang", threshold=0.3, shingle_n=2,
+        max_bucket_size=None,
     )
 
 
@@ -470,7 +492,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_components"] = q_dedup_components
 ORACLES["dedup_components"] = f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_LSH_CAP)}),
     edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -1284,14 +1306,19 @@ def _pagerank_oracle() -> str:
     its = []
     prev = "pr0"
     for k in range(1, _PR_ITers + 1):
+        # contribution quantized as FLOOR(pr/deg*1e6 + 0.5) — pure IEEE
+        # double ops, bit-identical to Spark's; a double->DECIMAL cast
+        # is NOT (Spark rounds the shortest repr HALF_UP, DuckDB rounds
+        # the binary value — they disagree on x.xxxxxx5 boundaries)
         its.append(
             f""",
     pr{k} AS (
         SELECT e.v AS u,
                CAST(CAST(0.15000000 AS DECIMAL(9,8))
                     + CAST(0.85000000 AS DECIMAL(9,8))
-                      * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(38,6)))
-                             AS DECIMAL(20,6))
+                      * CAST(SUM(CAST(FLOOR(p.pr / d.deg * 1000000 + 0.5)
+                                      AS BIGINT)) AS DECIMAL(18,0))
+                      * CAST(0.000001 AS DECIMAL(7,6))
                     AS DOUBLE) AS pr
         FROM edges e
         JOIN {prev} p ON e.u = p.u
@@ -1301,7 +1328,7 @@ def _pagerank_oracle() -> str:
         )
         prev = f"pr{k}"
     return f"""
-    WITH pairs AS ({_minhash_oracle()}),
+    WITH pairs AS ({_minhash_oracle(_LSH_CAP)}),
     edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -1871,7 +1898,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_keep_best"] = q_dedup_keep_best
 ORACLES["dedup_keep_best"] = f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_LSH_CAP)}),
     edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -2200,14 +2227,14 @@ ORACLES["quality_by_source"] = f"""
 # the precision path.                                               #
 # ---------------------------------------------------------------- #
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # honors the same SPARK_GRAFT_LSH_CAP production switch as the
-    # shared pair graph (unset = exact banding, the oracle's semantics;
-    # the estimator's candidate set is otherwise quadratic like any
-    # uncapped banding — measured 10.1M pairs at sf1)
+    # Pinned to the production cap (the r7 default — the uncapped
+    # estimator's candidate set is quadratic like any exact banding:
+    # measured 10.1M pairs at sf1 vs 143k capped); the oracle models
+    # the same cap-16 bucket filter.
     t = register_testdata(spark, sf_dir)
     return dedup.minhash_estimate_pairs(
         t["documents"], "doc_id", "text", _N_HASHES, _BAND_SIZE,
-        shingle_n=2, max_bucket_size=_lsh_graph_cap(),
+        shingle_n=2, max_bucket_size=_LSH_CAP,
     )
 
 
@@ -2217,7 +2244,7 @@ def _minhash_estimate_oracle() -> str:
         for i in range(_N_HASHES)
     )
     return f"""
-    WITH pairs AS ({_minhash_oracle()}),
+    WITH pairs AS ({_minhash_oracle(_LSH_CAP)}),
     docs2 AS (
         SELECT doc_id, {_shingles(2)} AS shingles
         FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
@@ -3494,7 +3521,7 @@ def q_dedup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_graph_stats"] = q_dedup_graph_stats
 ORACLES["dedup_graph_stats"] = f"""
-    WITH pairs AS ({_minhash_oracle()}),
+    WITH pairs AS ({_minhash_oracle(_LSH_CAP)}),
     deg AS (
         SELECT n, COUNT(*) AS d FROM (
             SELECT id_a AS n FROM pairs
@@ -3541,7 +3568,7 @@ def q_dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFram
 
 QUERIES["dedup_cluster_size_histogram"] = q_dedup_cluster_size_histogram
 ORACLES["dedup_cluster_size_histogram"] = f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_LSH_CAP)}),
     edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION
@@ -4494,7 +4521,7 @@ def _cluster_split_oracle() -> str:
         )
 
     return f"""
-    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_LSH_CAP)}),
     edges AS (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION

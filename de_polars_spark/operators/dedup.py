@@ -27,9 +27,14 @@ At 100 TB the known hazard is posting-list / bucket skew (boilerplate
 shingles, near-identical boilerplate docs): both pair generators go
 quadratic in bucket size by necessity (that IS the output). Every
 generator therefore takes an explicit cap (``max_bucket_size`` /
-``max_df`` / ``max_block_size``); the default None keeps exact
-oracle-matching semantics, a production run sets them to bound the
-worst bucket. No relation is ever broadcast wholesale: the verification
+``max_df`` / ``max_block_size``), and since round 7 the bucket cap
+DEFAULTS to :data:`DEFAULT_MAX_BUCKET_SIZE` — the measured sf1 A/B
+(SURVEY §13: 10x docs -> 158x pairs uncapped vs 4.5x capped;
+dedup_graph_stats 448 s -> 1.0 s) showed the uncapped form is the
+scale-killer and an out-of-the-box run must get the near-linear path.
+``max_bucket_size=None`` is the documented exact/oracle opt-out (every
+bucket expanded — what a DuckDB self-join reproduces).
+No relation is ever broadcast wholesale: the verification
 joins let AQE pick the strategy (the candidate-pair side is the small
 one; broadcasting the full doc-shingle relation — round 1 — is an OOM
 by construction at scale).
@@ -42,6 +47,16 @@ from pyspark.sql import functions as F
 
 from de_polars_spark.functions import text as TX
 from de_polars_spark.functions import vectors as VX
+
+#: Production default for every pair generator's bucket cap: a bucket
+#: of B ids emits B^2/2 candidate pairs, so uncapped banding is
+#: quadratic in corpus size at a fixed collision rate (measured at sf1,
+#: SURVEY §13). 16 bounds any bucket's expansion at 120 pairs while
+#: keeping near-dup recall (real duplicate clusters collide in MANY
+#: bands; boilerplate mega-buckets are the ones dropped). Cap semantics
+#: are oracle-checked end-to-end by ``dedup_minhash_lsh_capped``. Pass
+#: ``max_bucket_size=None`` for exact oracle-matching semantics.
+DEFAULT_MAX_BUCKET_SIZE = 16
 
 #: DataFrames persisted by operators in this module (shingle relations
 #: reused by 3+ branches). Callers that run many dedup jobs in one
@@ -155,7 +170,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 2,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash + LSH banding.
 
@@ -242,7 +257,7 @@ def simhash_hamming_pairs(
     text_col: str,
     max_distance: int = 3,
     bits: int = 16,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """Near-dup pairs whose SimHashes differ in <= ``max_distance`` bits.
 
@@ -334,7 +349,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.3,
     shingle_n: int = 2,
     max_df: int | None = None,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     minhash_prefilter: int | None = None,
     minhash_prefilter_margin: float = 0.15,
 ) -> DataFrame:
@@ -751,7 +766,7 @@ def minhash_estimate_pairs(
     n_hashes: int = 8,
     band_size: int = 2,
     shingle_n: int = 2,
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
 ) -> DataFrame:
     """LSH candidate pairs with the SIGNATURE-AGREEMENT Jaccard estimate
     (matching minhash slots / n_hashes) instead of exact verification.

@@ -50,10 +50,17 @@ def pagerank(
 
     # the damped update runs in EXACT decimal — rounding the new rank to
     # 6dp between rounds lands on .5e-7 ties where engines' tie-breaking
-    # differs (observed: 7/363 rows off by exactly 1e-6). Only the
-    # contribution pr/deg is quantized (a double with a long shortest
-    # repr — tie-safe, see dialect_macros.DSUM), everything after is
-    # exact decimal arithmetic, converted to double (correctly rounded,
+    # differs (observed: 7/363 rows off by exactly 1e-6). The
+    # contribution pr/deg is quantized with pure IEEE double ops —
+    # ``floor(pr/deg * 1e6 + 0.5)`` (division, multiply by an exact
+    # power of ten, add, floor are all correctly rounded and therefore
+    # bit-identical in any IEEE-754 engine) — NOT with a double→decimal
+    # cast: Spark casts via the double's shortest decimal repr with
+    # HALF_UP while DuckDB rounds the binary value, and the two disagree
+    # exactly on the x.xxxxxx5 boundary (observed at sf0.001 on the
+    # capped pair graph: 4/355 rows off by 1e-6 per round). Everything
+    # after the integer-scaled contributions is exact decimal
+    # arithmetic, converted to double (correctly rounded,
     # engine-independent) for the next division.
     #
     # One join + one aggregation per round, nothing else:
@@ -72,21 +79,30 @@ def pagerank(
     ranks = deg.select("u", F.lit(1.0).alias("pr"), "deg")
     base_d = F.expr(f"CAST({1.0 - damping:.8f} AS DECIMAL(9,8))")
     damp_d = F.expr(f"CAST({damping:.8f} AS DECIMAL(9,8))")
+    micro_d = F.expr("CAST(0.000001 AS DECIMAL(7,6))")
     for _ in range(iterations):
         contrib = edges.join(ranks, "u").select(
             F.col("v").alias("node"),
             F.col("__deg_v"),
-            (F.col("pr") / F.col("deg")).cast("decimal(38,6)").alias("__c"),
+            # integer-scaled 6dp quantization in pure IEEE double ops
+            # (floor(double) is BIGINT in Spark — the sum is exact)
+            F.floor(F.col("pr") / F.col("deg") * F.lit(1000000.0) + F.lit(0.5))
+            .alias("__c"),
         )
         ranks = (
             contrib.groupBy("node")
             .agg(
-                F.sum("__c").cast("decimal(20,6)").alias("__s"),
+                F.sum("__c").alias("__s"),
                 F.max("__deg_v").alias("deg"),
             )
             .select(
                 F.col("node").alias("u"),
-                (base_d + damp_d * F.col("__s")).cast("double").alias("pr"),
+                (
+                    base_d
+                    + damp_d * F.col("__s").cast("decimal(18,0)") * micro_d
+                )
+                .cast("double")
+                .alias("pr"),
                 "deg",
             )
         )

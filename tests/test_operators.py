@@ -375,7 +375,9 @@ def test_simhash_hamming_pairs_exact_vs_bruteforce(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {
         (r["id_a"], r["id_b"], r["hamming"])
-        for r in dedup.simhash_hamming_pairs(df, "doc_id", "text", 3).collect()
+        for r in dedup.simhash_hamming_pairs(
+            df, "doc_id", "text", 3, max_bucket_size=None
+        ).collect()
     }
     sims = {r["doc_id"]: r["simhash"] for r in dedup.simhash_groups(df, "doc_id", "text").collect()}
     want = {
@@ -770,16 +772,27 @@ def test_png_channel_sums_match_handcount(spark):
 
 
 def test_pair_graph_cap_switch(spark, sf_dir, monkeypatch):
-    """SPARK_GRAFT_LSH_CAP reroutes the SHARED pair-graph artifact to the
-    capped (near-linear) form under a distinct content address; the
-    default stays the exact oracle-anchored graph (SURVEY §13 A/B:
-    uncapped banding is quadratic in the corpus)."""
+    """The SHARED pair-graph artifact is capped (near-linear) by DEFAULT
+    since r7 (SURVEY §13 A/B: uncapped banding is quadratic in the
+    corpus); SPARK_GRAFT_LSH_CAP=exact/0/none opts out into the exact
+    oracle-anchored graph under a distinct content address."""
     import de_polars_spark.inventory.llm_ops as L
 
-    p_exact = L._pair_graph_artifact_dir(sf_dir)
-    monkeypatch.setenv("SPARK_GRAFT_LSH_CAP", "16")
+    monkeypatch.delenv("SPARK_GRAFT_LSH_CAP", raising=False)
+    assert L._lsh_graph_cap() == L._LSH_CAP  # capped out of the box
     p_capped = L._pair_graph_artifact_dir(sf_dir)
+    monkeypatch.setenv("SPARK_GRAFT_LSH_CAP", "exact")
+    assert L._lsh_graph_cap() is None
+    p_exact = L._pair_graph_artifact_dir(sf_dir)
     assert p_exact != p_capped  # capped and exact graphs never mix
+    n_exact = L._dedup_pair_graph(spark, sf_dir).count()
+
+    monkeypatch.setenv("SPARK_GRAFT_LSH_CAP", "0")
+    assert L._lsh_graph_cap() is None  # 0 and none alias exact
+    monkeypatch.setenv("SPARK_GRAFT_LSH_CAP", "8")
+    assert L._lsh_graph_cap() == 8  # a positive int overrides the cap
+
+    monkeypatch.delenv("SPARK_GRAFT_LSH_CAP")
     n_capped = L._dedup_pair_graph(spark, sf_dir).count()
     from de_polars_spark.operators.dedup import minhash_lsh_pairs
     from de_polars_spark.sources.registry import register_testdata
@@ -787,8 +800,7 @@ def test_pair_graph_cap_switch(spark, sf_dir, monkeypatch):
     t = register_testdata(spark, sf_dir)
     want = minhash_lsh_pairs(
         t["documents"], "doc_id", "text", L._N_HASHES, L._BAND_SIZE,
-        shingle_n=2, max_bucket_size=16,
+        shingle_n=2, max_bucket_size=L._LSH_CAP,
     ).count()
-    assert n_capped == want
-    monkeypatch.delenv("SPARK_GRAFT_LSH_CAP")
-    assert L._dedup_pair_graph(spark, sf_dir).count() >= n_capped
+    assert n_capped == want  # the default artifact IS the capped graph
+    assert n_exact >= n_capped
