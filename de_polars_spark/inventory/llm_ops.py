@@ -854,6 +854,49 @@ ORACLES["multimodal_png_decode"] = """
 """
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # third REAL codec (r6 VERDICT item 8 "decide JPEG" — decided:
+    # ship it): a genuine ITU-T.81 baseline grayscale bitstream per
+    # document (Annex-K Huffman tables, zigzag RLE, 0xFF00 stuffing),
+    # decoded by the full marker-walk/Huffman/dequant/IDCT path in
+    # operators/multimodal.py. JPEG is lossy, so the fixture uses
+    # 8x8-BLOCK-SOLID pixels under an all-ones quant table — the one
+    # pattern baseline JPEG round-trips bit-exactly (a solid block's
+    # DCT is an integral DC only) — making every decoded pixel
+    # analytically predictable: v = (seed + 7*(x//8) + 13*(y//8)) % 256.
+    # The AC/Huffman path on non-solid data is pytest-verified against
+    # an independent quant-model reference (tests/test_operators.py).
+    t = register_testdata(spark, sf_dir)
+    payload = multimodal.attach_jpeg_payload(t["documents"], "doc_id", "text")
+    return multimodal.decode_jpeg_images(payload)
+
+
+QUERIES["multimodal_jpeg_decode"] = q_multimodal_jpeg_decode
+ORACLES["multimodal_jpeg_decode"] = """
+    WITH geo AS (
+        SELECT doc_id,
+               1 + CAST('0x' || substring(md5(text), 1, 2) AS INT) % 40 AS w,
+               1 + CAST('0x' || substring(md5(text), 3, 2) AS INT) % 40 AS h,
+               CAST('0x' || substring(md5(text), 5, 2) AS INT) AS seed
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h,
+               (seed + 7 * ((p % w) // 8) + 13 * ((p // w) // 8)) % 256 AS v
+        FROM (SELECT doc_id, w, h, seed,
+                     unnest(generate_series(0, w * h - 1)) AS p
+              FROM geo) g
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           'L' AS mode,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           CAST(MAX(v) AS INT) AS max_v
+    FROM px GROUP BY doc_id, w, h
+"""
+
+
 def q_multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # real PCM16 WAV bytes per document; decode_audio walks the actual
     # RIFF chunk list (fmt/data), so the oracle predicts the parsed

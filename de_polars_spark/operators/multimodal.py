@@ -2,14 +2,16 @@
 decoded via Arrow-batched ``mapInPandas``.
 
 Images/audio/video are carried as ``binary`` columns with a metadata
-struct; per-batch Python does the decode. Two real image formats ship:
-BMP (24-bit uncompressed) and PNG (8-bit RGB, full stdlib-zlib decode:
+struct; per-batch Python does the decode. Three real image formats ship:
+BMP (24-bit uncompressed), PNG (8-bit RGB, full stdlib-zlib decode:
 chunk walk, IDAT inflate, per-row filter reconstruction incl. Paeth),
-both encoded and decoded by the pure-Python codecs in this module —
-``decode_images`` reads actual header bytes from real payloads. Formats
-that need external codecs (JPEG/ffmpeg — libraries absent in this
-container) raise a clearly marked ``NotImplementedError``; the 'fake'
-format keeps the zero-dependency plumbing tests cheap.
+and baseline-DCT grayscale JPEG (genuine ITU-T.81 bitstream: Annex-K
+canonical Huffman, zigzag RLE, 0xFF00 stuffing, dequant + IDCT), all
+encoded and decoded by the pure-Python codecs in this module —
+``decode_images`` reads actual header bytes from real payloads. Shapes
+that genuinely need external codecs (progressive/color JPEG, ffmpeg
+video) raise a clearly marked error; the 'fake' format keeps the
+zero-dependency plumbing tests cheap.
 
 At scale: binary payloads dominate row width — keep them out of shuffles
 (decode early, project features, drop the payload) and size
@@ -308,17 +310,18 @@ def decode_audio(with_payload: DataFrame) -> DataFrame:
 
 
 def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-batch decode. 'bmp' payloads are REALLY parsed (header magic,
-    int32 dimensions, bit depth — see :func:`parse_bmp`); 'fake' derives
+    """Per-batch decode. 'bmp'/'png'/'jpeg' payloads are REALLY parsed
+    (header magic, dimensions, bit depth — see :func:`parse_bmp`,
+    :func:`parse_png_header`, :func:`parse_jpeg_header`); 'fake' derives
     dimensions from raw payload bytes (zero-dependency plumbing path);
-    codec formats (jpeg/png/...) raise — PIL/ffmpeg are absent here."""
+    anything else raises — PIL/ffmpeg are absent here."""
     for pdf in batches:
         fmts = pdf["media_meta"].map(lambda m: m["format"])
-        unknown = set(fmts) - {"fake", "bmp", "png"}
+        unknown = set(fmts) - {"fake", "bmp", "png", "jpeg"}
         if unknown:
             raise NotImplementedError(
                 f"decode for format(s) {sorted(unknown)} requires PIL/ffmpeg, "
-                "not available in this env (shipped: bmp, png, fake)"
+                "not available in this env (shipped: bmp, png, jpeg, fake)"
             )
         out = {"doc_id": [], "width": [], "height": [], "mode": [], "n_bytes": []}
         for doc_id, fmt, b in zip(pdf["doc_id"], fmts, pdf["payload"]):
@@ -326,6 +329,8 @@ def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 w, h, mode, n = parse_bmp(b)
             elif fmt == "png":
                 w, h, mode, n = parse_png_header(b)
+            elif fmt == "jpeg":
+                w, h, mode, n = parse_jpeg_header(b)
             else:
                 w, h = b[0], b[1]
                 mode, n = ("RGB", "L", "RGBA")[b[2] % 3], len(b)
@@ -880,6 +885,10 @@ def decode_png_pixels(b: bytes):
     idat = bytearray()
     while pos + 8 <= len(b):
         (length,) = struct.unpack_from(">I", b, pos)
+        # a length field pointing past the buffer must raise the
+        # documented loud ValueError, not struct.error (r6 ADVICE item)
+        if pos + 12 + length > len(b):
+            raise ValueError("truncated PNG chunk stream")
         tag = bytes(b[pos + 4 : pos + 8])
         body = bytes(b[pos + 8 : pos + 8 + length])
         (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
@@ -903,6 +912,463 @@ def decode_png_pixels(b: bytes):
         )
         rows.append(prior)
     return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(h, w, 3)
+
+
+# ------------------------------------------------------------------ #
+# JPEG (baseline DCT, grayscale) — stdlib + numpy only, the third     #
+# real codec after BMP/PNG/WAV/Y4M (VERDICT r6 item 8: "decide        #
+# JPEG"). The encoder writes a genuine ITU-T.81 baseline bitstream    #
+# (DQT/SOF0/DHT/SOS markers, Annex-K canonical Huffman tables,        #
+# zigzag RLE with EOB/ZRL, 0xFF00 byte stuffing); the decoder is a    #
+# general baseline-grayscale decoder (marker walk, canonical Huffman  #
+# rebuild from the DHT in the FILE, dequant, IDCT). Unsupported       #
+# shapes (progressive SOF2, color, restart intervals) fail loudly.    #
+#                                                                     #
+# Oracle strategy: JPEG is lossy, so the analytic fixture uses        #
+# 8x8-BLOCK-SOLID pixels with an all-ones quant table — a solid       #
+# block's DCT is DC-only and integral (F00 = 8*(v-128)), so           #
+# quantize/dequantize/IDCT round-trips BIT-EXACTLY and DuckDB can     #
+# predict every decoded pixel. The full AC path (run/size Huffman,    #
+# ZRL, amplitude extend) is exercised by the pytest round trip on     #
+# non-solid patterns against an independent quant-model reference.    #
+# ------------------------------------------------------------------ #
+
+# Annex K.3.1 / K.3.2 luminance Huffman specs: (BITS counts 1..16, HUFFVAL)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """Canonical Huffman assignment per T.81 Annex C: symbol ->
+    (code, length), codes ascending within and across lengths."""
+    codes = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_dct_matrix():
+    import math
+
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for u in range(8):
+        s = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            c[u, x] = s * math.cos((2 * x + 1) * u * math.pi / 16)
+    return c
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg_gray(pixels) -> bytes:
+    """Encode a ``(h, w)`` uint8 array as a REAL baseline grayscale JPEG
+    (all-ones quant table — "quality 100" — so block-solid inputs
+    round-trip exactly; see the block comment above)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = px
+    padded[h:, :w] = px[h - 1 : h, :]  # edge-replicate pad
+    padded[:, w:] = padded[:, w - 1 : w]
+
+    C = _jpeg_dct_matrix()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = C @ blk @ C.T
+            q = np.rint(coef).astype(np.int64)  # quant table is all 1s
+            zz = [int(q.flat[i]) for i in _JPEG_ZIGZAG]
+            size, bits = _jpeg_magnitude(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            code, length = dc_codes[size]
+            bw.write(code, length)
+            if size:
+                bw.write(bits, size)
+            run = 0
+            for v in zz[1:]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                size, bits = _jpeg_magnitude(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(bits, size)
+                run = 0
+            if run:
+                code, length = ac_codes[0x00]  # EOB
+                bw.write(code, length)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes([1] * 64))  # Pq=0 Tq=0, all 1s
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00" + bytes([0, 1, 0, 1, 0, 0]))
+    return (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+    )
+
+
+def encode_jpeg(width: int, height: int, seed: int = 0) -> bytes:
+    """Deterministic JPEG fixture: every 8x8 block is SOLID
+    ``v = (seed + 7*bx + 13*by) % 256`` (bx, by = block coords), the
+    one pattern baseline JPEG reproduces bit-exactly under the all-ones
+    quant table — so the DuckDB oracle predicts each decoded pixel
+    analytically, same contract as :func:`encode_png`."""
+    import numpy as np
+
+    px = np.empty((height, width), dtype=np.uint8)
+    for by in range((height + 7) // 8):
+        for bx in range((width + 7) // 8):
+            v = (seed + 7 * bx + 13 * by) % 256
+            px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+    return encode_jpeg_gray(px)
+
+
+class _JpegBitReader:
+    def __init__(self, b: bytes, pos: int) -> None:
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if not self.nbits:
+            if self.pos >= len(self.b):
+                raise ValueError("truncated JPEG entropy stream")
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.b):
+                    raise ValueError("truncated JPEG entropy stream")
+                nxt = self.b[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} inside scan"
+                    )
+            self.acc = byte
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_pixels(b: bytes):
+    """Full baseline grayscale JPEG decode: marker walk, canonical
+    Huffman tables rebuilt from the file's own DHT segments, entropy
+    decode (DC diff + AC run/size with EOB/ZRL, 0xFF00 unstuffing),
+    dequantize, inverse zigzag, IDCT, level shift — returns a
+    ``(height, width)`` uint8 array. Progressive (SOF2), color, and
+    restart-interval streams fail loudly."""
+    import numpy as np
+
+    if len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_tq = 0
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        body_start, body_end = pos + 4, pos + 2 + seglen
+        if body_end > len(b):
+            raise ValueError("truncated JPEG segment")
+        body = bytes(b[body_start:body_end])
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                qt[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError(
+                f"only baseline SOF0 is supported (got SOF{marker - 0xC0})"
+            )
+        elif marker == 0xC0:  # SOF0
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8 or ncomp != 1:
+                raise ValueError(
+                    "only 8-bit single-component (grayscale) JPEG shipped"
+                )
+            if body[7] != 0x11:
+                raise ValueError("subsampled grayscale is malformed")
+            comp_tq = body[8]
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = body[i + 1 : i + 17]
+                nvals = sum(bits)
+                vals = body[i + 17 : i + 17 + nvals]
+                table = {}
+                for sym, (code, length) in _jpeg_canonical_codes(
+                    tuple(bits), tuple(vals)
+                ).items():
+                    table[(length, code)] = sym
+                huff[(tc, th)] = table
+                i += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("restart intervals (DRI) not supported")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if w is None or body[0] != 1:
+                raise ValueError("SOS before SOF0 or multi-component scan")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+            if dc_tab is None or ac_tab is None or comp_tq not in qt:
+                raise ValueError("scan references missing DHT/DQT table")
+            q = qt[comp_tq]
+            br = _JpegBitReader(b, body_end)
+
+            def read_symbol(table) -> int:
+                code, length = 0, 0
+                while length < 16:
+                    code = (code << 1) | br.read_bit()
+                    length += 1
+                    sym = table.get((length, code))
+                    if sym is not None:
+                        return sym
+                raise ValueError("invalid JPEG Huffman code")
+
+            C = _jpeg_dct_matrix()
+            ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            out = np.empty((ph, pw), dtype=np.float64)
+            prev_dc = 0
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    zz = [0] * 64
+                    size = read_symbol(dc_tab)
+                    prev_dc += _jpeg_extend(br.receive(size), size)
+                    zz[0] = prev_dc * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = read_symbol(ac_tab)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        size = rs & 0x0F
+                        zz[k] = _jpeg_extend(br.receive(size), size) * q[k]
+                        k += 1
+                    coef = np.zeros(64, dtype=np.float64)
+                    coef[list(_JPEG_ZIGZAG)] = zz
+                    blk = C.T @ coef.reshape(8, 8) @ C + 128.0
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+            return np.clip(np.rint(out[:h, :w]), 0, 255).astype(np.uint8)
+        # other segments (APPn, COM): skip
+        pos = body_end
+    raise ValueError("JPEG has no SOS scan")
+
+
+def parse_jpeg_header(b: bytes) -> tuple[int, int, str, int]:
+    """``(width, height, mode, n_bytes)`` from a JPEG's SOF0 marker —
+    same contract as :func:`parse_png_header`."""
+    if len(b) < 4 or bytes(b[:2]) != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (bad SOI)")
+    pos = 2
+    while pos + 4 <= len(b):
+        marker = b[pos + 1]
+        (seglen,) = struct.unpack_from(">H", b, pos + 2)
+        if marker == 0xC0:
+            _, h, w, ncomp = struct.unpack_from(">BHHB", b, pos + 4)
+            return w, h, "L" if ncomp == 1 else "YCbCr", len(b)
+        if marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline SOF0 is supported")
+        pos += 2 + seglen
+    raise ValueError("JPEG missing SOF0")
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Real-bytes JPEG fixture: geometry seeded from ``md5(text)`` —
+    width = 1 + b0 % 40, height = 1 + b1 % 40 (up to 5x5 MCU grids,
+    heavy non-multiple-of-8 crop coverage), pixel seed = b2 — so the
+    oracle predicts the decoded block-solid output analytically while
+    the payload is a genuine baseline JPEG bitstream."""
+
+    def _byte(i: int):
+        return F.conv(F.substring(F.md5(F.col(text_col)), 2 * i + 1, 2), 16, 10).cast(
+            "int"
+        )
+
+    geo = df.select(
+        F.col(id_col).alias("doc_id"),
+        (1 + _byte(0) % 40).alias("__w"),
+        (1 + _byte(1) % 40).alias("__h"),
+        _byte(2).alias("__seed"),
+    )
+
+    def _enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg(int(w), int(h), int(s))
+                        for w, h, s in zip(pdf["__w"], pdf["__h"], pdf["__seed"])
+                    ],
+                }
+            )
+
+    enc = geo.mapInPandas(_enc, schema="doc_id bigint, payload binary")
+    return enc.select(
+        "doc_id",
+        "payload",
+        F.struct(
+            F.lit("jpeg").alias("format"),
+            F.length("payload").cast("int").alias("n_bytes"),
+        ).alias("media_meta"),
+    )
+
+
+JPEG_DECODED_SCHEMA = (
+    "doc_id bigint, width int, height int, mode string, "
+    "sum_v bigint, max_v int"
+)
+
+
+def decode_jpeg_images(with_payload: DataFrame) -> DataFrame:
+    """Arrow-batched FULL baseline JPEG decode: geometry from the
+    file's SOF0 plus integer pixel sum/max reduced from the
+    Huffman-decoded, dequantized, IDCT-reconstructed array — the sum
+    covers every pixel, so any bitstream/IDCT error breaks the strict
+    oracle gate."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts = pdf["media_meta"].map(lambda m: m["format"])
+            unknown = set(fmts) - {"jpeg"}
+            if unknown:
+                raise NotImplementedError(
+                    f"decode_jpeg_images got format(s) {sorted(unknown)}"
+                )
+            cols = {k: [] for k in (
+                "doc_id", "width", "height", "mode", "sum_v", "max_v",
+            )}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_jpeg_pixels(bytes(b))
+                cols["doc_id"].append(doc_id)
+                cols["height"].append(px.shape[0])
+                cols["width"].append(px.shape[1])
+                cols["mode"].append("L")
+                cols["sum_v"].append(int(px.sum(dtype="int64")))
+                cols["max_v"].append(int(px.max()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": cols["doc_id"],
+                    "width": pd.Series(cols["width"], dtype="int32"),
+                    "height": pd.Series(cols["height"], dtype="int32"),
+                    "mode": cols["mode"],
+                    "sum_v": pd.Series(cols["sum_v"], dtype="int64"),
+                    "max_v": pd.Series(cols["max_v"], dtype="int32"),
+                }
+            )
+
+    return with_payload.mapInPandas(_decode, schema=JPEG_DECODED_SCHEMA)
 
 
 def attach_png_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

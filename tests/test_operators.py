@@ -732,6 +732,102 @@ def test_png_encode_decode_roundtrip():
     bad[40] ^= 0xFF  # flip an IDAT byte -> CRC mismatch fails loudly
     with pytest.raises(ValueError):
         multimodal.decode_png_pixels(bytes(bad))
+    # mid-chunk truncation (length field pointing past the buffer) must
+    # raise the documented loud ValueError, not struct.error (ADVICE r6)
+    import struct as _struct
+
+    full = multimodal.encode_png(4, 4, 1)
+    pos = 8
+    while True:
+        (length,) = _struct.unpack_from(">I", full, pos)
+        if full[pos + 4 : pos + 8] == b"IDAT":
+            break
+        pos += 12 + length
+    with pytest.raises(ValueError, match="truncated PNG chunk stream"):
+        multimodal.decode_png_pixels(full[: pos + 8 + length - 2])
+
+
+def test_jpeg_block_solid_roundtrip_is_exact():
+    # baseline grayscale JPEG, all-ones quant table: a block-solid
+    # image's DCT is an integral DC only, so the lossy codec round-trips
+    # BIT-EXACTLY — the analytic-oracle contract of the fixture
+    import numpy as np
+
+    for w, h, seed in [(1, 1, 0), (8, 8, 5), (17, 9, 200), (40, 33, 123)]:
+        b = multimodal.encode_jpeg(w, h, seed)
+        assert b[:2] == b"\xff\xd8" and b[-2:] == b"\xff\xd9"
+        assert multimodal.parse_jpeg_header(b) == (w, h, "L", len(b))
+        px = multimodal.decode_jpeg_pixels(b)
+        want = np.empty((h, w), dtype=np.uint8)
+        for y in range(h):
+            want[y] = [(seed + 7 * (x // 8) + 13 * (y // 8)) % 256 for x in range(w)]
+        assert (px == want).all()
+
+
+def test_jpeg_nonsolid_matches_independent_quant_model():
+    # the AC path (run/size Huffman, ZRL, amplitude extend, byte
+    # stuffing) on dense random blocks: the decoder must agree
+    # BIT-EXACTLY with an independent DCT->round->IDCT quant model that
+    # never touches the bitstream code, and stay within 1 of the source
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    src = rng.integers(0, 256, (24, 21), dtype=np.uint8)
+    got = multimodal.decode_jpeg_pixels(multimodal.encode_jpeg_gray(src))
+    C = np.array(
+        [
+            [
+                (math.sqrt(0.125) if u == 0 else 0.5)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    pad = np.empty((24, 24))
+    pad[:, :21] = src
+    pad[:, 21:] = src[:, 20:21]
+    ref = np.empty((24, 24))
+    for by in range(3):
+        for bx in range(3):
+            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ np.rint(C @ blk @ C.T) @ C + 128.0
+            )
+    ref = np.clip(np.rint(ref[:24, :21]), 0, 255).astype(np.uint8)
+    assert (got == ref).all()
+    assert np.abs(got.astype(int) - src.astype(int)).max() <= 1
+
+
+def test_jpeg_malformed_payloads_fail_loudly():
+    b = multimodal.encode_jpeg(16, 16, 9)
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_pixels(b"\x00" + b)  # bad SOI
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_pixels(b[:-20])  # truncated stream
+    prog = bytearray(b)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # claim progressive
+    with pytest.raises(ValueError, match="SOF"):
+        multimodal.decode_jpeg_pixels(bytes(prog))
+
+
+def test_decode_jpeg_images_spark_path(spark):
+    payload = spark.createDataFrame(
+        [(1, bytearray(multimodal.encode_jpeg(10, 9, seed=10)), {"format": "jpeg"})],
+        "doc_id bigint, payload binary, media_meta map<string,string>",
+    )
+    r = multimodal.decode_jpeg_images(payload).collect()[0]
+    # blocks: (bx,by) in {0,1}x{0,1}; v = (10 + 7bx + 13by) % 256
+    vals = {(0, 0): 10, (1, 0): 17, (0, 1): 23, (1, 1): 30}
+    want = sum(
+        vals[(x // 8, y // 8)] for y in range(9) for x in range(10)
+    )
+    assert (r["width"], r["height"], r["mode"]) == (10, 9, "L")
+    assert r["sum_v"] == want
+    assert r["max_v"] == 30
 
 
 def test_decode_images_handles_png_format(spark):
@@ -741,19 +837,21 @@ def test_decode_images_handles_png_format(spark):
         [
             (1, bytearray(multimodal.encode_png(6, 4, seed=3)), {"format": "png"}),
             (2, bytearray(multimodal.encode_bmp(5, 2, seed=9)), {"format": "bmp"}),
+            (3, bytearray(multimodal.encode_jpeg(9, 7, seed=1)), {"format": "jpeg"}),
         ],
         "doc_id bigint, payload binary, media_meta map<string,string>",
     )
     out = {r["doc_id"]: r for r in multimodal.decode_images(payload).collect()}
     assert (out[1]["width"], out[1]["height"], out[1]["mode"]) == (6, 4, "RGB")
     assert (out[2]["width"], out[2]["height"], out[2]["mode"]) == (5, 2, "RGB")
-    # jpeg still refuses loudly (needs a real codec library)
-    jp = spark.createDataFrame(
-        [(3, bytearray(b"\xff\xd8\xff\xe0fake"), {"format": "jpeg"})],
+    assert (out[3]["width"], out[3]["height"], out[3]["mode"]) == (9, 7, "L")
+    # a format with no shipped codec still refuses loudly
+    gif = spark.createDataFrame(
+        [(4, bytearray(b"GIF89afake"), {"format": "gif"})],
         "doc_id bigint, payload binary, media_meta map<string,string>",
     )
-    with pytest.raises(Exception, match="NotImplementedError|jpeg"):
-        multimodal.decode_images(jp).collect()
+    with pytest.raises(Exception, match="NotImplementedError|gif"):
+        multimodal.decode_images(gif).collect()
 
 
 def test_png_channel_sums_match_handcount(spark):
