@@ -54,6 +54,11 @@ def load_queries(path: str) -> tuple[dict[str, float], float | None]:
         q = obj.get("queries")
         if isinstance(q, dict) and len(q) >= len(best):
             best = {k: float(v) for k, v in q.items()}
+            # r7+: shared-artifact builds ride as their own rows so the
+            # diff can attribute build-cost moves by name
+            ab = obj.get("artifact_builds")
+            if isinstance(ab, dict):
+                best.update({k: float(v) for k, v in ab.items()})
         if "value" in obj:
             total = float(obj["value"])
     return best, total
