@@ -427,6 +427,82 @@ ORACLES["dedup_simhash_hamming"] = f"""
 """
 
 
+# ---------------------------------------------------------------- #
+# Capped pigeonhole banding — the PRODUCTION DEFAULT of the SimHash #
+# pair generator, oracle-checked end-to-end (the counterpart of     #
+# dedup_minhash_lsh_capped for the Hamming family). The cap drops   #
+# whole (chunk_idx, chunk_value) buckets whose DISTINCT-fingerprint #
+# count exceeds DEFAULT_MAX_BUCKET_SIZE *before* candidate          #
+# expansion; distance-0 pairs (identical fingerprints) never pass   #
+# through buckets and are never dropped. The oracle mirrors the     #
+# exact mechanics: collapse to distinct fingerprints, bucket by     #
+# 8-bit chunks of the 32-bit hash, keep buckets 2..cap, verify      #
+# bit_count(xor) in 1..3 at the fingerprint level, then expand to   #
+# member pairs.                                                     #
+# ---------------------------------------------------------------- #
+def q_dedup_simhash_hamming_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = register_testdata(spark, sf_dir)
+    # no max_bucket_size argument: this entry certifies the DEFAULT
+    pairs = dedup.simhash_hamming_pairs(
+        t["documents"], "doc_id", "text", max_distance=3, bits=32
+    )
+    return (
+        pairs.groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("id_a").alias("sum_id_a"),
+            F.sum("id_b").alias("sum_id_b"),
+        )
+        .orderBy("hamming")
+    )
+
+
+QUERIES["dedup_simhash_hamming_capped"] = q_dedup_simhash_hamming_capped
+ORACLES["dedup_simhash_hamming_capped"] = f"""
+    WITH sims AS ({_simhash_oracle(32)}),
+    fp AS (SELECT DISTINCT simhash FROM sims),
+    chunks AS (
+        SELECT simhash, c AS chunk_idx,
+               (simhash >> (c * 8)) & 255 AS chunk_val
+        FROM fp, (SELECT unnest([0, 1, 2, 3]) AS c)
+    ),
+    sized AS (
+        SELECT chunk_idx, chunk_val, COUNT(*) AS n
+        FROM chunks GROUP BY 1, 2
+    ),
+    ok AS (SELECT chunk_idx, chunk_val FROM sized
+           WHERE n BETWEEN 2 AND {dedup.DEFAULT_MAX_BUCKET_SIZE}),
+    fp_pairs AS (
+        SELECT DISTINCT a.simhash AS ha, b.simhash AS hb,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM chunks a
+        JOIN ok USING (chunk_idx, chunk_val)
+        JOIN chunks b ON a.chunk_idx = b.chunk_idx
+                     AND a.chunk_val = b.chunk_val
+                     AND a.simhash < b.simhash
+        WHERE bit_count(xor(a.simhash, b.simhash)) BETWEEN 1 AND 3
+    ),
+    across AS (
+        SELECT LEAST(sa.doc_id, sb.doc_id) AS id_a,
+               GREATEST(sa.doc_id, sb.doc_id) AS id_b,
+               p.hamming
+        FROM fp_pairs p
+        JOIN sims sa ON sa.simhash = p.ha
+        JOIN sims sb ON sb.simhash = p.hb
+    ),
+    within AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(0 AS INT) AS hamming
+        FROM sims a JOIN sims b ON a.simhash = b.simhash
+                                AND a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT * FROM across UNION ALL SELECT * FROM within)
+    SELECT hamming, COUNT(*) AS n_pairs,
+           CAST(SUM(id_a) AS BIGINT) AS sum_id_a,
+           CAST(SUM(id_b) AS BIGINT) AS sum_id_b
+    FROM pairs GROUP BY hamming ORDER BY hamming
+"""
+
+
 # dedup: n-gram Jaccard pairs (blocked by lang)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)

@@ -1177,6 +1177,8 @@ def decode_jpeg_pixels(b: bytes):
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             i = 0
             while i < len(body):
+                if i + 65 > len(body):
+                    raise ValueError("truncated DQT segment")
                 pq, tq = body[i] >> 4, body[i] & 0x0F
                 if pq != 0:
                     raise ValueError("16-bit quant tables not supported")
@@ -1187,6 +1189,8 @@ def decode_jpeg_pixels(b: bytes):
                 f"only baseline SOF0 is supported (got SOF{marker - 0xC0})"
             )
         elif marker == 0xC0:  # SOF0
+            if len(body) < 9:
+                raise ValueError("truncated SOF0 segment")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8 or ncomp != 1:
                 raise ValueError(
@@ -1198,9 +1202,13 @@ def decode_jpeg_pixels(b: bytes):
         elif marker == 0xC4:  # DHT (possibly several tables per segment)
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("truncated DHT segment")
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = body[i + 1 : i + 17]
                 nvals = sum(bits)
+                if i + 17 + nvals > len(body):
+                    raise ValueError("truncated DHT segment")
                 vals = body[i + 17 : i + 17 + nvals]
                 table = {}
                 for sym, (code, length) in _jpeg_canonical_codes(
@@ -1212,6 +1220,8 @@ def decode_jpeg_pixels(b: bytes):
         elif marker == 0xDD:
             raise ValueError("restart intervals (DRI) not supported")
         elif marker == 0xDA:  # SOS — entropy data follows
+            if len(body) < 3:
+                raise ValueError("truncated SOS segment")
             if w is None or body[0] != 1:
                 raise ValueError("SOS before SOF0 or multi-component scan")
             td, ta = body[2] >> 4, body[2] & 0x0F
@@ -1275,6 +1285,8 @@ def parse_jpeg_header(b: bytes) -> tuple[int, int, str, int]:
         marker = b[pos + 1]
         (seglen,) = struct.unpack_from(">H", b, pos + 2)
         if marker == 0xC0:
+            if pos + 10 > len(b):
+                raise ValueError("truncated SOF0 segment")
             _, h, w, ncomp = struct.unpack_from(">BHHB", b, pos + 4)
             return w, h, "L" if ncomp == 1 else "YCbCr", len(b)
         if marker in (0xC1, 0xC2, 0xC3):

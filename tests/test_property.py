@@ -1493,3 +1493,88 @@ def test_y4m_parser_never_crashes_on_garbage(data):
             multimodal.parse_y4m(blob)
         except ValueError:
             pass
+
+
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=24),
+    seed=st.integers(min_value=0, max_value=255),
+)
+@settings(deadline=None, max_examples=40)
+def test_jpeg_block_solid_roundtrip_property(w, h, seed):
+    # baseline JPEG is lossy, but a block-solid image under the all-ones
+    # quant table round-trips BIT-EXACTLY (DC-only integral DCT) — the
+    # analytic-oracle contract of the fixture, over randomized geometry
+    import numpy as np
+
+    from de_polars_spark.operators import multimodal
+
+    b = multimodal.encode_jpeg(w, h, seed)
+    assert multimodal.parse_jpeg_header(b) == (w, h, "L", len(b))
+    px = multimodal.decode_jpeg_pixels(b)
+    want = np.empty((h, w), dtype=np.uint8)
+    for y in range(h):
+        want[y] = [(seed + 7 * (x // 8) + 13 * (y // 8)) % 256 for x in range(w)]
+    assert (px == want).all()
+
+
+@given(
+    w=st.integers(min_value=1, max_value=20),
+    h=st.integers(min_value=1, max_value=20),
+    seed=st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(deadline=None, max_examples=25)
+def test_jpeg_arbitrary_pixels_match_quant_model(w, h, seed):
+    # the full AC entropy path on arbitrary pixels: decoder must agree
+    # bit-exactly with an independent DCT->round->IDCT quant model that
+    # never touches the bitstream code (Huffman/stuffing bugs cannot
+    # cancel against it), and stay within 1 of the source
+    import math
+
+    import numpy as np
+
+    from de_polars_spark.operators import multimodal
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    got = multimodal.decode_jpeg_pixels(multimodal.encode_jpeg_gray(src))
+    C = np.array(
+        [
+            [
+                (math.sqrt(0.125) if u == 0 else 0.5)
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    pad = np.empty((ph, pw))
+    pad[:h, :w] = src
+    pad[h:, :w] = src[h - 1 : h, :]
+    pad[:, w:] = pad[:, w - 1 : w]
+    ref = np.empty((ph, pw))
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            ref[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                C.T @ np.rint(C @ blk @ C.T) @ C + 128.0
+            )
+    ref = np.clip(np.rint(ref[:h, :w]), 0, 255).astype(np.uint8)
+    assert (got == ref).all()
+    assert np.abs(got.astype(int) - src.astype(int)).max() <= 1
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(deadline=None, max_examples=120)
+def test_jpeg_parsers_never_crash_on_garbage(data):
+    # corrupt blobs (raw, bad-SOI, and valid-SOI-garbage-body) must
+    # raise ValueError, never struct.error / IndexError / KeyError
+    from de_polars_spark.operators import multimodal
+
+    for blob in (data, b"\xff\xd8" + data):
+        for fn in (multimodal.parse_jpeg_header, multimodal.decode_jpeg_pixels):
+            try:
+                fn(blob)
+            except ValueError:
+                pass
