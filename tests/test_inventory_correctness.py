@@ -32,3 +32,18 @@ def test_every_query_has_oracle_or_is_flagged():
         "queries without oracle (should be non-SQL-expressible only): "
         f"{sorted(set(QUERIES) - set(ORACLES))}"
     )
+
+
+def test_driver_head_names_resolve_and_fill_the_budget():
+    # __spark_entry__._ordered silently drops names missing from the
+    # inventory, so a typo in the re-certification head would silently
+    # shrink the driver's 50-query sample — fail loudly here instead
+    import __spark_entry__ as e
+
+    head = e._RECERTIFY_HEAD
+    assert len(head) == 50
+    assert len(set(head)) == 50, "duplicate names in the head"
+    missing = [n for n in head if n not in QUERIES]
+    assert not missing, f"head names not in inventory: {missing}"
+    ordered = list(e.queries())
+    assert ordered[: len(head)] == list(head)
