@@ -24,13 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-7 head (50 names = the full driver sample budget), per the r6
-# verdict: the 6 round-6 additions that have NO driver row in any
-# round, then the oldest-green re-certification tail — the 44 oldest
-# names whose newest green row in CORRECTNESS_r01..r06 is r3
-# (inventory-order tiebreak; the remaining 2 r3 names —
-# range_join_error_burst, tfidf_top_terms — plus the 49 r4 names form
-# the r8 head). After this round no query's newest green driver row is
-# older than r4.
+# verdict: every query with NO driver row in any round goes first —
+# the 6 round-6 additions plus this round's 2 additions — then the
+# oldest-green re-certification tail: the 42 oldest names whose newest
+# green row in CORRECTNESS_r01..r06 is r3 (inventory-order tiebreak).
+# The remaining 4 r3 names (unpivot_revenue_metrics,
+# asof_purchase_attribution, range_join_error_burst, tfidf_top_terms)
+# plus the 49 r4 names form the r8 head (53 names -> 3 spill to r9).
 _RECERTIFY_HEAD = (
     # never driver-sampled (added in round 6)
     "dedup_minhash_lsh_capped",
@@ -39,7 +39,10 @@ _RECERTIFY_HEAD = (
     "ann_pq_recall_eval_clustered",
     "ann_pq_recall_eval_neardup",
     "bitext_ivf_pair_recall_clustered",
-    # newest green row = r3 (44 oldest in inventory order)
+    # never driver-sampled (added in round 7)
+    "multimodal_jpeg_decode",
+    "dedup_simhash_hamming_capped",
+    # newest green row = r3 (42 oldest in inventory order)
     "text_repetition_stats",
     "text_pii_scrub",
     "shard_packing",
@@ -82,8 +85,6 @@ _RECERTIFY_HEAD = (
     "semi_anti_open_only_customers",
     "window_rank_suite",
     "pivot_orders_status",
-    "unpivot_revenue_metrics",
-    "asof_purchase_attribution",
 )
 _NEVER_SAMPLED = _RECERTIFY_HEAD
 

@@ -213,7 +213,10 @@ def _inside_literal(sql: str, pos: int) -> bool:
     patterns must match string literals — format strings, regexes) to
     honor the module contract that rewrites never alter the CONTENTS
     of an unrelated literal (e.g. ``SELECT 'see array_to_string(a,
-    b)'`` must pass through untouched)."""
+    b)'`` must pass through untouched). Positions inside double-quoted
+    IDENTIFIERS also return True: no rewrite may fire inside any
+    quoted span (``SELECT "array_to_string(a, b)"`` names a column —
+    rewriting it would reference a nonexistent one)."""
     i, n = 0, len(sql)
     while i < n and i <= pos:
         ch = sql[i]
@@ -227,7 +230,7 @@ def _inside_literal(sql: str, pos: int) -> bool:
                     break
                 j += 1
             if i < pos <= j:
-                return ch == "'"  # double-quoted spans are identifiers
+                return True  # literal or quoted identifier: never rewrite
             i = j + 1
         else:
             i += 1

@@ -108,7 +108,16 @@ def _lsh_graph_cap() -> int | None:
         return _LSH_CAP
     if raw in ("0", "none", "exact"):
         return None
-    return int(raw)
+    cap = int(raw)
+    if cap <= 0:
+        # a negative cap would filter size(ids) <= cap, dropping EVERY
+        # bucket and silently materializing an empty pair graph for all
+        # six consumers — refuse the typo instead
+        raise ValueError(
+            f"SPARK_GRAFT_LSH_CAP={raw!r}: cap must be a positive integer "
+            "(or 0/none/exact for exact banding)"
+        )
+    return cap
 
 
 def _pair_graph_artifact_dir(sf_dir: str) -> str:

@@ -1243,6 +1243,16 @@ def decode_jpeg_pixels(b: bytes):
 
             C = _jpeg_dct_matrix()
             ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+            # every block costs >= 6 entropy bits (a DC code + EOB), so
+            # SOF0 dims wildly exceeding what the payload could encode
+            # are malformed — refuse BEFORE the h*w allocation (an
+            # adversarial 65535x65535 header in a 100-byte blob would
+            # otherwise attempt a ~34 GB buffer in the Arrow worker)
+            n_blocks = (ph // 8) * (pw // 8)
+            if n_blocks > 2 * max(0, len(b) - body_end) + 16:
+                raise ValueError(
+                    "SOF0 dimensions inconsistent with payload size"
+                )
             out = np.empty((ph, pw), dtype=np.float64)
             prev_dc = 0
             for by in range(ph // 8):

@@ -358,6 +358,10 @@ def test_apostrophe_in_quoted_identifier_does_not_flip_parity():
     assert "o'brien" in s and "array_join(a, '-')" in s
     s2 = t('SELECT "o\'brien", \'see array_to_string(x, y)\' AS doc FROM t')
     assert "'see array_to_string(x, y)'" in s2
+    # a pattern INSIDE a double-quoted identifier names a column — the
+    # rewrite must never fire there either (r7 review finding)
+    s3 = t('SELECT "array_to_string(a, b)" FROM t')
+    assert "array_join" not in s3
 
 
 def test_varchar_rewrite_is_cast_anchored():

@@ -50,9 +50,13 @@ def load_queries(path: str) -> tuple[dict[str, float], float | None]:
             }
             if len(tail_q) > len(best):
                 best = tail_q
+    best_qlen = len(best)
     for obj in candidates:
         q = obj.get("queries")
-        if isinstance(q, dict) and len(q) >= len(best):
+        # compare QUERY counts only — merged artifact rows must not
+        # inflate `best` past a later, larger real queries dict
+        if isinstance(q, dict) and len(q) >= best_qlen:
+            best_qlen = len(q)
             best = {k: float(v) for k, v in q.items()}
             # r7+: shared-artifact builds ride as their own rows so the
             # diff can attribute build-cost moves by name
