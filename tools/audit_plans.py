@@ -157,11 +157,19 @@ def audit(name: str, df) -> dict:
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    # mirror bench.py's session shape (local[$SPARK_GRAFT_CPUS], shuffle
+    # partitions = cpus): AQE finalizes join strategies from runtime
+    # partition stats, so an audit session shaped differently from the
+    # bench session audits DIFFERENT plans than the ones measured — at
+    # sf1 the 8-partition shape even flipped a verification join to a
+    # broadcast whose array-heavy build OOM'd while the bench shape ran
+    # the same query clean
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cpus}]")
         .appName("de_polars_spark-plan-audit")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         # artifact-building query constructors (pair graph, KPI wave,
         # IVF index) execute real jobs before the plan is explained —
@@ -201,6 +209,16 @@ def main() -> None:
             # kills) late queries
             _rel_dedup()
             _rel_sim()
+            # and drop py4j refs promptly (same rationale as bench.py):
+            # ContextCleaner can only release finished plans' broadcast
+            # blocks once the driver-side references are GC'd — at sf1
+            # the accumulated broadcast pressure otherwise OOMs a late
+            # broadcast build (observed: dedup_ngram_jaccard PLAN FAILED
+            # in the 202-plan audit session while the same query runs
+            # clean standalone)
+            import gc
+
+            gc.collect()
         rows.append(info)
         if info["bnl"]:
             if name in BNL_JUSTIFIED:
