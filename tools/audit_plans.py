@@ -194,7 +194,19 @@ def main() -> None:
     from de_polars_spark.operators.dedup import release_cached as _rel_dedup
     from de_polars_spark.operators.similarity import release_cached as _rel_sim
 
-    for name, fn in entry_mod.queries().items():
+    qs = entry_mod.queries()
+    # run the heaviest spillers FIRST: a 200-plan sf1 session accumulates
+    # tens of GB of shuffle files in spark.local.dir before ContextCleaner
+    # catches up, and the exact n-gram anchor's own sort spill then hits
+    # ENOSPC mid-audit even though the same plan runs clean standalone
+    # (observed r7). Plan shapes are order-independent; disk headroom
+    # isn't.
+    for heavy in ("dedup_ngram_jaccard", "dedup_minhash_lsh",
+                  "dedup_simhash_hamming"):
+        if heavy in qs:
+            qs = {heavy: qs.pop(heavy)} | qs
+
+    for name, fn in qs.items():
         if only and name not in only:
             continue
         try:
