@@ -34,10 +34,12 @@ dedup_graph_stats 448 s -> 1.0 s) showed the uncapped form is the
 scale-killer and an out-of-the-box run must get the near-linear path.
 ``max_bucket_size=None`` is the documented exact/oracle opt-out (every
 bucket expanded — what a DuckDB self-join reproduces).
-No relation is ever broadcast wholesale: the verification
-joins let AQE pick the strategy (the candidate-pair side is the small
-one; broadcasting the full doc-shingle relation — round 1 — is an OOM
-by construction at scale).
+No relation is ever broadcast wholesale BY HINT: the verification
+joins let AQE pick the strategy — at small scale it broadcasts the
+per-block doc-set side (correct: a forced SMJ would shuffle and sort
+the array-ANNOTATED candidate intermediates, measured at sf1 as tens
+of GB of sort spill vs a ~50 MB broadcast), and at corpus scale its
+size estimates grow with the relation and it falls back to SMJ.
 """
 
 from __future__ import annotations
@@ -363,10 +365,13 @@ def ngram_jaccard_pairs(
     lemma, same global order both sides), so hot boilerplate shingles —
     last in the order — rarely generate candidates. Candidates are then
     verified exactly with ``array_intersect`` against the per-doc shingle
-    sets; the verification joins carry NO broadcast hints — AQE
-    broadcasts the candidate-pair side when it is small, and at corpus
-    scale neither side is forced resident on every executor. Measured
-    2.6x over naive posting-list counting at sf0.1; exact same output.
+    sets; the verification joins carry NO join hints — AQE broadcasts
+    the per-block doc-set side while it is genuinely small (forcing SMJ
+    instead shuffles and sorts the array-ANNOTATED candidate
+    intermediates: measured at sf1 as tens of GB of sort spill vs a
+    ~50 MB broadcast build) and falls back to SMJ as its size estimate
+    grows with the corpus. Measured 2.6x over naive posting-list
+    counting at sf0.1; exact same output.
 
     Skew guards for production corpora (None = exact oracle semantics):
     ``max_df`` drops shingles appearing in more than that many docs per
@@ -520,9 +525,10 @@ def ngram_jaccard_pairs(
     if minhash_prefilter is not None:
         # k-slot signature agreement as a Jaccard estimator: each slot
         # agrees with probability J, so mean agreement estimates J with
-        # sd sqrt(J(1-J)/k). Signatures ride a broadcast-size per-doc
-        # table (k bigint-ish columns); the prescreen is two broadcast
-        # joins + one comparison column — no extra shuffle on the pairs.
+        # sd sqrt(J(1-J)/k). The per-doc signature table is compact (k
+        # fixed-width columns, no arrays); AQE broadcasts it while
+        # small and falls back to SMJ as it grows — same no-hint rule
+        # as the verification joins below.
         k = minhash_prefilter
         sig = _minhash_sig_df(df, id_col, text_col, k, shingle_n)
         agree = sum(

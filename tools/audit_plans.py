@@ -227,10 +227,17 @@ def main() -> None:
             # the accumulated broadcast pressure otherwise OOMs a late
             # broadcast build (observed: dedup_ngram_jaccard PLAN FAILED
             # in the 202-plan audit session while the same query runs
-            # clean standalone)
+            # clean standalone). Python gc alone is not enough when two
+            # broadcast-heavy plans run back-to-back: the JVM may not
+            # collect between them, so the prior plan's broadcast blocks
+            # still occupy driver memory when the next build starts —
+            # force a JVM GC and give the async cleaner a moment.
             import gc
+            import time as _time
 
             gc.collect()
+            spark._jvm.System.gc()
+            _time.sleep(1.0)
         rows.append(info)
         if info["bnl"]:
             if name in BNL_JUSTIFIED:
