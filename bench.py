@@ -43,6 +43,11 @@ def main() -> None:
         .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # same raise as tools/audit_plans.py: at sf1 the exact n-gram
+        # anchor's AQE broadcast build serializes ~1047 MiB of task
+        # results — flaky against the 1 GiB default cap (observed r7:
+        # two silent sf1 failures at 1047.4 MiB vs 1024 MiB)
+        .config("spark.driver.maxResultSize", "4g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
