@@ -36,10 +36,12 @@ scale-killer and an out-of-the-box run must get the near-linear path.
 bucket expanded — what a DuckDB self-join reproduces).
 No relation is ever broadcast wholesale BY HINT: the verification
 joins let AQE pick the strategy — at small scale it broadcasts the
-per-block doc-set side (correct: a forced SMJ would shuffle and sort
-the array-ANNOTATED candidate intermediates, measured at sf1 as tens
-of GB of sort spill vs a ~50 MB broadcast), and at corpus scale its
-size estimates grow with the relation and it falls back to SMJ.
+per-block doc-set side (the cheaper side even though its sf1 build
+serializes ~1 GiB — a forced SMJ instead shuffles and sorts the
+array-ANNOTATED candidate intermediates, measured at sf1 as tens of
+GB of sort spill), and at corpus scale its size estimates grow with
+the relation and it falls back to SMJ. The harness sessions raise
+spark.driver.maxResultSize to 4g for exactly this build.
 """
 
 from __future__ import annotations
@@ -366,12 +368,13 @@ def ngram_jaccard_pairs(
     last in the order — rarely generate candidates. Candidates are then
     verified exactly with ``array_intersect`` against the per-doc shingle
     sets; the verification joins carry NO join hints — AQE broadcasts
-    the per-block doc-set side while it is genuinely small (forcing SMJ
-    instead shuffles and sorts the array-ANNOTATED candidate
-    intermediates: measured at sf1 as tens of GB of sort spill vs a
-    ~50 MB broadcast build) and falls back to SMJ as its size estimate
-    grows with the corpus. Measured 2.6x over naive posting-list
-    counting at sf0.1; exact same output.
+    the per-block doc-set side while its estimate stays small (the
+    cheaper choice even at sf1, where the build serializes ~1 GiB:
+    forcing SMJ instead shuffles and sorts the array-ANNOTATED
+    candidate intermediates — measured as tens of GB of sort spill)
+    and falls back to SMJ as its size estimate grows with the corpus.
+    Measured 2.6x over naive posting-list counting at sf0.1; exact
+    same output.
 
     Skew guards for production corpora (None = exact oracle semantics):
     ``max_df`` drops shingles appearing in more than that many docs per
