@@ -23,68 +23,64 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-7 head (50 names = the full driver sample budget), per the r6
-# verdict: every query with NO driver row in any round goes first —
-# the 6 round-6 additions plus this round's 2 additions — then the
-# oldest-green re-certification tail: the 42 oldest names whose newest
-# green row in CORRECTNESS_r01..r06 is r3 (inventory-order tiebreak).
-# The remaining 4 r3 names (unpivot_revenue_metrics,
-# asof_purchase_attribution, range_join_error_burst, tfidf_top_terms)
-# plus the 49 r4 names form the r8 head (53 names -> 3 spill to r9).
+# Round-8 head = the freshness flywheel output (tools/freshness.py):
+# no never-sampled names remain, so the head is the 50 oldest-green
+# re-certification names — the 4 whose newest green driver row is r3
+# plus the 46 oldest r4 names (inventory-order tiebreak). The 3
+# remaining r4 names (fk_integrity_report, negative_pair_sample,
+# freshness_lag_report) spill to the r9 head. tests/test_entry.py
+# asserts this tuple equals `python tools/freshness.py --check`.
 _RECERTIFY_HEAD = (
-    # never driver-sampled (added in round 6)
-    "dedup_minhash_lsh_capped",
-    "multimodal_png_decode",
-    "ann_recall_eval_clustered",
-    "ann_pq_recall_eval_clustered",
-    "ann_pq_recall_eval_neardup",
-    "bitext_ivf_pair_recall_clustered",
-    # never driver-sampled (added in round 7)
-    "multimodal_jpeg_decode",
-    "dedup_simhash_hamming_capped",
-    # newest green row = r3 (42 oldest in inventory order)
-    "text_repetition_stats",
-    "text_pii_scrub",
-    "shard_packing",
-    "kmeans_embeddings",
-    "text_unigram_logprob",
-    "mixture_resample_sqrt",
-    "dedup_semantic",
-    "gopher_quality_filter",
-    "token_diversity_profile",
-    "quality_logreg_score",
-    "embedding_pool_chunks",
-    "ann_recall_eval",
-    "per_source_cap",
-    "ann_multiprobe_topk",
-    "ann_ivf_kmeans_topk",
-    "embedding_norm_profile",
-    "fuzzy_part_names",
-    "join_key_skew_report",
-    "histogram_equidepth_price",
-    "dedup_graph_stats",
-    "dedup_cluster_size_histogram",
-    "kpi_view_tracker",
-    "pricing_efficiency_join",
-    "pricing_sp_coverage",
-    "pricing_cheapest_option",
-    "forecast_linear_seasonal",
-    "forecast_naive_next_month",
-    "forecast_regression",
-    "volatility_classification",
-    "commitment_roi_sim",
-    "nl_intent_router",
-    "streaming_windowed_costs",
-    "session_window_agg",
-    "interval_join_attribution",
-    "rollup_returnflag_status",
-    "cube_orders_status_priority",
-    "grouping_sets_lineitem",
-    "quantile_price_profile",
-    "rolling_frame_avg",
-    "semi_anti_open_only_customers",
-    "window_rank_suite",
-    "pivot_orders_status",
+    "unpivot_revenue_metrics",
+    "asof_purchase_attribution",
+    "range_join_error_burst",
+    "tfidf_top_terms",
+    "neardup_admission",
+    "dedup_simhash_hamming",
+    "sample_weighted_per_source",
+    "dedup_keep_best",
+    "chunk_documents",
+    "embedding_truncate_norm",
+    "chunk_boilerplate",
+    "vocab_coverage",
+    "text_normalize",
+    "quality_by_source",
+    "dedup_minhash_estimate",
+    "ngram_dup_profile",
+    "split_leakage_check",
+    "pii_density_by_source",
+    "ann_ivf_index_build",
+    "ann_ivf_index_query",
+    "ann_ivf_index_append",
+    "ann_pq_topk",
+    "ann_pq_recall_eval",
+    "ann_ivfpq_topk",
+    "finops_tag_compliance",
+    "bm25_search",
+    "approx_distinct_hll",
+    "heavy_hitters_cms",
+    "histogram_price",
+    "corr_qty_price",
+    "merge_upsert_snapshot",
+    "skew_salted_agg",
+    "data_quality_report",
+    "column_stats_profile",
+    "incremental_agg_maintenance",
+    "snapshot_diff",
+    "funnel_view_click_purchase",
+    "topk_with_ties",
+    "median_abs_deviation",
+    "histogram_median_mergeable",
+    "dedup_incremental_batch",
+    "cohort_retention",
+    "rfm_segmentation",
+    "basket_copurchase_lift",
+    "ship_latency_profile",
+    "bloom_join_prefilter",
+    "scd2_history",
+    "bucketed_colocated_join",
+    "zorder_clustering_stats",
+    "table_fingerprint",
 )
 _NEVER_SAMPLED = _RECERTIFY_HEAD
 

@@ -81,18 +81,21 @@ def main() -> None:
             sys.exit(2)
 
     # warm-up: JVM/codegen spin-up is a constant, not a per-query cost.
-    # Always warm with a query OUTSIDE the timed subset — running the
-    # first subset query here would pay its single-consumer artifact
-    # build untimed and skew the slice in favor of whichever query is
-    # listed first.
+    # Warm with a known-cheap artifact-free query (r7 ADVICE: the old
+    # "first query not in the subset" fallback could land on
+    # kpi_view_tracker and silently pay the whole KPI wave untimed).
+    # Prefer one OUTSIDE the timed subset — warming with a subset member
+    # would skew its own first-rep timing favorably.
+    _WARM_CANDIDATES = (
+        "pricing_summary",            # 1.4s at sf0.1, plain scan+agg
+        "distinct_months",            # 0.09s
+        "scalar_functions_showcase",  # 0.07s
+    )
     if only_raw:
         warm_fn = next(
-            (fn for n, fn in full_qs.items()
-             if n not in qs and n == "pricing_summary"),
-            None,
-        ) or next(
-            (fn for n, fn in full_qs.items() if n not in qs),
-            next(iter(qs.values())),  # subset == full inventory
+            (full_qs[n] for n in _WARM_CANDIDATES
+             if n in full_qs and n not in qs),
+            next(iter(qs.values())),  # subset covers all candidates
         )
     else:
         warm_fn = qs.get("pricing_summary", next(iter(qs.values())))
@@ -152,27 +155,30 @@ def main() -> None:
         fn()
         artifact_builds[f"artifact:{name}"] = round(_t.perf_counter() - t0, 4)
 
-    # (skipped for subset runs: their queries either don't touch shared
-    # artifacts or should pay the build visibly inside the slice)
-    if not only_raw:
-        from de_polars_spark.inventory import llm_ops as _L
-        from de_polars_spark.inventory.kpi_views import _ensure_kpi_views
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY) pay the SAME artifact rows as
+    # full runs (r7 verdict: the sf3 subset artifact's empty
+    # artifact_builds map folded the KPI wave / pair-graph / components
+    # builds into their first consumers, so the committed scaling table
+    # printed build-cost relocations — kpi_view_tracker "566x" — as
+    # scaling numbers). Consumers now measure warm in every run shape.
+    from de_polars_spark.inventory import llm_ops as _L
+    from de_polars_spark.inventory.kpi_views import _ensure_kpi_views
 
-        _pay("kpi_views", lambda: _ensure_kpi_views(spark, sf_dir))
-        _pay(
-            "dedup_pair_graph",
-            lambda: _L._dedup_pair_graph(spark, sf_dir).count(),
-        )
-        _pay(
-            "dedup_components",
-            lambda: _L._dedup_components(spark, sf_dir).count(),
-        )
-        _pay("ivf_index", lambda: _L._ensure_ivf_index(spark, sf_dir))
-        _pay("pq_codebooks", lambda: _L._ensure_pq_codebooks(spark, sf_dir))
+    _pay("kpi_views", lambda: _ensure_kpi_views(spark, sf_dir))
+    _pay(
+        "dedup_pair_graph",
+        lambda: _L._dedup_pair_graph(spark, sf_dir).count(),
+    )
+    _pay(
+        "dedup_components",
+        lambda: _L._dedup_components(spark, sf_dir).count(),
+    )
+    _pay("ivf_index", lambda: _L._ensure_ivf_index(spark, sf_dir))
+    _pay("pq_codebooks", lambda: _L._ensure_pq_codebooks(spark, sf_dir))
 
-        from de_polars_spark.operators.dedup import release_cached as _rd
+    from de_polars_spark.operators.dedup import release_cached as _rd
 
-        _rd()  # builds persist shingle relations; queries start clean
+    _rd()  # builds persist shingle relations; queries start clean
 
     from de_polars_spark.operators.dedup import release_cached as _release_dedup
     from de_polars_spark.operators.similarity import (
@@ -226,9 +232,12 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
     }
+    # always recorded (even at reps=1, where it equals `queries`) so
+    # first-rep diffs across artifacts are symmetric regardless of the
+    # run shape (r7 verdict optional-hardening a)
+    record["queries_first_rep"] = timings_first
     if reps > 1:
         record["min_of"] = reps
-        record["queries_first_rep"] = timings_first
     print(json.dumps(record))
     # Persist the FULL per-query map to a committed artifact: the driver's
     # BENCH_r0N.json keeps only a truncated tail + top-10, which made the

@@ -1292,7 +1292,16 @@ def parse_jpeg_header(b: bytes) -> tuple[int, int, str, int]:
         raise ValueError("not a JPEG payload (bad SOI)")
     pos = 2
     while pos + 4 <= len(b):
+        # strict marker alignment, mirroring decode_jpeg_pixels: striding
+        # into entropy-coded bytes must raise, not return a spurious
+        # dimension from a 0xC0 byte that isn't a marker (r7 ADVICE)
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}, got 0x{b[pos]:02x}")
         marker = b[pos + 1]
+        if marker == 0xDA:
+            # SOS starts the entropy-coded stream; a SOF0 after it would
+            # be a parse of compressed data, not a header
+            break
         (seglen,) = struct.unpack_from(">H", b, pos + 2)
         if marker == 0xC0:
             if pos + 10 > len(b):

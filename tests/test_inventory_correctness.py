@@ -47,3 +47,24 @@ def test_driver_head_names_resolve_and_fill_the_budget():
     assert not missing, f"head names not in inventory: {missing}"
     ordered = list(e.queries())
     assert ordered[: len(head)] == list(head)
+
+
+def test_driver_head_matches_freshness_flywheel():
+    # The committed head must be exactly what tools/freshness.py computes
+    # from the CORRECTNESS_r*.json record: never-sampled names first, then
+    # oldest-green re-certification names, truncated to the 50 budget.
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "freshness", os.path.join(repo, "tools", "freshness.py")
+    )
+    freshness = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(freshness)
+
+    import __spark_entry__ as e
+
+    assert list(e._RECERTIFY_HEAD) == freshness.compute_head(repo), (
+        "head drift: regenerate with `python tools/freshness.py`"
+    )

@@ -764,6 +764,30 @@ def test_jpeg_block_solid_roundtrip_is_exact():
         assert (px == want).all()
 
 
+def test_jpeg_header_rejects_misaligned_and_post_sos_sof():
+    # r7 ADVICE: the header walk must enforce 0xFF marker alignment and
+    # stop at SOS — a 0xC0 byte inside entropy data is NOT a SOF0
+    import struct as _s
+
+    import pytest as _pt
+
+    real = multimodal.encode_jpeg(8, 8, 3)
+    # corrupt the byte that should be a 0xFF marker lead-in right after
+    # the SOI so the walk lands misaligned
+    bad = bytearray(real)
+    bad[2] = 0x00
+    with _pt.raises(ValueError, match="expected marker"):
+        multimodal.parse_jpeg_header(bytes(bad))
+    # craft: SOI, one APP0 segment, SOS, then entropy bytes containing a
+    # spurious ff c0 pattern followed by plausible dims — must NOT parse
+    app0 = b"\xff\xe0" + _s.pack(">H", 4) + b"\x00\x00"
+    sos = b"\xff\xda" + _s.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    entropy = b"\x12\xff\x00\x34" + b"\xff\xc0" + _s.pack(">HBHHB", 11, 8, 9, 9, 1)
+    crafted = b"\xff\xd8" + app0 + sos + entropy + b"\xff\xd9"
+    with _pt.raises(ValueError, match="missing SOF0"):
+        multimodal.parse_jpeg_header(crafted)
+
+
 def test_jpeg_nonsolid_matches_independent_quant_model():
     # the AC path (run/size Huffman, ZRL, amplitude extend, byte
     # stuffing) on dense random blocks: the decoder must agree

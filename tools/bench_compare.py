@@ -42,7 +42,9 @@ def load_queries(path: str) -> tuple[dict[str, float], float | None]:
             if isinstance(obj.get(key), dict):
                 candidates.append(obj[key])
         if isinstance(obj.get("tail"), str):
-            pairs = re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', obj["tail"])
+            # allow ':' so "artifact:*" rows parse from tail captures
+            # symmetrically with JSON artifacts (r7 ADVICE)
+            pairs = re.finditer(r'"([a-z0-9_:]+)":\s*([0-9.]+)', obj["tail"])
             tail_q = {
                 m.group(1): float(m.group(2))
                 for m in pairs

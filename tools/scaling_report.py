@@ -31,6 +31,14 @@ def load(path: str) -> tuple[dict[str, float], float | None]:
     return rows, obj.get("sf")
 
 
+def sf_label(path: str, sf: float | None) -> str:
+    # Raw stdout captures accepted by bench_compare may lack "sf";
+    # fall back to the filename instead of raising on f"sf{None:g}".
+    import os
+
+    return f"sf{sf:g}" if sf is not None else os.path.basename(path)
+
+
 def main() -> int:
     if len(sys.argv) < 3:
         print(__doc__)
@@ -39,9 +47,11 @@ def main() -> int:
     base, base_sf = load(base_path)
     scaled = [(p, *load(p)) for p in scaled_paths]
 
-    hdr = ["query", f"sf{base_sf:g}"]
+    base_lbl = sf_label(base_path, base_sf)
+    hdr = ["query", base_lbl]
     for p, _, sf in scaled:
-        hdr += [f"sf{sf:g}", f"×(sf{sf:g}/sf{base_sf:g})"]
+        lbl = sf_label(p, sf)
+        hdr += [lbl, f"×({lbl}/{base_lbl})"]
     print("| " + " | ".join(hdr) + " |")
     print("|" + "---|" * len(hdr))
 
