@@ -1567,6 +1567,28 @@ def test_jpeg_arbitrary_pixels_match_quant_model(w, h, seed):
 
 @given(data=st.binary(min_size=0, max_size=200))
 @settings(deadline=None, max_examples=120)
+def test_y4m_parser_never_crashes_on_garbage(data):
+    # same treatment as the JPEG/PNG/WAV parsers (r7 verdict hardening):
+    # corrupt blobs — raw, valid-magic garbage header, and valid header
+    # with garbage frame bytes — must raise ValueError, never
+    # struct.error / IndexError / UnicodeDecodeError
+    from de_polars_spark.operators import multimodal
+
+    valid = multimodal.encode_y4m(3, 2, 1, seed=5)
+    hdr_end = valid.find(b"\n") + 1
+    for blob in (
+        data,
+        b"YUV4MPEG2 " + data,
+        valid[:hdr_end] + data,
+    ):
+        try:
+            multimodal.parse_y4m(blob)
+        except ValueError:
+            pass
+
+
+@given(data=st.binary(min_size=0, max_size=200))
+@settings(deadline=None, max_examples=120)
 def test_jpeg_parsers_never_crash_on_garbage(data):
     # corrupt blobs (raw, bad-SOI, and valid-SOI-garbage-body) must
     # raise ValueError, never struct.error / IndexError / KeyError
