@@ -238,7 +238,10 @@ def main() -> None:
     record["queries_first_rep"] = timings_first
     if reps > 1:
         record["min_of"] = reps
-    print(json.dumps(record))
+    # flush: stdout is block-buffered when piped, so without it a hang or
+    # kill in the artifact writes / spark.stop() below would lose the
+    # record line the driver parses
+    print(json.dumps(record), flush=True)
     # Persist the FULL per-query map to a committed artifact: the driver's
     # BENCH_r0N.json keeps only a truncated tail + top-10, which made the
     # r3->r4 regression diff nearly blind (6 of 142 queries comparable).
@@ -290,7 +293,7 @@ def main() -> None:
     }
     if reps > 1:
         compact["min_of"] = reps
-    print(json.dumps(compact))
+    print(json.dumps(compact), flush=True)
     spark.stop()
 
 
