@@ -23,70 +23,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-8 head = the freshness flywheel output (tools/freshness.py):
-# no never-sampled names remain, so the head is the 50 oldest-green
-# re-certification names — the 4 whose newest green driver row is r3
-# plus the 46 oldest r4 names (inventory-order tiebreak). The 3
-# remaining r4 names (fk_integrity_report, negative_pair_sample,
-# freshness_lag_report) spill to the r9 head. tests/test_entry.py
-# asserts this tuple equals `python tools/freshness.py --check`.
+# Round-9 head = the freshness flywheel output (tools/freshness.py) cut
+# from the r01..r08 driver record: the 3 remaining r4 names
+# (fk_integrity_report, negative_pair_sample, freshness_lag_report) plus
+# the 47 oldest r5 names (inventory-order tiebreak). _HEAD_BASIS_ROUND
+# pins the record the head was computed from, so a CORRECTNESS_r*.json
+# the driver writes AFTER this commit cannot invalidate the committed
+# head (r8 verdict #1: the unpinned guard failed on every as-judged
+# tree). tests/test_inventory_correctness.py asserts this tuple equals
+# `python tools/freshness.py --check` at this basis.
+_HEAD_BASIS_ROUND = 8
 _RECERTIFY_HEAD = (
-    "unpivot_revenue_metrics",
-    "asof_purchase_attribution",
-    "range_join_error_burst",
-    "tfidf_top_terms",
-    "neardup_admission",
-    "dedup_simhash_hamming",
-    "sample_weighted_per_source",
-    "dedup_keep_best",
-    "chunk_documents",
-    "embedding_truncate_norm",
-    "chunk_boilerplate",
-    "vocab_coverage",
-    "text_normalize",
-    "quality_by_source",
-    "dedup_minhash_estimate",
-    "ngram_dup_profile",
-    "split_leakage_check",
-    "pii_density_by_source",
-    "ann_ivf_index_build",
-    "ann_ivf_index_query",
-    "ann_ivf_index_append",
-    "ann_pq_topk",
-    "ann_pq_recall_eval",
-    "ann_ivfpq_topk",
-    "finops_tag_compliance",
-    "bm25_search",
-    "approx_distinct_hll",
-    "heavy_hitters_cms",
-    "histogram_price",
-    "corr_qty_price",
-    "merge_upsert_snapshot",
-    "skew_salted_agg",
-    "data_quality_report",
-    "column_stats_profile",
-    "incremental_agg_maintenance",
-    "snapshot_diff",
-    "funnel_view_click_purchase",
-    "topk_with_ties",
-    "median_abs_deviation",
-    "histogram_median_mergeable",
-    "dedup_incremental_batch",
-    "cohort_retention",
-    "rfm_segmentation",
-    "basket_copurchase_lift",
-    "ship_latency_profile",
-    "bloom_join_prefilter",
-    "scd2_history",
-    "bucketed_colocated_join",
-    "zorder_clustering_stats",
-    "table_fingerprint",
+    "fk_integrity_report",
+    "negative_pair_sample",
+    "freshness_lag_report",
+    "pricing_summary",
+    "top_brands_by_revenue",
+    "conditional_cost_ladder",
+    "priority_bucketing",
+    "predicate_gauntlet",
+    "count_distinct_profile",
+    "having_active_suppliers",
+    "multi_level_agg",
+    "spine_left_join",
+    "mom_self_join",
+    "pct_of_total",
+    "multimodal_image_decode",
+    "multimodal_pixel_stats",
+    "multimodal_audio_decode",
+    "multimodal_video_frames",
+    "multimodal_resize_real",
+    "multimodal_features_real",
+    "ann_ivf_index_compact",
+    "dsir_importance_select",
+    "bpe_phrase_merges",
+    "token_entropy_by_source",
+    "psi_drift_report",
+    "cluster_aware_split",
+    "mixture_token_budget_plan",
+    "jsonl_source_roundtrip",
+    "streaming_late_arrival_audit",
+    "inverted_index",
+    "user_overlap_theta_sketch",
+    "cross_source_overlap_matrix",
+    "quality_prune_plan",
+    "zipf_token_slope",
+    "embedding_centroid_shift",
+    "k_anonymity_report",
+    "qi_uniqueness_ladder",
+    "dedup_containment",
+    "hard_negative_mining",
+    "hard_negative_mining_ivf",
+    "embedding_int8_quant",
+    "embedding_centroid_silhouette",
+    "tokenizer_fertility",
+    "curriculum_phase_plan",
+    "timeseries_gapfill",
+    "consistent_subset_sample",
+    "retrieval_mrr_ndcg",
+    "bitext_margin_mining",
+    "bitext_margin_mining_ivf",
+    "entity_resolution",
 )
-_NEVER_SAMPLED = _RECERTIFY_HEAD
 
 
 def _ordered(mapping: dict) -> dict:
-    head = {n: mapping[n] for n in _NEVER_SAMPLED if n in mapping}
+    head = {n: mapping[n] for n in _RECERTIFY_HEAD if n in mapping}
     return head | {n: v for n, v in mapping.items() if n not in head}
 
 

@@ -64,6 +64,11 @@ BNL_JUSTIFIED: dict[str, str] = {
     "dedup_graph_stats": "broadcast-scalar: three 1-row aggregates assembled (nodes x edges x triangles)",
     "zorder_clustering_stats": "broadcast-scalar: 1-row min/max key + z-value bounds",
     "freshness_lag_report": "broadcast-scalar: 1-row global-max-timestamp scalar",
+    "negative_pair_sample": (
+        "broadcast-scalar: 1-row corpus-count scalar sizing the bucket space "
+        "(GREATEST(32, n/64)) into both join sides; the candidate join itself "
+        "is a bucket equi-join with O(1) candidates per anchor"
+    ),
     "ann_pq_topk": (
         "algorithmic: 1-row m x ksub x dsub codebook broadcast; un-pruned ADC is "
         "by design a full-corpus pass (PQ without an IVF in front)"

@@ -5,7 +5,14 @@ at sf0.01, normalizes (columns sorted by name, rows sorted by all columns),
 and compares values. Exact match is the goal; float columns also report the
 max abs diff so near-misses are diagnosable.
 
-Usage: python tools/check_correctness.py [name ...]
+Usage:
+    python tools/check_correctness.py [name ...]
+    python tools/check_correctness.py --sample N --seed S
+        # seed-controlled random spot-check: N names drawn (without
+        # replacement) from the inventory TAIL — everything outside the
+        # driver's committed re-certification head — so a judge/CI run
+        # exercises exactly the rows the driver did NOT just certify.
+        # Combine with explicit names to restrict the draw population.
 """
 
 from __future__ import annotations
@@ -61,10 +68,35 @@ def main() -> int:
         )
         return 2
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    sample_n = seed = None
+    if "--sample" in argv:
+        i = argv.index("--sample")
+        sample_n = int(argv[i + 1])
+        del argv[i : i + 2]
+    if "--seed" in argv:
+        i = argv.index("--seed")
+        seed = int(argv[i + 1])
+        del argv[i : i + 2]
+    only = set(argv)
     spark = get_spark("correctness-check")
     con = duck_connection()
     qs, os_ = e.queries(), e.oracle_sql()
+    if sample_n is not None:
+        import random
+
+        head = set(e._RECERTIFY_HEAD)
+        population = [
+            n for n in sorted(qs)
+            if n not in head and (not only or n in only)
+        ]
+        rng = random.Random(seed if seed is not None else 0)
+        picked = set(rng.sample(population, min(sample_n, len(population))))
+        print(
+            f"sampled {len(picked)}/{len(population)} tail names "
+            f"(seed={seed if seed is not None else 0}, head excluded)"
+        )
+        only = picked
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -12,14 +12,27 @@ round N is:
 
 truncated to the 50-slot driver budget.
 
+The head is pinned to a **basis round** (``_HEAD_BASIS_ROUND`` in
+``__spark_entry__.py``): ``compute_head(upto=basis)`` ignores any
+``CORRECTNESS_r*.json`` newer than the basis, so the driver writing the
+current round's artifact after the builder's final commit cannot
+invalidate the committed head (r8 verdict: the unpinned guard failed on
+every as-judged tree, by construction).
+
 Usage::
 
-    python tools/freshness.py            # print histogram + next head
-    python tools/freshness.py --check    # exit 1 if __spark_entry__'s
-                                         # head differs from the computed one
+    python tools/freshness.py                # histogram + next head at
+                                             # the newest round on disk
+    python tools/freshness.py --at-round N   # reproduce the head as it
+                                             # was computed from rounds
+                                             # r01..rN (any historical head)
+    python tools/freshness.py --check        # exit 1 if __spark_entry__'s
+                                             # head differs from the one
+                                             # computed at its own basis
 
-``tests/test_entry.py`` runs the ``--check`` form so the committed head
-can never drift from the flywheel.
+``tests/test_inventory_correctness.py::test_driver_head_matches_freshness_flywheel``
+runs the ``--check`` logic so the committed head can never drift from
+the flywheel.
 """
 
 from __future__ import annotations
@@ -45,14 +58,23 @@ def _green(v: dict) -> bool:
     )
 
 
-def newest_green_rounds(repo: str = REPO) -> dict[str, int]:
-    """Map query name -> newest round with a green driver row."""
+def newest_green_rounds(
+    repo: str = REPO, upto: int | None = None
+) -> dict[str, int]:
+    """Map query name -> newest round <= ``upto`` with a green driver row.
+
+    ``upto=None`` means every round on disk (the interactive default);
+    the pytest guard always passes the committed basis so artifacts the
+    driver writes *after* the head was cut are ignored.
+    """
     newest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
             continue
         rnd = int(m.group(1))
+        if upto is not None and rnd > upto:
+            continue
         with open(path) as f:
             rows = json.load(f)
         for name, v in rows.items():
@@ -61,13 +83,15 @@ def newest_green_rounds(repo: str = REPO) -> dict[str, int]:
     return newest
 
 
-def compute_head(repo: str = REPO, budget: int = HEAD_BUDGET) -> list[str]:
+def compute_head(
+    repo: str = REPO, budget: int = HEAD_BUDGET, upto: int | None = None
+) -> list[str]:
     sys.path.insert(0, repo)
     from de_polars_spark.inventory import QUERIES
 
     inventory = list(QUERIES)
     index = {n: i for i, n in enumerate(inventory)}
-    newest = newest_green_rounds(repo)
+    newest = newest_green_rounds(repo, upto=upto)
     never = [n for n in inventory if n not in newest]
     tail = sorted(
         (n for n in inventory if n in newest),
@@ -76,21 +100,21 @@ def compute_head(repo: str = REPO, budget: int = HEAD_BUDGET) -> list[str]:
     return (never + tail)[:budget]
 
 
-def entry_head(repo: str = REPO) -> list[str]:
+def entry_head(repo: str = REPO) -> tuple[list[str], int]:
+    """The committed head and the basis round it was computed from."""
     sys.path.insert(0, repo)
     import __spark_entry__ as entry
 
-    return list(entry._RECERTIFY_HEAD)
+    return list(entry._RECERTIFY_HEAD), int(entry._HEAD_BASIS_ROUND)
 
 
 def main(argv: list[str]) -> int:
-    newest = newest_green_rounds()
-    hist: dict[int, int] = {}
-    for rnd in newest.values():
-        hist[rnd] = hist.get(rnd, 0) + 1
-    computed = compute_head()
+    upto: int | None = None
+    if "--at-round" in argv:
+        upto = int(argv[argv.index("--at-round") + 1])
     if "--check" in argv:
-        committed = entry_head()
+        committed, basis = entry_head()
+        computed = compute_head(upto=basis)
         if committed != computed:
             extra = [n for n in committed if n not in computed]
             missing = [n for n in computed if n not in committed]
@@ -100,9 +124,18 @@ def main(argv: list[str]) -> int:
                 file=sys.stderr,
             )
             return 1
-        print(f"head OK ({len(committed)} names match the flywheel)")
+        print(
+            f"head OK ({len(committed)} names match the flywheel "
+            f"at basis r{basis})"
+        )
         return 0
-    print("freshness histogram (newest green driver row per query):")
+    newest = newest_green_rounds(upto=upto)
+    hist: dict[int, int] = {}
+    for rnd in newest.values():
+        hist[rnd] = hist.get(rnd, 0) + 1
+    computed = compute_head(upto=upto)
+    scope = f"rounds <= r{upto}" if upto is not None else "all rounds on disk"
+    print(f"freshness histogram over {scope} (newest green row per query):")
     for rnd in sorted(hist):
         print(f"  r{rnd}: {hist[rnd]}")
     print(f"\nnext head ({len(computed)} names, oldest-green first):")

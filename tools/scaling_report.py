@@ -4,7 +4,7 @@ Joins the per-query maps of a base recording (default sf0.1 min-of-3)
 with one or more larger-scale recordings and prints a markdown table of
 timings and scaling ratios. This is how the committed ladder is
 rendered for SURVEY — rerun it against any newer artifacts to refresh
-the evidence without hand-editing numbers; ``tests/test_artifacts.py``
+the evidence without hand-editing numbers; ``tests/test_anchors.py``
 regenerates the committed SCALING file from the committed bench
 artifacts and fails if they drift.
 
