@@ -21,11 +21,42 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_calibration() -> float:
+    """Fixed single-thread workload (md5 over 256 MB) in seconds.
+
+    Recorded in every bench artifact so a cross-round uniform timing
+    shift can be attributed: same code + same calibration = real
+    regression; same code + shifted calibration = machine state (the
+    r8->r9 floor question — r8's uniform 1.115x was adjudicated as
+    session floor but could not be *measured* as such retroactively).
+    """
+    import hashlib
+    import time as _t
+
+    buf = b"\0" * (1 << 20)
+    h = hashlib.md5()
+    t0 = _t.perf_counter()
+    for _ in range(256):
+        h.update(buf)
+    return round(_t.perf_counter() - t0, 4)
+
+
+def _steal_jiffies() -> int | None:
+    """Cumulative hypervisor steal time (jiffies) — VM-host contention."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    calibration = _cpu_calibration()
+    steal0 = _steal_jiffies()
 
     from pyspark.sql import SparkSession
 
@@ -250,6 +281,20 @@ def main() -> None:
     # first-rep diffs across artifacts are symmetric regardless of the
     # run shape (r7 verdict optional-hardening a)
     record["queries_first_rep"] = timings_first
+    # tag exact-anchor / eval rows IN the artifact (r8 verdict optional
+    # hardening c): a reader of the raw JSON sees which rows are
+    # deliberately super-linear without cross-referencing the rendered
+    # SCALING markdown
+    from de_polars_spark.inventory.anchors import EXACT_ANCHORS
+
+    record["anchor_kinds"] = {
+        n: EXACT_ANCHORS[n]["kind"] for n in timings if n in EXACT_ANCHORS
+    }
+    # machine-state provenance: single-thread calibration + steal delta
+    record["calibration_md5_sec"] = calibration
+    steal1 = _steal_jiffies()
+    if steal0 is not None and steal1 is not None:
+        record["steal_jiffies_delta"] = steal1 - steal0
     if reps > 1:
         record["min_of"] = reps
     # flush: stdout is block-buffered when piped, so without it a hang or

@@ -3550,24 +3550,40 @@ ORACLES["join_key_skew_report"] = f"""
 # ---------------------------------------------------------------- #
 # Equi-depth histogram: NTILE buckets over a total order (value,    #
 # tiebreak id) — the optimizer-statistics companion to the equal-   #
-# width histogram_price. NB the unpartitioned NTILE window is a     #
-# single-task sort — exact and fine at test scale, but the 100 TB   #
-# path is two-phase: bucket BOUNDARIES from the distributed exact   #
-# quantiles (operators/quantiles.py, the machinery behind           #
-# quantile_price_profile / embedding_norm_profile), then a map-only #
-# range assignment against the broadcast boundary list.             #
+# width histogram_price. A literal unpartitioned NTILE window would #
+# be a single-task global sort, so the bucket is computed from the  #
+# exact DISTRIBUTED rank (operators/quantiles.with_global_rank:     #
+# sketch-bounded range buckets -> tiny offset table -> per-bucket   #
+# local rank) and NTILE's remainder arithmetic — bit-identical to   #
+# the window form at any scale, parallelism = rank buckets.         #
 # ---------------------------------------------------------------- #
 _EDH_BUCKETS = 8
 
 
 def q_histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as _W
+    from de_polars_spark.operators.quantiles import with_global_rank
 
     t = register_testdata(spark, sf_dir)
-    w = _W.orderBy(F.col("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber"))
-    bucketed = t["lineitem"].select(
+    ranked = with_global_rank(
+        t["lineitem"].select("l_extendedprice", "l_orderkey", "l_linenumber"),
+        [],
         "l_extendedprice",
-        F.ntile(_EDH_BUCKETS).over(w).alias("bucket"),
+        tiebreaks=["l_orderkey", "l_linenumber"],
+    )
+    # NTILE(k) over N rows, 0-based rank rn: the first r = N % k buckets
+    # hold q+1 = N div k + 1 rows, the rest hold q (integer `div` keeps
+    # the arithmetic exact at any N; double division could misround)
+    bucketed = ranked.select(
+        "l_extendedprice",
+        F.expr(
+            f"""CAST(CASE
+                WHEN __rn < (__n % {_EDH_BUCKETS}) * (__n div {_EDH_BUCKETS} + 1)
+                THEN __rn div (__n div {_EDH_BUCKETS} + 1)
+                ELSE (__n % {_EDH_BUCKETS})
+                     + (__rn - (__n % {_EDH_BUCKETS}) * (__n div {_EDH_BUCKETS} + 1))
+                       div (__n div {_EDH_BUCKETS})
+            END + 1 AS INT)"""
+        ).alias("bucket"),
     )
     return bucketed.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

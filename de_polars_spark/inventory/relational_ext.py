@@ -1019,9 +1019,13 @@ def q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_polars_spark.operators.quantiles import exact_quantiles
 
     t = register_testdata(spark, sf_dir)
-    med = exact_quantiles(
+    med_q = exact_quantiles(
         t["lineitem"], ["l_returnflag"], "l_extendedprice", [0.5]
     ).select("l_returnflag", F.col("p50").alias("__med"))
+    # materialize the G-row median (bounded: one row per return flag)
+    # so the second exact_quantiles pass doesn't re-run the first
+    # pipeline once per downstream branch
+    med = spark.createDataFrame(med_q.collect(), med_q.schema)
     dev = (
         t["lineitem"]
         .join(F.broadcast(med), "l_returnflag")
