@@ -271,12 +271,13 @@ def simhash_hamming_pairs(
     bits touch at most d chunks). Docs are first collapsed to DISTINCT
     fingerprints (duplicate-heavy corpora — the target workload — shrink
     by their duplication factor before any quadratic step); candidates
-    share a (chunk_idx, chunk_value) bucket, are verified inline with
-    ``bit_count(xor)``, deduped at the fingerprint level, and only then
-    expanded to member pairs. Three shuffles (cluster groupBy, bucket
-    groupBy, fingerprint-pair distinct), all on small keys — scales;
-    ``max_bucket_size`` caps degenerate fingerprint buckets at the cost
-    of exactness.
+    share a (chunk_idx, chunk_value) bucket, are verified inside the
+    bucket equi-join's condition with ``bit_count(xor)``, deduped at the
+    fingerprint level, and only then joined back to member-id arrays and
+    expanded to member pairs. All shuffles are on fingerprints or bucket
+    keys — member ids never enter the candidate path; ``max_bucket_size``
+    drops oversized buckets from a tiny count aggregate BEFORE any pair
+    forms, trading exactness for a hard candidate bound.
     """
     n_chunks = max_distance + 1
     chunk_size = bits // n_chunks
@@ -287,54 +288,163 @@ def simhash_hamming_pairs(
     # output, and bucket sizes shrink by the duplication factor.
     clusters = sims.groupBy("simhash").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
-    )
-    # distance-0: pairs within one fingerprint cluster
-    within = (
+    ).persist()
+    # one row per distinct fingerprint (small, linear): persisting it is
+    # what keeps the expensive tokenize->vote pipeline from re-running
+    # once per consuming branch — the within self-join, the two chunk
+    # sides and the two id join-backs would otherwise re-derive it 8x
+    # (measured at sf3: the suite stalled on exactly that). The count()
+    # materializes the cache EAGERLY: under a single downstream action
+    # the consuming stages otherwise race to fill it and still re-run
+    # the pipeline (measured 161s vs 24s for the same join).
+    _PERSISTED.append(clusters)
+    clusters.count()
+    # distance-0: pairs within one fingerprint cluster. Duplicate-heavy
+    # corpora make this the OUTPUT-bound part (sum over clusters of
+    # C(k,2) — 345M true pairs at test sf3), and a plain self-join on
+    # the fingerprint funnels a giant cluster's whole quadratic output
+    # through ONE task (a join key cannot be split by AQE; measured
+    # ~220s single-task at sf3). Triangular tile partitioning splits
+    # each cluster's pair space over T(T+1)/2 tasks: every member gets a
+    # deterministic tile t = hash(id) % T; a pair from tiles (i <= j) is
+    # produced exactly once by task (i, j) — the left row replicates to
+    # tasks (t, j>=t), the right row to tasks (i<=t, t), and equal-tile
+    # tasks dedup by id order.
+    T = 16
+    members = (
         clusters.filter(F.size("ids") > 1)
-        .select("ids", F.posexplode("ids").alias("i", "id_a"))
+        .select("simhash", F.explode("ids").alias("id"))
+        .withColumn("__t", F.pmod(F.xxhash64("id"), F.lit(T)).cast("int"))
+    )
+    # explicit repartition on the join keys: (a) a broadcast hash join
+    # would probe IN PLACE — the giant cluster's members sit in one
+    # cached partition (one pre-explode row), so without a shuffle on
+    # the tile keys every tile task lands back in that single task and
+    # the tiling does nothing (measured: >540s vs 24s for the same 345M
+    # pairs); (b) AQE coalescing merges these exchanges by INPUT size
+    # (~MBs of tile rows), blind to the quadratic join output behind
+    # them — a user repartition satisfies the join's distribution and is
+    # never coalesced.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    left = members.withColumn(
+        "__j", F.explode(F.expr(f"sequence(__t, {T - 1})"))
+    ).repartition(n_part, "simhash", "__t", "__j")
+    right = members.withColumn(
+        "__i", F.explode(F.expr("sequence(0, __t)"))
+    ).repartition(n_part, "simhash", "__i", "__t")
+    within = (
+        left.hint("merge")
+        .alias("wa")
+        .join(
+            right.alias("wb"),
+            (F.col("wa.simhash") == F.col("wb.simhash"))
+            & (F.col("wa.__t") == F.col("wb.__i"))
+            & (F.col("wa.__j") == F.col("wb.__t"))
+            & (
+                (F.col("wa.__t") < F.col("wb.__t"))
+                | (F.col("wa.id") < F.col("wb.id"))
+            ),
+        )
         .select(
-            "id_a",
-            F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("id_b"),
+            F.least("wa.id", "wb.id").alias("id_a"),
+            F.greatest("wa.id", "wb.id").alias("id_b"),
             F.lit(0).alias("hamming"),
         )
     )
+    # Candidate generation runs over BARE fingerprints — member-id
+    # arrays join back only after the (tiny) verified fingerprint-pair
+    # set exists. The previous shape collect_set'ed (simhash, ids)
+    # structs per bucket and let the cap filter discard the arrays it
+    # had just built: with chunk_size-bit chunk values there are only
+    # n_chunks x 2^chunk_size bucket keys, so every fingerprint + its
+    # ids was materialized into one of ~1024 giant sorted arrays first
+    # (measured: OOM/10-minute stall at sf3 where the fixed shape ran in
+    # seconds at sf1).
     chunks = clusters.select(
         "simhash",
-        "ids",
         F.explode(F.array(*[F.lit(i) for i in range(n_chunks)])).alias("chunk_idx"),
     ).select(
         "simhash",
-        "ids",
         "chunk_idx",
         F.expr(f"shiftright(simhash, chunk_idx * {chunk_size})")
         .bitwiseAND(F.lit((1 << chunk_size) - 1))
         .alias("chunk_val"),
     )
-    buckets = (
-        chunks.groupBy("chunk_idx", "chunk_val")
-        .agg(
-            F.array_sort(
-                F.collect_set(F.struct(F.col("simhash"), F.col("ids")))
-            ).alias("ms")
-        )
-        .filter(F.size("ms") > 1)
+    # bucket sizes = distinct-fingerprint counts: a map-side-combinable
+    # aggregate over at most n_chunks x 2^chunk_size keys; the cap (and
+    # the size>1 floor) filters buckets BEFORE any pair is formed
+    sizes = chunks.groupBy("chunk_idx", "chunk_val").agg(
+        F.count("*").alias("__bsz")
     )
+    keep = sizes.filter(F.col("__bsz") > 1)
     if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("ms") <= max_bucket_size)
+        keep = keep.filter(F.col("__bsz") <= max_bucket_size)
+    cands = chunks.join(
+        F.broadcast(keep.select("chunk_idx", "chunk_val")),
+        ["chunk_idx", "chunk_val"],
+    ).withColumn("__ft", F.pmod(F.xxhash64("simhash"), F.lit(T)).cast("int"))
+    # fingerprint-level candidates: bucket equi-join with the Hamming
+    # check in the join condition (filters during the merge, so the
+    # unverified pair set is never materialized), deduped on the
+    # fingerprint pair BEFORE the member expansion. The same triangular
+    # tiling as `within`: SimHash bits are NOT uniform (vote bits follow
+    # token frequencies), so uncapped runs concentrate fingerprints into
+    # few (chunk_idx, chunk_val) buckets and a plain equi-join puts each
+    # such bucket's quadratic scan in ONE task (measured 78s vs 47s at
+    # sf1 for the exact anchor before tiling). Equal fingerprints share
+    # a tile, so the strict < in the equal-tile branch also keeps
+    # hamming > 0 pairs only.
+    fa = cands.withColumn(
+        "__fj", F.explode(F.expr(f"sequence(__ft, {T - 1})"))
+    ).repartition(n_part, "chunk_idx", "chunk_val", "__ft", "__fj")
+    fb = cands.withColumn(
+        "__fi", F.explode(F.expr("sequence(0, __ft)"))
+    ).repartition(n_part, "chunk_idx", "chunk_val", "__fi", "__ft")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("int")
-    # fingerprint-level candidates, deduped BEFORE the member expansion
     fp_pairs = (
-        buckets.select("ms", F.posexplode("ms").alias("i", "a"))
-        .select("a", F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b"))
-        .select("a", "b", hamming.alias("hamming"))
-        .filter((F.col("hamming") <= max_distance) & (F.col("hamming") > 0))
-        .select(F.col("a.ids").alias("ids_a"), F.col("b.ids").alias("ids_b"), "hamming")
+        fa.hint("merge")
+        .alias("a")
+        .join(
+            fb.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.__ft") == F.col("b.__fi"))
+            & (F.col("a.__fj") == F.col("b.__ft"))
+            & (
+                (F.col("a.__ft") < F.col("b.__ft"))
+                | (F.col("a.simhash") < F.col("b.simhash"))
+            )
+            & (hamming <= max_distance),
+        )
+        .select(
+            F.least("a.simhash", "b.simhash").alias("sim_a"),
+            F.greatest("a.simhash", "b.simhash").alias("sim_b"),
+            hamming.alias("hamming"),
+        )
         .distinct()
     )
     across = (
-        fp_pairs.select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        fp_pairs.join(
+            clusters.select(
+                F.col("simhash").alias("sim_a"), F.col("ids").alias("ids_a")
+            ),
+            "sim_a",
+        )
+        .join(
+            clusters.select(
+                F.col("simhash").alias("sim_b"), F.col("ids").alias("ids_b")
+            ),
+            "sim_b",
+        )
+        .select(F.explode("ids_a").alias("ia"), "ids_b", "hamming")
+        # round-robin between the two explodes: a single fingerprint
+        # pair of two large clusters otherwise expands its whole
+        # |ids_a| x |ids_b| output inside one task (explode output
+        # cannot be split); spreading the already-exploded ia rows
+        # first bounds any task at |ids_b| rows per input row
+        .repartition(n_part)
         .select("ia", F.explode("ids_b").alias("ib"), "hamming")
         .select(
             F.least("ia", "ib").alias("id_a"),
