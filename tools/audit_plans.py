@@ -69,6 +69,12 @@ BNL_JUSTIFIED: dict[str, str] = {
         "(GREATEST(32, n/64)) into both join sides; the candidate join itself "
         "is a bucket equi-join with O(1) candidates per anchor"
     ),
+    "histogram_equidepth_price": (
+        "broadcast-scalar: the global (no-group) distributed rank crossJoins "
+        "the 1-row sampled min/max range into the counts pass and the rank "
+        "pass (operators/quantiles.with_global_rank); bucket offsets join by "
+        "equi-key"
+    ),
     "ann_pq_topk": (
         "algorithmic: 1-row m x ksub x dsub codebook broadcast; un-pruned ADC is "
         "by design a full-corpus pass (PQ without an IVF in front)"
