@@ -23,67 +23,68 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Round-9 head = the freshness flywheel output (tools/freshness.py) cut
-# from the r01..r08 driver record: the 3 remaining r4 names
-# (fk_integrity_report, negative_pair_sample, freshness_lag_report) plus
-# the 47 oldest r5 names (inventory-order tiebreak). _HEAD_BASIS_ROUND
-# pins the record the head was computed from, so a CORRECTNESS_r*.json
-# the driver writes AFTER this commit cannot invalidate the committed
-# head (r8 verdict #1: the unpinned guard failed on every as-judged
-# tree). tests/test_inventory_correctness.py asserts this tuple equals
+# Round-10 head = the freshness flywheel output (tools/freshness.py)
+# cut from the r01..r09 driver record: the 3 remaining r5 names
+# (sequence_packing_plan, matryoshka_recall_eval,
+# dedup_longest_shared_span) plus the 47 oldest r6 names
+# (inventory-order tiebreak). _HEAD_BASIS_ROUND pins the record the
+# head was computed from, so a CORRECTNESS_r*.json the driver writes
+# AFTER this commit cannot invalidate the committed head (r8 verdict
+# #1: the unpinned guard failed on every as-judged tree).
+# tests/test_inventory_correctness.py asserts this tuple equals
 # `python tools/freshness.py --check` at this basis.
-_HEAD_BASIS_ROUND = 8
+_HEAD_BASIS_ROUND = 9
 _RECERTIFY_HEAD = (
-    "fk_integrity_report",
-    "negative_pair_sample",
-    "freshness_lag_report",
-    "pricing_summary",
-    "top_brands_by_revenue",
-    "conditional_cost_ladder",
-    "priority_bucketing",
-    "predicate_gauntlet",
-    "count_distinct_profile",
-    "having_active_suppliers",
-    "multi_level_agg",
-    "spine_left_join",
-    "mom_self_join",
-    "pct_of_total",
-    "multimodal_image_decode",
-    "multimodal_pixel_stats",
-    "multimodal_audio_decode",
-    "multimodal_video_frames",
-    "multimodal_resize_real",
-    "multimodal_features_real",
-    "ann_ivf_index_compact",
-    "dsir_importance_select",
-    "bpe_phrase_merges",
-    "token_entropy_by_source",
-    "psi_drift_report",
-    "cluster_aware_split",
-    "mixture_token_budget_plan",
-    "jsonl_source_roundtrip",
-    "streaming_late_arrival_audit",
-    "inverted_index",
-    "user_overlap_theta_sketch",
-    "cross_source_overlap_matrix",
-    "quality_prune_plan",
-    "zipf_token_slope",
-    "embedding_centroid_shift",
-    "k_anonymity_report",
-    "qi_uniqueness_ladder",
-    "dedup_containment",
-    "hard_negative_mining",
-    "hard_negative_mining_ivf",
-    "embedding_int8_quant",
-    "embedding_centroid_silhouette",
-    "tokenizer_fertility",
-    "curriculum_phase_plan",
-    "timeseries_gapfill",
-    "consistent_subset_sample",
-    "retrieval_mrr_ndcg",
-    "bitext_margin_mining",
-    "bitext_margin_mining_ivf",
-    "entity_resolution",
+    "sequence_packing_plan",
+    "matryoshka_recall_eval",
+    "dedup_longest_shared_span",
+    "anomaly_zscore",
+    "lag_mom_yoy",
+    "lag_partitioned",
+    "lag_over_agg",
+    "rank_event_types",
+    "topk_days_per_type",
+    "distinct_months",
+    "scalar_functions_showcase",
+    "recent_orders_interval",
+    "ordered_limit_sample",
+    "union_distinct_statuses",
+    "json_props_extract",
+    "sessionization",
+    "hourly_rollup",
+    "star_join_regions",
+    "map_column_access",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_components",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "text_lang_id",
+    "text_quality",
+    "text_token_stats",
+    "text_fingerprint",
+    "multimodal_resize",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "sample_hash_bernoulli",
+    "sample_stratified",
+    "sample_train_split",
+    "corpus_length_quantiles",
+    "sample_weighted",
+    "pipeline_corpus_curation",
+    "dedup_pagerank",
+    "benchmark_contamination",
+    "finops_line_item_types",
+    "finops_amortized_ladder",
+    "finops_kpi_spine",
+    "finops_spend_mom",
+    "finops_idle_detection",
+    "finops_rightsizing",
 )
 
 

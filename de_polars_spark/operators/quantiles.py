@@ -63,6 +63,24 @@ def _default_buckets(df: DataFrame) -> int:
     return max(32, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
 
 
+def _nullsafe_key_join(
+    left: DataFrame, right: DataFrame, on: Sequence[str], how: str = "inner"
+) -> DataFrame:
+    """Equi-join treating NULL keys as equal (``<=>``), dropping the
+    right side's join columns like the names-list join form does.
+
+    A plain names-list join never matches NULL keys, silently dropping
+    (inner) or un-bucketing (left) rows whose group key is NULL — but a
+    NULL key is a real group under Window.partitionBy semantics, which
+    this operator family replaces.
+    """
+    cond = None
+    for k in on:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    return left.join(right, cond, how).drop(*[right[k] for k in on])
+
+
 def _bucket_expr(value_col: str, n_buckets: int):
     """Range-bucket assignment as a single codegen-able ``width_bucket``.
 
@@ -74,20 +92,30 @@ def _bucket_expr(value_col: str, n_buckets: int):
     only costs balance, never exactness — equal values always share a
     bucket and the assignment is monotone in the value. NULL values and
     a group the sample missed (NULL min/max after the left join) both
-    coalesce to bucket 0, matching ASC NULLS FIRST rank order.
+    coalesce to bucket 0, matching ASC NULLS FIRST rank order; NaN is
+    routed explicitly to bucket ``n_buckets + 2`` because Spark's sort
+    order places NaN LAST (greater than any double) while
+    ``width_bucket(NaN, ...)`` returns NULL — without the explicit
+    branch a NaN row would coalesce to bucket 0 and receive a rank near
+    0 instead of near N. ``n_buckets + 2`` stays strictly above
+    ``width_bucket``'s own overflow cell ``n_buckets + 1`` (values
+    above the sampled max, which still sort BELOW NaN).
     """
     v, lo, hi = F.col(value_col), F.col("__blo"), F.col("__bhi")
-    return F.coalesce(
-        F.when(
-            lo < hi,
-            F.width_bucket(
-                v.cast("double"),
-                lo.cast("double"),
-                hi.cast("double"),
-                F.lit(n_buckets),
+    vd = v.cast("double")
+    return F.when(F.isnan(vd), F.lit(n_buckets + 2)).otherwise(
+        F.coalesce(
+            F.when(
+                lo < hi,
+                F.width_bucket(
+                    vd,
+                    lo.cast("double"),
+                    hi.cast("double"),
+                    F.lit(n_buckets),
+                ),
             ),
-        ),
-        F.lit(0),
+            F.lit(0),
+        )
     )
 
 
@@ -103,12 +131,17 @@ def _bucketize(df, keys, value_col, n_buckets):
     never needed a distributed rank in the first place).
     """
     spark = df.sparkSession
+    # NaN-free range probe: max() of doubles returns NaN whenever any
+    # sampled value is NaN (NaN sorts greatest), which would poison the
+    # width_bucket range for the whole group; NaN rows get their own
+    # bucket in _bucket_expr regardless.
+    clean = F.when(
+        ~F.isnan(F.col(value_col).cast("double")), F.col(value_col)
+    )
     agg = (
         df.sample(_BOUNDS_SAMPLE, seed=_BOUNDS_SEED)
         .groupBy(*keys)
-        .agg(
-            F.min(value_col).alias("__blo"), F.max(value_col).alias("__bhi")
-        )
+        .agg(F.min(clean).alias("__blo"), F.max(clean).alias("__bhi"))
     )
     # bounded collect #1 (G rows): materializing the sampled range as a
     # local relation keeps downstream branches from re-running the
@@ -118,9 +151,13 @@ def _bucketize(df, keys, value_col, n_buckets):
     bounds = F.broadcast(spark.createDataFrame(agg.collect(), agg.schema))
     # LEFT join: a group the sample missed entirely has no range row;
     # its rows coalesce to bucket 0 (single-bucket group — exact, just
-    # unsplit)
+    # unsplit). Null-safe on the keys: a NULL group key is a real group
+    # (Window.partitionBy semantics), so it must match its own bounds
+    # row rather than fall to the unsplit path.
     tagged = (
-        df.join(bounds, keys, "left") if keys else df.crossJoin(bounds)
+        _nullsafe_key_join(df, bounds, keys, "left")
+        if keys
+        else df.crossJoin(bounds)
     ).withColumn(
         "__bucket", _bucket_expr(value_col, n_buckets).cast("int")
     ).drop("__blo", "__bhi")
@@ -190,7 +227,7 @@ def with_global_rank(
         value_col, *tiebreaks
     )
     return (
-        tagged.join(F.broadcast(odf), keys + ["__bucket"])
+        _nullsafe_key_join(tagged, F.broadcast(odf), keys + ["__bucket"])
         .withColumn(
             "__rn", F.col("__offset") + F.row_number().over(w_local) - 1
         )
@@ -241,9 +278,9 @@ def exact_quantiles(
     ndf = _offsets_df(src.sparkSession, keys, key_types, needed, sizes)
 
     w_local = Window.partitionBy(*keys, "__bucket").orderBy("__v")
-    ranked = tagged.join(F.broadcast(ndf), keys + ["__bucket"]).withColumn(
-        "__rn", F.col("__offset") + F.row_number().over(w_local) - 1
-    )
+    ranked = _nullsafe_key_join(
+        tagged, F.broadcast(ndf), keys + ["__bucket"]
+    ).withColumn("__rn", F.col("__offset") + F.row_number().over(w_local) - 1)
 
     # keep only bracket rows: __rn == floor(pos) or ceil(pos) for some p
     keep = None

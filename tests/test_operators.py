@@ -926,3 +926,57 @@ def test_pair_graph_cap_switch(spark, sf_dir, monkeypatch):
     ).count()
     assert n_capped == want  # the default artifact IS the capped graph
     assert n_exact >= n_capped
+
+
+# ------------------------------------------------------------------ #
+# quantiles: NULL group keys and NaN values (r9 ADVICE regressions)   #
+# ------------------------------------------------------------------ #
+
+
+def test_global_rank_null_group_key(spark):
+    """NULL is a real group (Window.partitionBy semantics): rows whose
+    key is NULL must survive the offset equi-join (r9 ADVICE: a plain
+    names-list join silently dropped them) and rank within their own
+    group."""
+    from de_polars_spark.operators.quantiles import (
+        exact_quantiles,
+        with_global_rank,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), (None, 2.0), (None, 4.0), (None, 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = with_global_rank(df, ["g"], "v").collect()
+    assert len(out) == 5  # nothing dropped
+    null_rows = sorted(
+        ((r["v"], r["__rn"]) for r in out if r["g"] is None)
+    )
+    assert null_rows == [(2.0, 0), (4.0, 1), (6.0, 2)]
+    assert all(r["__n"] == 3 for r in out if r["g"] is None)
+
+    q = exact_quantiles(df, ["g"], "v", [0.5]).collect()
+    got = {r["g"]: (r["p50"], r["n_items"]) for r in q}
+    assert got["a"] == (2.0, 2)
+    assert got[None] == (4.0, 3)
+
+
+def test_global_rank_nan_sorts_last(spark):
+    """Spark sorts NaN LAST among doubles, but width_bucket(NaN) is
+    NULL: without explicit routing a NaN row coalesced to bucket 0 and
+    ranked near 0 (r9 ADVICE). NaN must take the top ranks; NULL stays
+    first; the NaN row must not poison the sampled range either."""
+    import math
+
+    from de_polars_spark.operators.quantiles import with_global_rank
+
+    nan = float("nan")
+    rows = [(i, float(i)) for i in range(1, 9)] + [(0, nan), (9, None)]
+    df = spark.createDataFrame(rows, "id int, v double")
+    # single (empty-key) group exercises the crossJoin bounds path too
+    out = with_global_rank(df, [], "v", n_buckets=4).collect()
+    by_rank = {r["__rn"]: r for r in out}
+    assert len(by_rank) == 10  # ranks are a permutation of 0..9
+    assert by_rank[0]["v"] is None  # NULLS FIRST
+    assert math.isnan(by_rank[9]["v"])  # NaN LAST
+    assert [by_rank[i]["v"] for i in range(1, 9)] == [
+        float(i) for i in range(1, 9)
+    ]

@@ -79,8 +79,6 @@ def main() -> int:
         seed = int(argv[i + 1])
         del argv[i : i + 2]
     only = set(argv)
-    spark = get_spark("correctness-check")
-    con = duck_connection()
     qs, os_ = e.queries(), e.oracle_sql()
     if sample_n is not None:
         import random
@@ -96,7 +94,16 @@ def main() -> int:
             f"sampled {len(picked)}/{len(population)} tail names "
             f"(seed={seed if seed is not None else 0}, head excluded)"
         )
+        if not picked:
+            # empty draw (e.g. every explicit name fell inside the
+            # head): falling through with only=set() would disable the
+            # filter and run the ENTIRE inventory — the opposite of a
+            # tail spot-check. (r9 ADVICE)
+            print("no tail names to sample — nothing to run")
+            return 0
         only = picked
+    spark = get_spark("correctness-check")
+    con = duck_connection()
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
