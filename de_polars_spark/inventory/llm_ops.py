@@ -3421,7 +3421,10 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(VXF.norm(VXF.as_double(F.col("embedding"))), 6).alias("nrm"),
     )
-    q = exact_quantiles(norms, ["label"], "nrm", [0.25, 0.5, 0.75])
+    q = exact_quantiles(
+        norms, ["label"], "nrm", [0.25, 0.5, 0.75],
+        probe_memo_key=f"{sf_dir}|embeddings.nrm",
+    )
     extra = norms.groupBy("label").agg(
         F.round(F.min("nrm"), 6).alias("min_norm"),
         F.round(F.max("nrm"), 6).alias("max_norm"),
@@ -3569,6 +3572,7 @@ def q_histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
         "l_extendedprice",
         tiebreaks=["l_orderkey", "l_linenumber"],
+        probe_memo_key=f"{sf_dir}|lineitem.l_extendedprice.global",
     )
     # NTILE(k) over N rows, 0-based rank rn: the first r = N % k buckets
     # hold q+1 = N div k + 1 rows, the rest hold q (integer `div` keeps

@@ -58,6 +58,25 @@ from pyspark.sql import types as T
 _BOUNDS_SAMPLE = 0.02
 _BOUNDS_SEED = 421
 
+#: opt-in memo for the probe phase (sampled bounds + exact per-bucket
+#: counts): callers that run the SAME logical probe repeatedly in one
+#: process (e.g. a median pass and a quantile profile over the same
+#: table/keys/value) pass ``probe_memo_key`` to pay the two probe jobs
+#: once. The memo key is the CALLER'S CONTRACT that the input relation
+#: is identical (immutable testdata); the operators append keys,
+#: value column and bucket count defensively. Driver state is the same
+#: G + G x B rows the probe already collects — memoizing adds no new
+#: driver-memory class. Cleared via clear_probe_memo() (bench.py does,
+#: so artifact honesty matches the pair-graph/KPI pattern: the build is
+#: paid under an explicit "artifact:quantile_probe" row, consumers
+#: measure warm in every run shape).
+_PROBE_MEMO: dict = {}
+
+
+def clear_probe_memo() -> None:
+    """Drop every memoized probe (bench/test isolation)."""
+    _PROBE_MEMO.clear()
+
 
 def _default_buckets(df: DataFrame) -> int:
     return max(32, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
@@ -119,7 +138,7 @@ def _bucket_expr(value_col: str, n_buckets: int):
     )
 
 
-def _bucketize(df, keys, value_col, n_buckets):
+def _bucketize(df, keys, value_col, n_buckets, memo_key=None):
     """Phases 1-3: range-bucket every row; return the tagged frame plus
     the driver-side group sizes and per-bucket offsets.
 
@@ -129,8 +148,32 @@ def _bucketize(df, keys, value_col, n_buckets):
     Driver memory is G + G x B rows — bounded by construction (this
     operator targets LOW-cardinality group keys; a high-cardinality key
     never needed a distributed rank in the first place).
+
+    ``memo_key`` (opt-in, see ``_PROBE_MEMO``) reuses a previous call's
+    probe — both bounded collects are skipped; the tagged frame is
+    rebuilt lazily (free) from the memoized bounds rows.
     """
     spark = df.sparkSession
+
+    def _tag(bounds_df):
+        # LEFT join: a group the sample missed entirely has no range
+        # row; its rows coalesce to bucket 0 (single-bucket group —
+        # exact, just unsplit). Null-safe on the keys: a NULL group key
+        # is a real group (Window.partitionBy semantics), so it must
+        # match its own bounds row rather than fall to the unsplit path.
+        return (
+            _nullsafe_key_join(df, bounds_df, keys, "left")
+            if keys
+            else df.crossJoin(bounds_df)
+        ).withColumn(
+            "__bucket", _bucket_expr(value_col, n_buckets).cast("int")
+        ).drop("__blo", "__bhi")
+
+    if memo_key is not None and memo_key in _PROBE_MEMO:
+        b_rows, b_schema, sizes, offsets = _PROBE_MEMO[memo_key]
+        bounds = F.broadcast(spark.createDataFrame(b_rows, b_schema))
+        return _tag(bounds), sizes, offsets
+
     # NaN-free range probe: max() of doubles returns NaN whenever any
     # sampled value is NaN (NaN sorts greatest), which would poison the
     # width_bucket range for the whole group; NaN rows get their own
@@ -148,19 +191,9 @@ def _bucketize(df, keys, value_col, n_buckets):
     # scan+sample (lazily shared lineage re-executes per consuming
     # branch). Values outside the sampled range land in width_bucket's
     # overflow cells 0 / B+1 — still valid range buckets.
-    bounds = F.broadcast(spark.createDataFrame(agg.collect(), agg.schema))
-    # LEFT join: a group the sample missed entirely has no range row;
-    # its rows coalesce to bucket 0 (single-bucket group — exact, just
-    # unsplit). Null-safe on the keys: a NULL group key is a real group
-    # (Window.partitionBy semantics), so it must match its own bounds
-    # row rather than fall to the unsplit path.
-    tagged = (
-        _nullsafe_key_join(df, bounds, keys, "left")
-        if keys
-        else df.crossJoin(bounds)
-    ).withColumn(
-        "__bucket", _bucket_expr(value_col, n_buckets).cast("int")
-    ).drop("__blo", "__bhi")
+    bounds_rows = agg.collect()
+    bounds = F.broadcast(spark.createDataFrame(bounds_rows, agg.schema))
+    tagged = _tag(bounds)
     cnt_agg = tagged.groupBy(*keys, "__bucket").agg(
         F.count("*").alias("__bcnt")
     )
@@ -180,6 +213,8 @@ def _bucketize(df, keys, value_col, n_buckets):
             offs[b] = cum
             cum += buckets[b]
         offsets[key] = offs
+    if memo_key is not None:
+        _PROBE_MEMO[memo_key] = (bounds_rows, agg.schema, sizes, offsets)
     return tagged, sizes, offsets
 
 
@@ -209,6 +244,7 @@ def with_global_rank(
     value_col: str,
     tiebreaks: Sequence[str] = (),
     n_buckets: int | None = None,
+    probe_memo_key: str | None = None,
 ) -> DataFrame:
     """Attach ``__rn`` (0-based exact rank of ``value_col`` + tiebreaks
     within each key group) and ``__n`` (exact group size) to every row.
@@ -216,11 +252,22 @@ def with_global_rank(
     ``n_buckets`` defaults to the session's shuffle parallelism so the
     per-bucket local sorts stay at ~(group size / parallelism) rows at
     any scale; raise it for very large groups.
+
+    ``probe_memo_key``: opt-in probe reuse across calls whose input
+    relation is IDENTICAL (the caller's contract — e.g. immutable
+    testdata); keys/value/buckets are appended defensively.
     """
     keys = list(keys)
     if n_buckets is None:
         n_buckets = _default_buckets(df)
-    tagged, sizes, offsets = _bucketize(df, keys, value_col, n_buckets)
+    memo_key = (
+        None
+        if probe_memo_key is None
+        else f"{probe_memo_key}|rank|{','.join(keys)}|{value_col}|B={n_buckets}"
+    )
+    tagged, sizes, offsets = _bucketize(
+        df, keys, value_col, n_buckets, memo_key=memo_key
+    )
     key_types = [df.schema[k].dataType for k in keys]
     odf = _offsets_df(df.sparkSession, keys, key_types, offsets, sizes)
     w_local = Window.partitionBy(*keys, "__bucket").orderBy(
@@ -242,16 +289,30 @@ def exact_quantiles(
     fractions: Sequence[float],
     round_dp: int = 6,
     n_buckets: int | None = None,
+    probe_memo_key: str | None = None,
 ) -> DataFrame:
     """One row per key group: ``p<frac>`` columns + ``n_items``.
 
     Output column names: ``p25`` for 0.25, ``p999`` for 0.999, etc.
+
+    ``probe_memo_key``: opt-in probe reuse across calls whose input
+    relation is IDENTICAL (the caller's contract — e.g. immutable
+    testdata); keys/value/buckets are appended defensively. The probe
+    is independent of ``fractions`` (bounds + counts only), so a median
+    pass and a multi-point profile over the same relation share it.
     """
     keys = list(keys)
     if n_buckets is None:
         n_buckets = _default_buckets(df)
     src = df.select(*keys, F.col(value_col).alias("__v"))
-    tagged, sizes, offsets = _bucketize(src, keys, "__v", n_buckets)
+    memo_key = (
+        None
+        if probe_memo_key is None
+        else f"{probe_memo_key}|quant|{','.join(keys)}|{value_col}|B={n_buckets}"
+    )
+    tagged, sizes, offsets = _bucketize(
+        src, keys, "__v", n_buckets, memo_key=memo_key
+    )
 
     # driver-side: which bucket holds each bracket position? Only those
     # buckets need ranking — the window input shrinks from N to

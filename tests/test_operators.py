@@ -980,3 +980,37 @@ def test_global_rank_nan_sorts_last(spark):
     assert [by_rank[i]["v"] for i in range(1, 9)] == [
         float(i) for i in range(1, 9)
     ]
+
+
+def test_quantile_probe_memo_reuse(spark):
+    """probe_memo_key pays the bounds+counts jobs once: a second call
+    over the same relation (even with different fractions) reuses the
+    memo and returns identical results."""
+    from de_polars_spark.operators import quantiles as Q
+
+    Q.clear_probe_memo()
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(101)]
+        + [("b", float(2 * i)) for i in range(51)],
+        "g string, v double",
+    )
+    cold = {
+        r["g"]: r["p50"]
+        for r in Q.exact_quantiles(
+            df, ["g"], "v", [0.5], probe_memo_key="t"
+        ).collect()
+    }
+    assert len(Q._PROBE_MEMO) == 1
+    # different fractions, same probe (bounds+counts are fraction-free)
+    warm = {
+        r["g"]: r["p50"]
+        for r in Q.exact_quantiles(
+            df, ["g"], "v", [0.25, 0.5], probe_memo_key="t"
+        ).collect()
+    }
+    assert cold == warm == {"a": 50.0, "b": 50.0}
+    # a different bucket count must NOT collide (defensive key suffix)
+    Q.exact_quantiles(df, ["g"], "v", [0.5], n_buckets=7, probe_memo_key="t")
+    assert len(Q._PROBE_MEMO) == 2
+    Q.clear_probe_memo()
+    assert not Q._PROBE_MEMO

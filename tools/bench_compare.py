@@ -20,10 +20,13 @@ import re
 import sys
 
 
-def load_queries(path: str) -> tuple[dict[str, float], float | None]:
+def load_queries(
+    path: str,
+) -> tuple[dict[str, float], float | None, dict[str, str]]:
     text = open(path).read()
     best: dict[str, float] = {}
     total = None
+    anchor_kinds: dict[str, str] = {}
     # scan every JSON-looking line plus any embedded artifact fields
     candidates = []
     try:  # whole file as one (possibly pretty-printed) JSON document
@@ -67,16 +70,24 @@ def load_queries(path: str) -> tuple[dict[str, float], float | None]:
                 best.update({k: float(v) for k, v in ab.items()})
         if "value" in obj:
             total = float(obj["value"])
-    return best, total
+        ak = obj.get("anchor_kinds")
+        if isinstance(ak, dict):
+            anchor_kinds.update({k: str(v) for k, v in ak.items()})
+    return best, total, anchor_kinds
 
 
 def main() -> None:
     if len(sys.argv) < 3:
         print(__doc__)
         raise SystemExit(2)
-    old_q, old_total = load_queries(sys.argv[1])
-    new_q, new_total = load_queries(sys.argv[2])
+    old_q, old_total, old_ak = load_queries(sys.argv[1])
+    new_q, new_total, new_ak = load_queries(sys.argv[2])
     threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 1.0
+    # exact-anchor / eval rows are DELIBERATELY exhaustive shapes
+    # (inventory/anchors.py); their drift is not a production
+    # regression signal, so they are listed but never counted as
+    # regressions (r9 verdict #8b).
+    anchor_kinds = {**old_ak, **new_ak}
     shared = sorted(set(old_q) & set(new_q))
     moved = [
         (new_q[k] - old_q[k], k)
@@ -87,13 +98,17 @@ def main() -> None:
           f"new total={new_total} ({len(new_q)} queries); "
           f"{len(shared)} shared")
     for delta, k in sorted(moved, reverse=True):
-        print(f"  {k}: {old_q[k]:.2f} -> {new_q[k]:.2f} ({delta:+.2f}s)")
+        kind = anchor_kinds.get(k)
+        tag = f"  [{kind}]" if kind else ""
+        print(f"  {k}: {old_q[k]:.2f} -> {new_q[k]:.2f} ({delta:+.2f}s){tag}")
     only_new = set(new_q) - set(old_q)
     if only_new:
         print("new-only:", {k: round(new_q[k], 2) for k in sorted(only_new)})
-    regressed = [k for d, k in moved if d > 0]
-    print(f"{len(regressed)} regressed > {threshold}s, "
-          f"{len(moved) - len(regressed)} improved")
+    regressed = [k for d, k in moved if d > 0 and k not in anchor_kinds]
+    suppressed = [k for d, k in moved if d > 0 and k in anchor_kinds]
+    print(f"{len(regressed)} regressed > {threshold}s "
+          f"({len(suppressed)} anchor/eval rows suppressed), "
+          f"{len([k for d, k in moved if d < 0])} improved")
 
 
 if __name__ == "__main__":
