@@ -73,15 +73,6 @@ def main() -> None:
         # +20s of pure jitter on the wave when it lands at position ~80
         .config("spark.sql.codegen.cache.maxEntries", "1000")
         .config("spark.ui.enabled", "false")
-        # let HotSpot JIT-compile large generated methods: the unrolled
-        # vector-math expressions (functions/vectors.py dim= forms) and
-        # other wide codegen units (CASE ladders, multi-centroid argmins)
-        # generate methods past the default 8000-bytecode DontCompileHugeMethods
-        # cutoff; left at the default, those methods run in the bytecode
-        # INTERPRETER — measured 3-8x slower than the same plan JIT'd
-        # (OPTIMIZATION_r10.md). Scale-independent: a cluster deployment
-        # sets the same flag via spark.executor.extraJavaOptions.
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # same raise as tools/audit_plans.py: at sf1 the exact n-gram
         # anchor's AQE broadcast build serializes ~1047 MiB of task

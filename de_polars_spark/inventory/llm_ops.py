@@ -20,11 +20,6 @@ from de_polars_spark.sources.registry import register_testdata
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-#: static embedding dim of the testdata `embeddings` table — passed to
-#: the vector operators so dot/norm folds unroll into whole-stage
-#: codegen (functions/vectors.py; bit-identical results)
-_EMB_DIM = 64
-
 # ---------------------------------------------------------------- #
 # DuckDB oracle building blocks                                     #
 # ---------------------------------------------------------------- #
@@ -556,8 +551,7 @@ ORACLES["dedup_ngram_jaccard"] = f"""
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
     return dedup.embedding_neardup_pairs(
-        t["embeddings"], "vec_id", "embedding", "label", threshold=0.4,
-        dim=_EMB_DIM,
+        t["embeddings"], "vec_id", "embedding", "label", threshold=0.4
     )
 
 
@@ -610,9 +604,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
     corpus = t["embeddings"]
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
-    out = similarity.cosine_topk(
-        corpus, queries, "vec_id", "embedding", k=5, dim=_EMB_DIM
-    )
+    out = similarity.cosine_topk(corpus, queries, "vec_id", "embedding", k=5)
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
 
@@ -639,8 +631,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t["embeddings"]
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     out = similarity.lsh_bucketed_topk(
-        corpus, queries, "vec_id", "embedding", k=3, bucket_dims=(1, 17, 33, 49),
-        dim=_EMB_DIM,
+        corpus, queries, "vec_id", "embedding", k=3, bucket_dims=(1, 17, 33, 49)
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -2127,9 +2118,7 @@ def q_embedding_truncate_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from de_polars_spark.operators.vectors import truncate_normalize
 
     t = register_testdata(spark, sf_dir)
-    return truncate_normalize(
-        t["embeddings"], "vec_id", "embedding", _TRUNC_DIM, full_dim=_EMB_DIM
-    )
+    return truncate_normalize(t["embeddings"], "vec_id", "embedding", _TRUNC_DIM)
 
 
 QUERIES["embedding_truncate_norm"] = q_embedding_truncate_norm
@@ -2895,7 +2884,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t["embeddings"]
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     exact = similarity.cosine_topk(
-        corpus, queries, "vec_id", "embedding", k=_RECALL_K, dim=_EMB_DIM
+        corpus, queries, "vec_id", "embedding", k=_RECALL_K
     ).select("query_id", "neighbor_id")
     cents = similarity.fit_centroids_sample(
         corpus, "vec_id", "embedding", nlist=8, mod=67, rem=1
@@ -3051,8 +3040,7 @@ def q_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t["embeddings"]
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
     out = similarity.lsh_multiprobe_topk(
-        corpus, queries, "vec_id", "embedding", k=3, bucket_dims=(1, 17, 33, 49),
-        dim=_EMB_DIM,
+        corpus, queries, "vec_id", "embedding", k=3, bucket_dims=(1, 17, 33, 49)
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -3431,13 +3419,11 @@ def q_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
     norms = t["embeddings"].select(
         "label",
-        F.round(
-            VXF.norm(VXF.as_double(F.col("embedding")), _EMB_DIM), 6
-        ).alias("nrm"),
+        F.round(VXF.norm(VXF.as_double(F.col("embedding"))), 6).alias("nrm"),
     )
     q = exact_quantiles(
         norms, ["label"], "nrm", [0.25, 0.5, 0.75],
-        probe_memo_key=f"{sf_dir}|embeddings.nrm",
+        probe_memo_key="embeddings.nrm",
     )
     extra = norms.groupBy("label").agg(
         F.round(F.min("nrm"), 6).alias("min_norm"),
@@ -3586,7 +3572,7 @@ def q_histogram_equidepth_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
         "l_extendedprice",
         tiebreaks=["l_orderkey", "l_linenumber"],
-        probe_memo_key=f"{sf_dir}|lineitem.l_extendedprice.global",
+        probe_memo_key="lineitem.l_extendedprice.global",
     )
     # NTILE(k) over N rows, 0-based rank rn: the first r = N % k buckets
     # hold q+1 = N div k + 1 rows, the rest hold q (integer `div` keeps
@@ -4012,7 +3998,16 @@ def q_ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(VX.sqdist(F.col("qv"), F.col("cv"), _EMB_DIM), 6).alias("d2"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("neighbor_id")

@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from de_polars_spark.functions import vectors as VX
 from de_polars_spark.operators import similarity
 from de_polars_spark.sources.registry import register_testdata
 from de_polars_spark.inventory.training_ops import (
@@ -39,11 +38,6 @@ from de_polars_spark.inventory.training_ops import (
 
 QUERIES: dict = {}
 ORACLES: dict = {}
-
-#: static embedding dim of the testdata `embeddings` table — unrolls
-#: the vector folds below into whole-stage codegen (bit-identical;
-#: functions/vectors.py)
-_EMB_DIM = 64
 
 _ALPHA = "0.25"  # rendered into BOTH engines' arithmetic verbatim
 
@@ -94,16 +88,11 @@ def clustered_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = emb.join(F.broadcast(cent), "label").select(
         "vec_id",
         "label",
-        VX.zip_map(
-            F.col("cv0"), F.col("bv"),
-            lambda c, b: c + F.lit(alpha) * b, _EMB_DIM,
-        ).alias("uv"),
+        F.zip_with("cv0", "bv", lambda c, b: c + F.lit(alpha) * b).alias("uv"),
     )
-    nrm = VX.norm(F.col("uv"), _EMB_DIM)
+    nrm = F.sqrt(F.aggregate("uv", F.lit(0.0), lambda acc, x: acc + x * x))
     return mixed.select(
-        "vec_id",
-        "label",
-        VX.map_each(F.col("uv"), lambda x: x / nrm, _EMB_DIM).alias("embedding"),
+        "vec_id", "label", F.transform("uv", lambda x: x / nrm).alias("embedding")
     )
 
 
@@ -124,7 +113,7 @@ def q_ann_recall_eval_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = clustered_embeddings(spark, sf_dir).persist()
     queries = corpus.filter(F.col("vec_id") % _RC_QMOD == 0)
     exact = similarity.cosine_topk(
-        corpus, queries, "vec_id", "embedding", k=_RC_K, dim=_EMB_DIM
+        corpus, queries, "vec_id", "embedding", k=_RC_K
     ).select("query_id", "neighbor_id")
     cents = similarity.fit_centroids_sample(
         corpus, "vec_id", "embedding", nlist=8, mod=67, rem=1
@@ -251,18 +240,17 @@ def paired_bitext_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     a_side = sub.select("vec_id", F.lit(0).alias("label"), "embedding")
     bmix = sub.select(
         "vec_id",
-        VX.zip_map(
-            F.col("embedding"),
+        F.zip_with(
+            "embedding",
             F.reverse("embedding"),
             lambda v, r: v + F.lit(beta) * r,
-            _EMB_DIM,
         ).alias("uv"),
     )
-    nrm = VX.norm(F.col("uv"), _EMB_DIM)
+    nrm = F.sqrt(F.aggregate("uv", F.lit(0.0), lambda acc, x: acc + x * x))
     b_side = bmix.select(
         (F.col("vec_id") + F.lit(_B_ID_OFFSET)).alias("vec_id"),
         F.lit(1).alias("label"),
-        VX.map_each(F.col("uv"), lambda x: x / nrm, _EMB_DIM).alias("embedding"),
+        F.transform("uv", lambda x: x / nrm).alias("embedding"),
     )
     return a_side.unionByName(b_side)
 
@@ -383,7 +371,7 @@ def q_bitext_ivf_pair_recall_clustered(
     # window+join lineage per action is pure waste
     corpus = paired_bitext_embeddings(spark, sf_dir).persist()
     exact = similarity.margin_mutual_pairs(
-        corpus, "vec_id", "embedding", "label", 0, 1, k=_BITEXT_K, dim=_EMB_DIM
+        corpus, "vec_id", "embedding", "label", 0, 1, k=_BITEXT_K
     ).select("id_a", "id_b")
     cents = similarity.fit_centroids_sample(
         corpus, "vec_id", "embedding", nlist=_BITEXT_NLIST, mod=67, rem=1
@@ -477,7 +465,16 @@ def q_ann_pq_recall_eval_clustered(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(VX.sqdist(F.col("qv"), F.col("cv"), _EMB_DIM), 6).alias("d2"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("neighbor_id")
@@ -574,15 +571,11 @@ def neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gid", F.col("vec_id") - F.col("vec_id") % 4
     ).join(F.broadcast(leaders), "gid").select(
         "vec_id",
-        VX.zip_map(
-            F.col("gv"), F.col("bv"),
-            lambda g, b: g + F.lit(gamma) * b, _EMB_DIM,
-        ).alias("uv"),
+        F.zip_with("gv", "bv", lambda g, b: g + F.lit(gamma) * b).alias("uv"),
     )
-    nrm = VX.norm(F.col("uv"), _EMB_DIM)
+    nrm = F.sqrt(F.aggregate("uv", F.lit(0.0), lambda acc, x: acc + x * x))
     return mixed.select(
-        "vec_id",
-        VX.map_each(F.col("uv"), lambda x: x / nrm, _EMB_DIM).alias("embedding"),
+        "vec_id", F.transform("uv", lambda x: x / nrm).alias("embedding")
     )
 
 
@@ -619,7 +612,16 @@ def q_ann_pq_recall_eval_neardup(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(VX.sqdist(F.col("qv"), F.col("cv"), _EMB_DIM), 6).alias("d2"),
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("d2").asc(), F.col("neighbor_id")

@@ -113,7 +113,7 @@ def q_quantile_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_quantiles(
         t["lineitem"], ["l_returnflag"], "l_extendedprice",
         [0.25, 0.5, 0.75, 0.95],
-        probe_memo_key=f"{sf_dir}|lineitem.l_extendedprice",
+        probe_memo_key="lineitem.l_extendedprice",
     )
 
 
@@ -1025,7 +1025,7 @@ def q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deviation pass below probes its own derived column.
     med_q = exact_quantiles(
         t["lineitem"], ["l_returnflag"], "l_extendedprice", [0.5],
-        probe_memo_key=f"{sf_dir}|lineitem.l_extendedprice",
+        probe_memo_key="lineitem.l_extendedprice",
     ).select("l_returnflag", F.col("p50").alias("__med"))
     # materialize the G-row median (bounded: one row per return flag)
     # so the second exact_quantiles pass doesn't re-run the first

@@ -45,11 +45,6 @@ from de_polars_spark.sources.registry import register_testdata
 QUERIES: dict = {}
 ORACLES: dict = {}
 
-#: static embedding dim of the testdata `embeddings` table — unrolls
-#: the vector operators' dot/norm folds into whole-stage codegen
-#: (functions/vectors.py; bit-identical results)
-_EMB_DIM = 64
-
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 _COS = (
     "ROUND(list_dot_product({a}, {b}) / "
@@ -132,7 +127,7 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t["embeddings"]
     anchors = corpus.filter(F.col("vec_id") % 100 == 0)
     out = similarity.hard_negative_topk(
-        corpus, anchors, "vec_id", "embedding", "label", k=5, dim=_EMB_DIM
+        corpus, anchors, "vec_id", "embedding", "label", k=5
     )
     return out.withColumn("rank", F.col("rank").cast("bigint"))
 
@@ -268,9 +263,7 @@ ORACLES["embedding_int8_quant"] = """
 # ---------------------------------------------------------------- #
 def q_embedding_centroid_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
-    return vectors.centroid_silhouette(
-        t["embeddings"], "vec_id", "label", "embedding", dim=_EMB_DIM
-    )
+    return vectors.centroid_silhouette(t["embeddings"], "vec_id", "label", "embedding")
 
 
 QUERIES["embedding_centroid_silhouette"] = q_embedding_centroid_silhouette
@@ -543,9 +536,7 @@ def q_retrieval_mrr_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
     corpus = t["embeddings"]
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
-    exact = SIM.cosine_topk(
-        corpus, queries, "vec_id", "embedding", k=_MRR_K, dim=_EMB_DIM
-    )
+    exact = SIM.cosine_topk(corpus, queries, "vec_id", "embedding", k=_MRR_K)
     cents = SIM.fit_centroids_sample(
         corpus, "vec_id", "embedding", nlist=8, mod=67, rem=1
     )
@@ -663,8 +654,7 @@ def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = register_testdata(spark, sf_dir)
     return margin_mutual_pairs(
-        t["embeddings"], "vec_id", "embedding", "label", 0, 1, k=_BITEXT_K,
-        dim=_EMB_DIM,
+        t["embeddings"], "vec_id", "embedding", "label", 0, 1, k=_BITEXT_K
     )
 
 
@@ -1041,9 +1031,9 @@ def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = register_testdata(spark, sf_dir)
     corpus = t["embeddings"]
     queries = corpus.filter(F.col("vec_id") % 100 == 0)
-    full = cosine_topk(
-        corpus, queries, "vec_id", "embedding", k=_MAT_K, dim=_EMB_DIM
-    ).select("query_id", "neighbor_id")
+    full = cosine_topk(corpus, queries, "vec_id", "embedding", k=_MAT_K).select(
+        "query_id", "neighbor_id"
+    )
     # a nonzero full vector can still have an all-zero prefix, and the
     # truncated-cosine norm would then divide by zero (ANSI error in
     # Spark, NULL in DuckDB) — exclude such vectors in BOTH engines
@@ -1052,9 +1042,9 @@ def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     trunc = corpus.select(
         "vec_id", F.slice(F.col("embedding"), 1, _MAT_DIM).alias("tv")
-    ).filter(_vdot(_vd(F.col("tv")), _vd(F.col("tv")), _MAT_DIM) > 0)
+    ).filter(_vdot(_vd(F.col("tv")), _vd(F.col("tv"))) > 0)
     tq = trunc.filter(F.col("vec_id") % 100 == 0)
-    approx = cosine_topk(trunc, tq, "vec_id", "tv", k=_MAT_K, dim=_MAT_DIM).select(
+    approx = cosine_topk(trunc, tq, "vec_id", "tv", k=_MAT_K).select(
         "query_id", "neighbor_id"
     )
     hits = (

@@ -694,7 +694,6 @@ def embedding_neardup_pairs(
     block_col: str,
     threshold: float,
     max_block_size: int | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """Cosine near-duplicate pairs within a blocking key.
 
@@ -712,7 +711,7 @@ def embedding_neardup_pairs(
         F.col(block_col).alias("block"),
         VX.as_double(F.col(vec_col)).alias("v"),
     ).select(
-        id_col, "block", "v", VX.norm(F.col("v"), dim).alias("nrm")
+        id_col, "block", "v", VX.norm(F.col("v")).alias("nrm")
     )
     if max_block_size is not None:
         sizes = docs.groupBy("block").agg(F.count(F.lit(1)).alias("__bn"))
@@ -722,7 +721,7 @@ def embedding_neardup_pairs(
         )
     a, b = docs.alias("a"), docs.alias("b")
     cos = F.round(
-        VX.dot(F.col("a.v"), F.col("b.v"), dim) / (F.col("a.nrm") * F.col("b.nrm")), 6
+        VX.dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
     return (
         a.join(
@@ -945,16 +944,12 @@ def minhash_estimate_pairs(
     )
     sa = sig.select(F.col(id_col).alias("id_a"), F.col("__sig").alias("__sa"))
     sb = sig.select(F.col(id_col).alias("id_b"), F.col("__sig").alias("__sb"))
-    # unrolled slot-agreement count (n_hashes is static): the previous
-    # zip_with + filter form evaluated interpreted (HOF lambdas are
-    # CodegenFallback); an integer sum of per-slot WHENs is codegen'd
-    # and exactly equal (integer arithmetic, order-free)
-    n_match = F.lit(0)
-    for i in range(1, n_hashes + 1):
-        n_match = n_match + F.when(
-            F.element_at(F.col("__sa"), i) == F.element_at(F.col("__sb"), i),
-            F.lit(1),
-        ).otherwise(F.lit(0))
+    n_match = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda a, b: a == b),
+            lambda x: x,
+        )
+    )
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

@@ -64,18 +64,13 @@ def _with_assignment(
         [([[float(x) for x in c] for c in centroids],)],
         "__cs array<array<double>>",
     )
-    # UNROLLED distance chain (same IEEE left-fold order as the previous
-    # zip_with+aggregate form, bit-identical results): higher-order-
-    # function lambdas evaluate interpreted, outside whole-stage codegen,
-    # so the k x dim fold paid ~k*dim interpreted lambda calls per row.
-    # The unrolled form indexes the SAME broadcast data column (__cs) —
-    # the codegen-stable data-not-literal property is unchanged, because
-    # the generated code references array slots, not centroid values.
-    k, dim = len(centroids), len(centroids[0])
-    from de_polars_spark.functions.vectors import sqdist as _sqdist
-
-    dists = F.array(
-        *[_sqdist(F.col("__v"), F.col("__cs")[c], dim) for c in range(k)]
+    dists = F.transform(
+        F.col("__cs"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("__v"), c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
     )
     return (
         vecs.crossJoin(F.broadcast(cdf))
@@ -101,7 +96,7 @@ def kmeans_iterations(
     """
     vecs = corpus.select(
         F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
     centroids = [list(map(float, c)) for c in seeds]
     dim = len(centroids[0])

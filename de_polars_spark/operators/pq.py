@@ -88,7 +88,7 @@ def fit_pq(
         assigned = df.select(
             "__v",
             F.array(
-                *[_argmin_code(j, dsub, len(codebooks[j])) for j in range(m)]
+                *[_argmin_code(j, dsub) for j in range(m)]
             ).alias("__cs"),
         )
         sub_ix = F.floor(F.col("d") / F.lit(dsub)).cast("int")
@@ -117,22 +117,11 @@ def fit_pq(
     return codebooks
 
 
-def _argmin_code(j: int, dsub: int, ksub: int):
+def _argmin_code(j: int, dsub: int):
     """Nearest codeword in subspace ``j`` of the broadcast ``__cb`` row
-    for the ``__v`` vector; ties to the lower code id.
-
-    UNROLLED over the ``ksub`` codewords and ``dsub`` dims: the previous
-    ``transform`` + ``aggregate`` fold evaluated interpreted (HOF
-    lambdas are CodegenFallback); the explicit ``F.array`` of per-
-    codeword distance chains — same IEEE left-fold order, bit-identical
-    values — runs in whole-stage codegen, still indexing the SAME
-    broadcast ``__cb`` data column (codegen-stable across refits)."""
-    dists = F.array(
-        *[
-            _sub_sqdist_u(F.col("__v"), j * dsub, F.col("__cb")[j][c], dsub)
-            for c in range(ksub)
-        ]
-    )
+    for the ``__v`` vector; ties to the lower code id."""
+    sub = F.slice(F.col("__v"), j * dsub + 1, dsub)
+    dists = F.transform(F.col("__cb")[j], lambda cw: _sub_sqdist(sub, cw))
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
 
@@ -155,18 +144,6 @@ def _sub_sqdist(sub_vec, codeword):
     )
 
 
-def _sub_sqdist_u(vec, offset: int, codeword, dsub: int):
-    """Codegen form of ``_sub_sqdist(F.slice(vec, offset+1, dsub), cw)``:
-    identical IEEE fold order (0.0 seed, ascending dims), direct
-    ``element_at`` indexing instead of a slice allocation + interpreted
-    zip/fold."""
-    s = F.lit(0.0)
-    for i in range(1, dsub + 1):
-        d = F.element_at(vec, offset + i) - F.element_at(codeword, i)
-        s = s + d * d
-    return s
-
-
 def pq_encode(
     corpus: DataFrame,
     id_col: str,
@@ -184,7 +161,7 @@ def pq_encode(
         F.col(id_col), VX.as_double(F.col(vec_col)).alias("__v")
     ).crossJoin(F.broadcast(cdf))
     for j in range(m):
-        out = out.withColumn(f"code_{j}", _argmin_code(j, dsub, len(codebooks[j])))
+        out = out.withColumn(f"code_{j}", _argmin_code(j, dsub))
     return out.drop("__v", "__cb")
 
 
@@ -229,15 +206,12 @@ def pq_adc_topk(
 def _adc_total(m: int, dsub: int):
     """ADC distance over the row's codes: per-subspace squared L2 terms
     between the ``__qv`` slice and the ``__cb`` codeword picked by
-    ``code_j``, ROUNDed to 6 dp, summed as decimals (order-free).
-    Unrolled (``_sub_sqdist_u``): same fold order, whole-stage codegen."""
+    ``code_j``, ROUNDed to 6 dp, summed as decimals (order-free)."""
     terms = [
         F.round(
-            _sub_sqdist_u(
-                F.col("__qv"),
-                j * dsub,
+            _sub_sqdist(
+                F.slice(F.col("__qv"), j * dsub + 1, dsub),
                 F.col("__cb")[j][F.col(f"code_{j}")],
-                dsub,
             ),
             6,
         ).cast("decimal(28,6)")
@@ -291,7 +265,7 @@ def ivfpq_index(
         )
     )
     for j in range(m):
-        out = out.withColumn(f"code_{j}", _argmin_code(j, dsub, len(codebooks[j])))
+        out = out.withColumn(f"code_{j}", _argmin_code(j, dsub))
     return out.drop("__v", "__cb")
 
 

@@ -62,9 +62,10 @@ _BOUNDS_SEED = 421
 #: counts): callers that run the SAME logical probe repeatedly in one
 #: process (e.g. a median pass and a quantile profile over the same
 #: table/keys/value) pass ``probe_memo_key`` to pay the two probe jobs
-#: once. The memo key is the CALLER'S CONTRACT that the input relation
-#: is identical (immutable testdata); the operators append keys,
-#: value column and bucket count defensively. Driver state is the same
+#: once. The operators append keys, value column, bucket count AND a
+#: file-manifest fingerprint of the input (``_manifest_tag``), so a
+#: caller that mutates the table between calls gets a fresh probe, not
+#: a stale memo — the caller's key is a logical label only. Driver state is the same
 #: G + G x B rows the probe already collects — memoizing adds no new
 #: driver-memory class. Cleared via clear_probe_memo() (bench.py does,
 #: so artifact honesty matches the pair-graph/KPI pattern: the build is
@@ -76,6 +77,28 @@ _PROBE_MEMO: dict = {}
 def clear_probe_memo() -> None:
     """Drop every memoized probe (bench/test isolation)."""
     _PROBE_MEMO.clear()
+
+
+def _manifest_tag(df: DataFrame) -> str:
+    """Content fingerprint of the frame's input files (URI, size, mtime).
+
+    Appended to every probe memo key so the memo invalidates itself when
+    the underlying table changes: the caller's ``probe_memo_key`` is a
+    logical label, not a freshness proof. ``inputFiles()`` is driver-side
+    metadata (no job); a non-local URI that cannot be ``stat``-ed
+    contributes its path alone, which still beats keying on nothing."""
+    import hashlib
+    import os
+
+    parts = []
+    for uri in sorted(df.inputFiles()):
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            st = os.stat(path)
+            parts.append(f"{uri}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(uri)
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
 
 
 def _default_buckets(df: DataFrame) -> int:
@@ -263,7 +286,8 @@ def with_global_rank(
     memo_key = (
         None
         if probe_memo_key is None
-        else f"{probe_memo_key}|rank|{','.join(keys)}|{value_col}|B={n_buckets}"
+        else f"{probe_memo_key}|rank|{','.join(keys)}|{value_col}"
+        f"|B={n_buckets}|{_manifest_tag(df)}"
     )
     tagged, sizes, offsets = _bucketize(
         df, keys, value_col, n_buckets, memo_key=memo_key
@@ -308,7 +332,8 @@ def exact_quantiles(
     memo_key = (
         None
         if probe_memo_key is None
-        else f"{probe_memo_key}|quant|{','.join(keys)}|{value_col}|B={n_buckets}"
+        else f"{probe_memo_key}|quant|{','.join(keys)}|{value_col}"
+        f"|B={n_buckets}|{_manifest_tag(df)}"
     )
     tagged, sizes, offsets = _bucketize(
         src, keys, "__v", n_buckets, memo_key=memo_key

@@ -59,13 +59,7 @@ def semantic_dedup_summary(
     ``n_dropped`` counts vectors with at least one lower-id in-cluster
     neighbor at ``cosine >= threshold`` (the greedy prune set);
     ``dropped_id_sum`` is the checksum of that set.
-
-    The vector dim is static (= the seed centroids' length), so the
-    dot/norm chains on the per-cluster quadratic pair stream run
-    UNROLLED in whole-stage codegen (same IEEE fold order, bit-identical
-    results) instead of as interpreted HOF lambdas.
     """
-    dim = len(seeds[0])
     vecs = df.select(
         F.col(id_col), VX.as_double(F.col(vec_col)).alias("__v")
     )
@@ -73,7 +67,7 @@ def semantic_dedup_summary(
         F.col(id_col).alias("id"), "cid", "__v"
     )
     members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
-    docs = assigned.select("id", "cid", "__v", VX.norm(F.col("__v"), dim).alias("nrm"))
+    docs = assigned.select("id", "cid", "__v", VX.norm(F.col("__v")).alias("nrm"))
     if max_cluster_size is not None:
         docs = (
             docs.join(
@@ -83,7 +77,7 @@ def semantic_dedup_summary(
         )
     a, b = docs.alias("a"), docs.alias("b")
     cos = F.round(
-        VX.dot(F.col("a.__v"), F.col("b.__v"), dim) / (F.col("a.nrm") * F.col("b.nrm")),
+        VX.dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     pairs = (

@@ -65,28 +65,24 @@ def cosine_topk(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k for each query vector.
 
     Norms are precomputed per row on both sides so each of the Q×N pairs
-    pays one dot product, not three. ``dim`` (the caller's static vector
-    length) unrolls the dot/norm folds into whole-stage codegen —
-    bit-identical results, no interpreted HOF lambdas on the Q×N pair
-    stream."""
+    pays one dot-product fold, not three."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
-    ).select("neighbor_id", "cv", VX.norm(F.col("cv"), dim).alias("cn"))
+    ).select("neighbor_id", "cv", VX.norm(F.col("cv")).alias("cn"))
     q = queries.select(
         F.col(id_col).alias("query_id"), VX.as_double(F.col(vec_col)).alias("qv")
-    ).select("query_id", "qv", VX.norm(F.col("qv"), dim).alias("qn"))
+    ).select("query_id", "qv", VX.norm(F.col("qv")).alias("qn"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
             F.round(
-                VX.dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6
+                VX.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
             ).alias("cosine"),
         )
     )
@@ -99,16 +95,11 @@ def _centroid_scores(vec: "F.Column", centroids: list) -> "F.Column":
     Struct comparison is lexicographic on (cos, cid), so ``sort_array``
     descending orders by cosine DESC then cid DESC — mirror that tiebreak
     in any oracle. Centroid vectors are plan literals: per-row work is
-    ``nlist`` dot products, no join, no shuffle. The dot/norm chains are
-    UNROLLED over the centroid's (static) length — same IEEE fold order,
-    whole-stage codegen instead of interpreted HOF lambdas — and the
-    centroid-norm subtree constant-folds to one literal per centroid
-    (the fold form re-computed it per row, interpreted)."""
+    ``nlist`` dot-product folds, no join, no shuffle."""
     entries = []
     for cid, cvec in centroids:
         arr = F.array(*[F.lit(float(x)) for x in cvec])
-        dim = len(cvec)
-        cos = VX.dot(vec, arr, dim) / (VX.norm(vec, dim) * VX.norm(arr, dim))
+        cos = VX.dot(vec, arr) / (VX.norm(vec) * VX.norm(arr))
         entries.append(
             F.struct(cos.alias("cos"), F.lit(int(cid)).cast("bigint").alias("cid"))
         )
@@ -126,22 +117,18 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k.
 
-    The vector dim is static by construction (= the fitted centroids'
-    length), so every dot/norm here runs unrolled in codegen.
-
     ``centroids`` is a list of ``(cid, vector)`` pairs — the fitted coarse
     quantizer (driver-side; tiny by design). Corpus rows are assigned to
     their nearest centroid's cell (map-only, centroids inlined as plan
     literals); each query probes its ``nprobe`` nearest cells and scores
     only the candidates inside them."""
-    dim = len(centroids[0][1])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
     )
     c = c.select(
         "neighbor_id",
         "cv",
-        VX.norm(F.col("cv"), dim).alias("cn"),
+        VX.norm(F.col("cv")).alias("cn"),
         F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias("cell"),
     )
     q = queries.select(
@@ -150,7 +137,7 @@ def ivf_topk(
     q = q.select(
         "query_id",
         "qv",
-        VX.norm(F.col("qv"), dim).alias("qn"),
+        VX.norm(F.col("qv")).alias("qn"),
         F.explode(
             F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
         ).alias("probe"),
@@ -161,7 +148,7 @@ def ivf_topk(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(VX.dot(q["qv"], c["cv"], dim) / (q["qn"] * c["cn"]), 6).alias("cosine"),
+        F.round(VX.dot(q["qv"], c["cv"]) / (q["qn"] * c["cn"]), 6).alias("cosine"),
     )
     return _ranked_topk(scored, k)
 
@@ -203,13 +190,12 @@ def build_ivf_index(
     at build time, not per query."""
     import os
 
-    dim = len(centroids[0][1])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
     ).select(
         "neighbor_id",
         "cv",
-        VX.norm(F.col("cv"), dim).alias("cn"),
+        VX.norm(F.col("cv")).alias("cn"),
         F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias("cell"),
     )
     # cluster by cell before the partitioned write: a partitionBy write
@@ -253,13 +239,12 @@ def append_ivf_index(
             os.path.join(path, "centroids")
         ).collect()
     )
-    dim = len(cents[0][1])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
     ).select(
         "neighbor_id",
         "cv",
-        VX.norm(F.col("cv"), dim).alias("cn"),
+        VX.norm(F.col("cv")).alias("cn"),
         F.element_at(_centroid_scores(F.col("cv"), cents), 1)["cid"].alias("cell"),
     )
     c.write.mode("append").partitionBy("cell").parquet(
@@ -363,14 +348,13 @@ def ivf_topk_from_index(
     the index is just the materialized assignment — but the per-query
     cost drops to probing ``nprobe`` inverted lists; no corpus scan, no
     re-assignment, no norm recomputation."""
-    dim = len(centroids[0][1])
     q = queries.select(
         F.col(id_col).alias("query_id"), VX.as_double(F.col(vec_col)).alias("qv")
     )
     q = q.select(
         "query_id",
         "qv",
-        VX.norm(F.col("qv"), dim).alias("qn"),
+        VX.norm(F.col("qv")).alias("qn"),
         F.explode(
             F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
         ).alias("probe"),
@@ -382,7 +366,7 @@ def ivf_topk_from_index(
         "query_id",
         "neighbor_id",
         F.round(
-            VX.dot(q["qv"], postings["cv"], dim) / (q["qn"] * postings["cn"]), 6
+            VX.dot(q["qv"], postings["cv"]) / (q["qn"] * postings["cn"]), 6
         ).alias("cosine"),
     )
     return _ranked_topk(scored, k)
@@ -410,7 +394,6 @@ def hard_negative_topk_ivf(
     matches the exact form: ``(query_id, neighbor_id, neighbor_label,
     cosine, rank)``.
     """
-    dim = len(centroids[0][1])
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
@@ -419,7 +402,7 @@ def hard_negative_topk_ivf(
         "neighbor_id",
         "neighbor_label",
         "cv",
-        VX.norm(F.col("cv"), dim).alias("cn"),
+        VX.norm(F.col("cv")).alias("cn"),
         F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias(
             "cell"
         ),
@@ -432,7 +415,7 @@ def hard_negative_topk_ivf(
         "query_id",
         "query_label",
         "qv",
-        VX.norm(F.col("qv"), dim).alias("qn"),
+        VX.norm(F.col("qv")).alias("qn"),
         F.explode(
             F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
         ).alias("probe"),
@@ -445,7 +428,7 @@ def hard_negative_topk_ivf(
         "query_id",
         "neighbor_id",
         "neighbor_label",
-        F.round(VX.dot(q["qv"], c["cv"], dim) / (q["qn"] * c["cn"]), 6).alias("cosine"),
+        F.round(VX.dot(q["qv"], c["cv"]) / (q["qn"] * c["cn"]), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -495,8 +478,6 @@ def margin_mutual_pairs_ivf(
     (``_centroid_scores``), rank ties to the lower neighbor id, and the
     ANSI-safe margin guard emits NULL on a zero denominator.
     """
-    dim = len(centroids[0][1])
-
     def _side(side, suffix: str) -> DataFrame:
         v = f"v{suffix}"
         return (
@@ -508,7 +489,7 @@ def margin_mutual_pairs_ivf(
             .select(
                 f"id{suffix}",
                 v,
-                VX.norm(F.col(v), dim).alias(f"n{suffix}"),
+                VX.norm(F.col(v)).alias(f"n{suffix}"),
                 F.transform(
                     F.slice(_centroid_scores(F.col(v), centroids), 1, nprobe),
                     lambda p: p["cid"],
@@ -520,7 +501,7 @@ def margin_mutual_pairs_ivf(
     a = _side(side_a, "_a")
     b = _side(side_b, "_b")
     cos = F.round(
-        VX.dot(F.col("v_a"), F.col("v_b"), dim) / (F.col("n_a") * F.col("n_b")), 6
+        VX.dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
     ).alias("cosine")
     pairs_ab = (
         a.select("id_a", "v_a", "n_a", F.explode("probes_a").alias("probe"))
@@ -606,22 +587,19 @@ def lsh_bucketed_topk(
     vec_col: str,
     k: int = 3,
     bucket_dims: tuple[int, ...] = (1, 17, 33, 49),
-    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-
-    ``dim`` (static vector length) unrolls dot/norm into codegen."""
+    """Approximate top-k: candidates restricted to the query's LSH bucket."""
     dims = list(bucket_dims)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         VX.as_double(F.col(vec_col)).alias("cv"),
         VX.sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    ).select("neighbor_id", "cv", "bucket", VX.norm(F.col("cv"), dim).alias("cn"))
+    ).select("neighbor_id", "cv", "bucket", VX.norm(F.col("cv")).alias("cn"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         VX.as_double(F.col(vec_col)).alias("qv"),
         VX.sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    ).select("query_id", "qv", "bucket", VX.norm(F.col("qv"), dim).alias("qn"))
+    ).select("query_id", "qv", "bucket", VX.norm(F.col("qv")).alias("qn"))
     scored = (
         c.join(
             F.broadcast(q),
@@ -632,7 +610,7 @@ def lsh_bucketed_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                VX.dot(q["qv"], c["cv"], dim) / (q["qn"] * c["cn"]), 6
+                VX.dot(q["qv"], c["cv"]) / (q["qn"] * c["cn"]), 6
             ).alias("cosine"),
         )
     )
@@ -646,7 +624,6 @@ def lsh_multiprobe_topk(
     vec_col: str,
     k: int = 3,
     bucket_dims: tuple[int, ...] = (1, 17, 33, 49),
-    dim: int | None = None,
 ) -> DataFrame:
     """Multi-probe LSH top-k: each query probes its own bucket PLUS every
     bucket at Hamming distance 1 (one sign bit flipped).
@@ -683,12 +660,12 @@ def lsh_multiprobe_topk(
         F.col(id_col).alias("neighbor_id"),
         VX.as_double(F.col(vec_col)).alias("cv"),
         VX.sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    ).select("neighbor_id", "cv", "bucket", VX.norm(F.col("cv"), dim).alias("cn"))
+    ).select("neighbor_id", "cv", "bucket", VX.norm(F.col("cv")).alias("cn"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         VX.as_double(F.col(vec_col)).alias("qv"),
         F.explode(flips(VX.sign_bucket(F.col(vec_col), dims))).alias("bucket"),
-    ).select("query_id", "qv", "bucket", VX.norm(F.col("qv"), dim).alias("qn"))
+    ).select("query_id", "qv", "bucket", VX.norm(F.col("qv")).alias("qn"))
     scored = (
         c.join(
             F.broadcast(q),
@@ -699,7 +676,7 @@ def lsh_multiprobe_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                VX.dot(q["qv"], c["cv"], dim) / (q["qn"] * c["cn"]), 6
+                VX.dot(q["qv"], c["cv"]) / (q["qn"] * c["cn"]), 6
             ).alias("cosine"),
         )
     )
@@ -713,7 +690,6 @@ def hard_negative_topk(
     vec_col: str,
     label_col: str,
     k: int = 5,
-    dim: int | None = None,
 ) -> DataFrame:
     """Contrastive hard-negative mining: for each anchor vector, the
     top-k most-similar corpus vectors carrying a DIFFERENT label — the
@@ -739,13 +715,13 @@ def hard_negative_topk(
         F.col(label_col).alias("neighbor_label"),
         VX.as_double(F.col(vec_col)).alias("cv"),
     ).select(
-        "neighbor_id", "neighbor_label", "cv", VX.norm(F.col("cv"), dim).alias("cn")
+        "neighbor_id", "neighbor_label", "cv", VX.norm(F.col("cv")).alias("cn")
     )
     q = anchors.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         VX.as_double(F.col(vec_col)).alias("qv"),
-    ).select("query_id", "query_label", "qv", VX.norm(F.col("qv"), dim).alias("qn"))
+    ).select("query_id", "query_label", "qv", VX.norm(F.col("qv")).alias("qn"))
     scored = c.join(
         F.broadcast(q), F.col("query_label") != F.col("neighbor_label")
     ).select(
@@ -753,7 +729,7 @@ def hard_negative_topk(
         "neighbor_id",
         "neighbor_label",
         F.round(
-            VX.dot(F.col("qv"), F.col("cv"), dim) / (F.col("qn") * F.col("cn")), 6
+            VX.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
         ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -775,7 +751,6 @@ def margin_mutual_pairs(
     side_b,
     k: int = 4,
     margin_threshold: float = 1.0,
-    dim: int | None = None,
 ) -> DataFrame:
     """Margin-based mutual-nearest-neighbor alignment between two corpus
     slices — the bitext-mining criterion (Artetxe & Schwenk 2019): a
@@ -807,15 +782,15 @@ def margin_mutual_pairs(
     """
     a = corpus.filter(F.col(label_col) == side_a).select(
         F.col(id_col).alias("id_a"), VX.as_double(F.col(vec_col)).alias("va")
-    ).select("id_a", "va", VX.norm(F.col("va"), dim).alias("na"))
+    ).select("id_a", "va", VX.norm(F.col("va")).alias("na"))
     b = corpus.filter(F.col(label_col) == side_b).select(
         F.col(id_col).alias("id_b"), VX.as_double(F.col(vec_col)).alias("vb")
-    ).select("id_b", "vb", VX.norm(F.col("vb"), dim).alias("nb"))
+    ).select("id_b", "vb", VX.norm(F.col("vb")).alias("nb"))
     scored = a.crossJoin(F.broadcast(b)).select(
         "id_a",
         "id_b",
         F.round(
-            VX.dot(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb")), 6
+            VX.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
         ).alias("cosine"),
     )
     wa = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))

@@ -35,22 +35,18 @@ def l2_normalize(vec: Column) -> Column:
 
 
 def truncate_normalize(
-    df: DataFrame, id_col: str, vec_col: str, dim: int, full_dim: int | None = None
+    df: DataFrame, id_col: str, vec_col: str, dim: int
 ) -> DataFrame:
     """Per vector: full-dim norm, truncated-prefix norm, and the first
     component of the re-normalized truncated vector (a spot-check value
     pinning the whole renormalization without emitting ``dim`` columns).
 
     Output: ``(id, full_dim, full_norm, trunc_norm, lead_component)``.
-
-    ``full_dim`` (static vector length) unrolls the norm folds into
-    whole-stage codegen; the truncated norm unrolls over the prefix
-    either way (``dim`` is static by definition). Bit-identical values.
     """
-    v = F.col(vec_col).cast("array<double>")
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     tv = F.slice(v, 1, dim)
-    full_norm = F.sqrt(_dot(v, v, full_dim))
-    trunc_norm = F.sqrt(_dot(v, v, dim))
+    full_norm = F.sqrt(_dot(v, v))
+    trunc_norm = F.sqrt(_dot(tv, tv))
     return df.select(
         F.col(id_col),
         F.size(F.col(vec_col)).alias("full_dim"),
@@ -89,7 +85,7 @@ def average_pool(
     ex = df.select(
         F.col(group_col).alias("gid"),
         F.posexplode(
-            F.col(vec_col).cast("array<double>")
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("dim", "val"),
     )
     dims = ex.groupBy("gid", "dim").agg(
@@ -141,7 +137,7 @@ def group_centroid_shift(
     ex = df.select(
         F.col(group_col).alias("g"),
         F.posexplode(
-            F.col(vec_col).cast("array<double>")
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("dim", "val"),
     )
     cent = ex.groupBy("g", "dim").agg(
@@ -203,7 +199,7 @@ def int8_quantization_profile(df: DataFrame, vec_col: str) -> DataFrame:
     Output per dim: ``(dim, vmin, vmax, scale, mse, max_abs_err)``.
     """
     ex = df.select(
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
             "dim", "val"
         )
     )
@@ -250,8 +246,7 @@ def int8_quantization_profile(df: DataFrame, vec_col: str) -> DataFrame:
 
 
 def centroid_silhouette(
-    df: DataFrame, id_col: str, label_col: str, vec_col: str,
-    dim: int | None = None,
+    df: DataFrame, id_col: str, label_col: str, vec_col: str
 ) -> DataFrame:
     """Per-label separation score from per-VECTOR centroid affinities —
     the label-quality gate for an embedding corpus: mean cosine of each
@@ -283,7 +278,7 @@ def centroid_silhouette(
     """
     ex = df.select(
         F.col(label_col).alias("__clab"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
             "dim", "val"
         ),
     )
@@ -300,7 +295,7 @@ def centroid_silhouette(
         .select(
             "__clab", F.transform(F.col("__s"), lambda s: s["c"]).alias("carr")
         )
-        .select("__clab", "carr", _norm(F.col("carr"), dim).alias("cnorm"))
+        .select("__clab", "carr", _norm(F.col("carr")).alias("cnorm"))
     )
 
     def _dsum(col: Column) -> Column:
@@ -309,14 +304,14 @@ def centroid_silhouette(
     vecs = df.select(
         F.col(id_col).alias("__vid"),
         F.col(label_col).alias("__lab"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    ).select("__vid", "__lab", "v", _norm(F.col("v"), dim).alias("vnorm"))
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).select("__vid", "__lab", "v", _norm(F.col("v")).alias("vnorm"))
     affin = vecs.crossJoin(F.broadcast(cent)).select(
         "__vid",
         "__lab",
         "__clab",
         F.round(
-            _dot(F.col("v"), F.col("carr"), dim) / (F.col("vnorm") * F.col("cnorm")), 6
+            _dot(F.col("v"), F.col("carr")) / (F.col("vnorm") * F.col("cnorm")), 6
         ).alias("cos"),
     )
     per_vec = affin.groupBy("__vid", "__lab").agg(

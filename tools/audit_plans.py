@@ -182,8 +182,6 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
-        # session parity with bench.py: JIT large generated methods
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         # artifact-building query constructors (pair graph, KPI wave,
         # IVF index) execute real jobs before the plan is explained —
         # at sf1 those OOM the 1g default heap

@@ -44,8 +44,6 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
-        # session parity with bench.py: JIT large generated methods
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
         .config(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
