@@ -96,7 +96,10 @@ def kmeans_iterations(
     """
     vecs = corpus.select(
         F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+        # cast, not transform(x -> cast(x)): same element-wise widening,
+        # but the Cast runs in codegen (ArrayTransform's lambda evaluates
+        # interpreted) — functions/vectors.py as_double
+        F.col(vec_col).cast("array<double>").alias("__v"),
     )
     centroids = [list(map(float, c)) for c in seeds]
     dim = len(centroids[0])

@@ -259,14 +259,17 @@ def ivfpq_index(
     out = (
         corpus.select(F.col(id_col), VX.as_double(F.col(vec_col)).alias("__v"))
         .crossJoin(F.broadcast(cdf))
+        .withColumn("__vn", VX.norm(F.col("__v")))
         .withColumn(
             "cell",
-            F.element_at(_centroid_scores(F.col("__v"), centroids), 1)["cid"],
+            F.element_at(
+                _centroid_scores(F.col("__v"), centroids, F.col("__vn")), 1
+            )["cid"],
         )
     )
     for j in range(m):
         out = out.withColumn(f"code_{j}", _argmin_code(j, dsub))
-    return out.drop("__v", "__cb")
+    return out.drop("__v", "__vn", "__cb")
 
 
 def ivfpq_topk(
@@ -293,11 +296,16 @@ def ivfpq_topk(
         VX.as_double(F.col(vec_col)).alias("__qv"),
     )
     q = (
-        q.select(
+        q.select("query_id", "__qv", VX.norm(F.col("__qv")).alias("__qn"))
+        .select(
             "query_id",
             "__qv",
             F.explode(
-                F.slice(_centroid_scores(F.col("__qv"), centroids), 1, nprobe)
+                F.slice(
+                    _centroid_scores(F.col("__qv"), centroids, F.col("__qn")),
+                    1,
+                    nprobe,
+                )
             ).alias("__probe"),
         )
         .select("query_id", "__qv", F.col("__probe")["cid"].alias("cell"))

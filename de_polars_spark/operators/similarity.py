@@ -89,17 +89,44 @@ def cosine_topk(
     return _ranked_topk(scored, k)
 
 
-def _centroid_scores(vec: "F.Column", centroids: list) -> "F.Column":
+def _py_norm(vec: list) -> float:
+    """Driver-side L2 norm with EXACTLY the fold's IEEE operation order.
+
+    ``VX.norm`` over a literal array evaluates ``sqrt(aggregate(
+    zip_with(a, a, x*y), 0.0, acc+x))`` — a sequential left fold seeded
+    0.0. CPython floats are IEEE binary64 with no FMA, so the same
+    multiply/add sequence yields the bit-identical double; folding the
+    literal centroid norms here (instead of per ROW in the plan) changes
+    nothing downstream."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        x = float(x)
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def _centroid_scores(
+    vec: "F.Column", centroids: list, vnorm: "F.Column | None" = None
+) -> "F.Column":
     """Array of (cosine, cid) structs vs every centroid, sorted best-first.
 
     Struct comparison is lexicographic on (cos, cid), so ``sort_array``
     descending orders by cosine DESC then cid DESC — mirror that tiebreak
     in any oracle. Centroid vectors are plan literals: per-row work is
-    ``nlist`` dot-product folds, no join, no shuffle."""
+    ``nlist`` dot-product folds, no join, no shuffle.
+
+    ``vnorm``: the (attribute) column holding ``VX.norm(vec)``. Passing
+    it drops the per-centroid recomputation of the row norm (nlist folds
+    -> 0; callers already materialize the norm for the scoring join);
+    the centroid norms are folded driver-side (``_py_norm``) — together
+    the per-row fold count falls from 3x nlist to nlist."""
+    vn = VX.norm(vec) if vnorm is None else vnorm
     entries = []
     for cid, cvec in centroids:
         arr = F.array(*[F.lit(float(x)) for x in cvec])
-        cos = VX.dot(vec, arr) / (VX.norm(vec) * VX.norm(arr))
+        cos = VX.dot(vec, arr) / (vn * F.lit(_py_norm(cvec)))
         entries.append(
             F.struct(cos.alias("cos"), F.lit(int(cid)).cast("bigint").alias("cid"))
         )
@@ -125,21 +152,26 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
     )
-    c = c.select(
+    # norm first (own Project), THEN the centroid scores over the norm
+    # ATTRIBUTE: CollapseProject keeps the non-cheap fold un-inlined, so
+    # the row norm is computed once, not once per centroid
+    c = c.select("neighbor_id", "cv", VX.norm(F.col("cv")).alias("cn")).select(
         "neighbor_id",
         "cv",
-        VX.norm(F.col("cv")).alias("cn"),
-        F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias("cell"),
+        "cn",
+        F.element_at(
+            _centroid_scores(F.col("cv"), centroids, F.col("cn")), 1
+        )["cid"].alias("cell"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), VX.as_double(F.col(vec_col)).alias("qv")
     )
-    q = q.select(
+    q = q.select("query_id", "qv", VX.norm(F.col("qv")).alias("qn")).select(
         "query_id",
         "qv",
-        VX.norm(F.col("qv")).alias("qn"),
+        "qn",
         F.explode(
-            F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
+            F.slice(_centroid_scores(F.col("qv"), centroids, F.col("qn")), 1, nprobe)
         ).alias("probe"),
     ).select("query_id", "qv", "qn", F.col("probe")["cid"].alias("cell"))
     scored = c.join(
@@ -192,11 +224,13 @@ def build_ivf_index(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
-    ).select(
+    ).select("neighbor_id", "cv", VX.norm(F.col("cv")).alias("cn")).select(
         "neighbor_id",
         "cv",
-        VX.norm(F.col("cv")).alias("cn"),
-        F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias("cell"),
+        "cn",
+        F.element_at(
+            _centroid_scores(F.col("cv"), centroids, F.col("cn")), 1
+        )["cid"].alias("cell"),
     )
     # cluster by cell before the partitioned write: a partitionBy write
     # from an N-partition scan emits up to N files PER cell dir (a
@@ -241,11 +275,13 @@ def append_ivf_index(
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), VX.as_double(F.col(vec_col)).alias("cv")
-    ).select(
+    ).select("neighbor_id", "cv", VX.norm(F.col("cv")).alias("cn")).select(
         "neighbor_id",
         "cv",
-        VX.norm(F.col("cv")).alias("cn"),
-        F.element_at(_centroid_scores(F.col("cv"), cents), 1)["cid"].alias("cell"),
+        "cn",
+        F.element_at(
+            _centroid_scores(F.col("cv"), cents, F.col("cn")), 1
+        )["cid"].alias("cell"),
     )
     c.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "postings")
@@ -351,12 +387,12 @@ def ivf_topk_from_index(
     q = queries.select(
         F.col(id_col).alias("query_id"), VX.as_double(F.col(vec_col)).alias("qv")
     )
-    q = q.select(
+    q = q.select("query_id", "qv", VX.norm(F.col("qv")).alias("qn")).select(
         "query_id",
         "qv",
-        VX.norm(F.col("qv")).alias("qn"),
+        "qn",
         F.explode(
-            F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
+            F.slice(_centroid_scores(F.col("qv"), centroids, F.col("qn")), 1, nprobe)
         ).alias("probe"),
     ).select("query_id", "qv", "qn", F.col("probe")["cid"].alias("cell"))
     scored = postings.join(
@@ -399,25 +435,29 @@ def hard_negative_topk_ivf(
         F.col(label_col).alias("neighbor_label"),
         VX.as_double(F.col(vec_col)).alias("cv"),
     ).select(
+        "neighbor_id", "neighbor_label", "cv", VX.norm(F.col("cv")).alias("cn")
+    ).select(
         "neighbor_id",
         "neighbor_label",
         "cv",
-        VX.norm(F.col("cv")).alias("cn"),
-        F.element_at(_centroid_scores(F.col("cv"), centroids), 1)["cid"].alias(
-            "cell"
-        ),
+        "cn",
+        F.element_at(
+            _centroid_scores(F.col("cv"), centroids, F.col("cn")), 1
+        )["cid"].alias("cell"),
     )
     q = anchors.select(
         F.col(id_col).alias("query_id"),
         F.col(label_col).alias("query_label"),
         VX.as_double(F.col(vec_col)).alias("qv"),
     ).select(
+        "query_id", "query_label", "qv", VX.norm(F.col("qv")).alias("qn")
+    ).select(
         "query_id",
         "query_label",
         "qv",
-        VX.norm(F.col("qv")).alias("qn"),
+        "qn",
         F.explode(
-            F.slice(_centroid_scores(F.col("qv"), centroids), 1, nprobe)
+            F.slice(_centroid_scores(F.col("qv"), centroids, F.col("qn")), 1, nprobe)
         ).alias("probe"),
     ).select("query_id", "query_label", "qv", "qn", F.col("probe")["cid"].alias("cell"))
     scored = c.join(
@@ -486,12 +526,17 @@ def margin_mutual_pairs_ivf(
                 F.col(id_col).alias(f"id{suffix}"),
                 VX.as_double(F.col(vec_col)).alias(v),
             )
+            .select(f"id{suffix}", v, VX.norm(F.col(v)).alias(f"n{suffix}"))
             .select(
                 f"id{suffix}",
                 v,
-                VX.norm(F.col(v)).alias(f"n{suffix}"),
+                f"n{suffix}",
                 F.transform(
-                    F.slice(_centroid_scores(F.col(v), centroids), 1, nprobe),
+                    F.slice(
+                        _centroid_scores(F.col(v), centroids, F.col(f"n{suffix}")),
+                        1,
+                        nprobe,
+                    ),
                     lambda p: p["cid"],
                 ).alias(f"probes{suffix}"),
             )

@@ -43,7 +43,7 @@ def truncate_normalize(
 
     Output: ``(id, full_dim, full_norm, trunc_norm, lead_component)``.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    v = F.col(vec_col).cast("array<double>")
     tv = F.slice(v, 1, dim)
     full_norm = F.sqrt(_dot(v, v))
     trunc_norm = F.sqrt(_dot(tv, tv))
@@ -85,7 +85,7 @@ def average_pool(
     ex = df.select(
         F.col(group_col).alias("gid"),
         F.posexplode(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            F.col(vec_col).cast("array<double>")
         ).alias("dim", "val"),
     )
     dims = ex.groupBy("gid", "dim").agg(
@@ -137,7 +137,7 @@ def group_centroid_shift(
     ex = df.select(
         F.col(group_col).alias("g"),
         F.posexplode(
-            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            F.col(vec_col).cast("array<double>")
         ).alias("dim", "val"),
     )
     cent = ex.groupBy("g", "dim").agg(
@@ -199,7 +199,7 @@ def int8_quantization_profile(df: DataFrame, vec_col: str) -> DataFrame:
     Output per dim: ``(dim, vmin, vmax, scale, mse, max_abs_err)``.
     """
     ex = df.select(
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
             "dim", "val"
         )
     )
@@ -278,7 +278,7 @@ def centroid_silhouette(
     """
     ex = df.select(
         F.col(label_col).alias("__clab"),
-        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
             "dim", "val"
         ),
     )
@@ -304,7 +304,7 @@ def centroid_silhouette(
     vecs = df.select(
         F.col(id_col).alias("__vid"),
         F.col(label_col).alias("__lab"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+        F.col(vec_col).cast("array<double>").alias("v"),
     ).select("__vid", "__lab", "v", _norm(F.col("v")).alias("vnorm"))
     affin = vecs.crossJoin(F.broadcast(cent)).select(
         "__vid",
