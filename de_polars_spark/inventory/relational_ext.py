@@ -1017,7 +1017,7 @@ _common(
 # medians (operators/quantiles.py both times — no per-group buffers)     #
 # --------------------------------------------------------------------- #
 def q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from de_polars_spark.operators.quantiles import exact_quantiles
+    from de_polars_spark.operators.quantiles import exact_quantiles, probe_bounds
 
     t = register_testdata(spark, sf_dir)
     # same probe as quantile_price_profile (identical relation/keys/
@@ -1030,7 +1030,8 @@ def q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the G-row median (bounded: one row per return flag)
     # so the second exact_quantiles pass doesn't re-run the first
     # pipeline once per downstream branch
-    med = spark.createDataFrame(med_q.collect(), med_q.schema)
+    med_rows = med_q.collect()
+    med = spark.createDataFrame(med_rows, med_q.schema)
     dev = (
         t["lineitem"]
         .join(F.broadcast(med), "l_returnflag")
@@ -1039,7 +1040,31 @@ def q_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("l_extendedprice") - F.col("__med")).alias("__dev"),
         )
     )
-    mad = exact_quantiles(dev, ["l_returnflag"], "__dev", [0.5])
+    # the deviation pass's range bounds derive ARITHMETICALLY from the
+    # median pass's (now-memoized) sampled price bounds — |x - med| per
+    # group spans [0, max(hi - med, med - lo)] — so the second probe's
+    # full sample scan is skipped (guide §1.2: one fewer pass). Bounds
+    # only balance buckets, never a quantile (operators/quantiles.py
+    # contract), so this cannot change the MAD.
+    price_bounds = probe_bounds(
+        t["lineitem"], ["l_returnflag"], "l_extendedprice",
+        "lineitem.l_extendedprice",
+    )
+    dev_bounds = None
+    if price_bounds is not None:
+        med_by_key = {r["l_returnflag"]: r["__med"] for r in med_rows}
+        dev_bounds = []
+        for r in price_bounds:
+            m = med_by_key.get(r["l_returnflag"])
+            lo, hi = r["__blo"], r["__bhi"]
+            if m is None or lo is None or hi is None:
+                continue  # group missed by sample/median: single-bucket path
+            dev_bounds.append(
+                (r["l_returnflag"], 0.0, max(float(hi) - m, m - float(lo)))
+            )
+    mad = exact_quantiles(
+        dev, ["l_returnflag"], "__dev", [0.5], bounds_rows=dev_bounds
+    )
     return mad.select(
         "l_returnflag",
         F.col("p50").alias("mad"),

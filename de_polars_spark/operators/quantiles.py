@@ -105,6 +105,43 @@ def _default_buckets(df: DataFrame) -> int:
     return max(32, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")))
 
 
+def _memo_key(
+    prefix: str | None, kind: str, keys: Sequence[str], value_col: str,
+    n_buckets: int, df: DataFrame,
+) -> str | None:
+    """The full probe-memo key for one logical probe (see ``_PROBE_MEMO``)."""
+    if prefix is None:
+        return None
+    return (
+        f"{prefix}|{kind}|{','.join(keys)}|{value_col}"
+        f"|B={n_buckets}|{_manifest_tag(df)}"
+    )
+
+
+def probe_bounds(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    probe_memo_key: str,
+    n_buckets: int | None = None,
+    kind: str = "quant",
+) -> list | None:
+    """The memoized sampled bounds rows ``(*keys, __blo, __bhi)`` of a
+    previous :func:`exact_quantiles` / :func:`with_global_rank` probe over
+    the SAME relation/keys/value, or ``None`` when not memoized.
+
+    Lets a caller derive a DIFFERENT probe's bounds arithmetically
+    (e.g. ``|x - median|`` bounds from ``x`` bounds) instead of paying a
+    fresh sample scan — valid because bounds only balance load, they
+    never affect a computed rank or quantile (module contract above)."""
+    keys = list(keys)
+    if n_buckets is None:
+        n_buckets = _default_buckets(df)
+    key = _memo_key(probe_memo_key, kind, keys, value_col, n_buckets, df)
+    hit = _PROBE_MEMO.get(key)
+    return list(hit[0]) if hit is not None else None
+
+
 def _nullsafe_key_join(
     left: DataFrame, right: DataFrame, on: Sequence[str], how: str = "inner"
 ) -> DataFrame:
@@ -161,7 +198,7 @@ def _bucket_expr(value_col: str, n_buckets: int):
     )
 
 
-def _bucketize(df, keys, value_col, n_buckets, memo_key=None):
+def _bucketize(df, keys, value_col, n_buckets, memo_key=None, bounds_rows=None):
     """Phases 1-3: range-bucket every row; return the tagged frame plus
     the driver-side group sizes and per-bucket offsets.
 
@@ -175,6 +212,13 @@ def _bucketize(df, keys, value_col, n_buckets, memo_key=None):
     ``memo_key`` (opt-in, see ``_PROBE_MEMO``) reuses a previous call's
     probe — both bounded collects are skipped; the tagged frame is
     rebuilt lazily (free) from the memoized bounds rows.
+
+    ``bounds_rows`` (opt-in): caller-supplied sampled-range rows
+    ``(*keys, __blo DOUBLE, __bhi DOUBLE)`` replacing the sample scan
+    (collect #1) — e.g. derived arithmetically from another probe's
+    bounds (:func:`probe_bounds`). Bounds only balance load, never a
+    result, so ANY finite ranges are valid; the exact counts (collect
+    #2) still run. Ignored on a memo hit.
     """
     spark = df.sparkSession
 
@@ -197,25 +241,38 @@ def _bucketize(df, keys, value_col, n_buckets, memo_key=None):
         bounds = F.broadcast(spark.createDataFrame(b_rows, b_schema))
         return _tag(bounds), sizes, offsets
 
-    # NaN-free range probe: max() of doubles returns NaN whenever any
-    # sampled value is NaN (NaN sorts greatest), which would poison the
-    # width_bucket range for the whole group; NaN rows get their own
-    # bucket in _bucket_expr regardless.
-    clean = F.when(
-        ~F.isnan(F.col(value_col).cast("double")), F.col(value_col)
-    )
-    agg = (
-        df.sample(_BOUNDS_SAMPLE, seed=_BOUNDS_SEED)
-        .groupBy(*keys)
-        .agg(F.min(clean).alias("__blo"), F.max(clean).alias("__bhi"))
-    )
-    # bounded collect #1 (G rows): materializing the sampled range as a
-    # local relation keeps downstream branches from re-running the
-    # scan+sample (lazily shared lineage re-executes per consuming
-    # branch). Values outside the sampled range land in width_bucket's
-    # overflow cells 0 / B+1 — still valid range buckets.
-    bounds_rows = agg.collect()
-    bounds = F.broadcast(spark.createDataFrame(bounds_rows, agg.schema))
+    if bounds_rows is not None:
+        b_schema = T.StructType(
+            [T.StructField(k, df.schema[k].dataType, True) for k in keys]
+            + [
+                T.StructField("__blo", T.DoubleType(), True),
+                T.StructField("__bhi", T.DoubleType(), True),
+            ]
+        )
+        bounds_rows = [tuple(r) for r in bounds_rows]
+        bounds = F.broadcast(spark.createDataFrame(bounds_rows, b_schema))
+        agg_schema = b_schema
+    else:
+        # NaN-free range probe: max() of doubles returns NaN whenever any
+        # sampled value is NaN (NaN sorts greatest), which would poison the
+        # width_bucket range for the whole group; NaN rows get their own
+        # bucket in _bucket_expr regardless.
+        clean = F.when(
+            ~F.isnan(F.col(value_col).cast("double")), F.col(value_col)
+        )
+        agg = (
+            df.sample(_BOUNDS_SAMPLE, seed=_BOUNDS_SEED)
+            .groupBy(*keys)
+            .agg(F.min(clean).alias("__blo"), F.max(clean).alias("__bhi"))
+        )
+        # bounded collect #1 (G rows): materializing the sampled range as a
+        # local relation keeps downstream branches from re-running the
+        # scan+sample (lazily shared lineage re-executes per consuming
+        # branch). Values outside the sampled range land in width_bucket's
+        # overflow cells 0 / B+1 — still valid range buckets.
+        bounds_rows = agg.collect()
+        agg_schema = agg.schema
+        bounds = F.broadcast(spark.createDataFrame(bounds_rows, agg.schema))
     tagged = _tag(bounds)
     cnt_agg = tagged.groupBy(*keys, "__bucket").agg(
         F.count("*").alias("__bcnt")
@@ -237,7 +294,7 @@ def _bucketize(df, keys, value_col, n_buckets, memo_key=None):
             cum += buckets[b]
         offsets[key] = offs
     if memo_key is not None:
-        _PROBE_MEMO[memo_key] = (bounds_rows, agg.schema, sizes, offsets)
+        _PROBE_MEMO[memo_key] = (bounds_rows, agg_schema, sizes, offsets)
     return tagged, sizes, offsets
 
 
@@ -283,12 +340,7 @@ def with_global_rank(
     keys = list(keys)
     if n_buckets is None:
         n_buckets = _default_buckets(df)
-    memo_key = (
-        None
-        if probe_memo_key is None
-        else f"{probe_memo_key}|rank|{','.join(keys)}|{value_col}"
-        f"|B={n_buckets}|{_manifest_tag(df)}"
-    )
+    memo_key = _memo_key(probe_memo_key, "rank", keys, value_col, n_buckets, df)
     tagged, sizes, offsets = _bucketize(
         df, keys, value_col, n_buckets, memo_key=memo_key
     )
@@ -314,6 +366,7 @@ def exact_quantiles(
     round_dp: int = 6,
     n_buckets: int | None = None,
     probe_memo_key: str | None = None,
+    bounds_rows: Sequence | None = None,
 ) -> DataFrame:
     """One row per key group: ``p<frac>`` columns + ``n_items``.
 
@@ -324,19 +377,19 @@ def exact_quantiles(
     testdata); keys/value/buckets are appended defensively. The probe
     is independent of ``fractions`` (bounds + counts only), so a median
     pass and a multi-point profile over the same relation share it.
+
+    ``bounds_rows``: opt-in caller-supplied sampled ranges
+    ``(*keys, lo, hi)`` replacing the probe's sample scan — e.g.
+    derived from another probe via :func:`probe_bounds`. Load-balance
+    only; cannot change any quantile (see ``_bucketize``).
     """
     keys = list(keys)
     if n_buckets is None:
         n_buckets = _default_buckets(df)
     src = df.select(*keys, F.col(value_col).alias("__v"))
-    memo_key = (
-        None
-        if probe_memo_key is None
-        else f"{probe_memo_key}|quant|{','.join(keys)}|{value_col}"
-        f"|B={n_buckets}|{_manifest_tag(df)}"
-    )
+    memo_key = _memo_key(probe_memo_key, "quant", keys, value_col, n_buckets, df)
     tagged, sizes, offsets = _bucketize(
-        src, keys, "__v", n_buckets, memo_key=memo_key
+        src, keys, "__v", n_buckets, memo_key=memo_key, bounds_rows=bounds_rows
     )
 
     # driver-side: which bucket holds each bracket position? Only those

@@ -1014,3 +1014,52 @@ def test_quantile_probe_memo_reuse(spark):
     assert len(Q._PROBE_MEMO) == 2
     Q.clear_probe_memo()
     assert not Q._PROBE_MEMO
+
+
+def test_quantile_bounds_rows_load_balance_only(spark):
+    """Caller-supplied bounds_rows replace the probe's sample scan but can
+    never change a quantile: adversarially wrong ranges (too narrow, too
+    wide, inverted, missing group) all yield the no-hint results — rows
+    outside the range land in width_bucket's overflow cells and the exact
+    counts still drive the ranks."""
+    from de_polars_spark.operators import quantiles as Q
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(101)]
+        + [("b", float(3 * i)) for i in range(67)],
+        "g string, v double",
+    )
+    expect = {
+        (r["g"]): (r["p25"], r["p50"], r["p95"], r["n_items"])
+        for r in Q.exact_quantiles(df, ["g"], "v", [0.25, 0.5, 0.95]).collect()
+    }
+    for hint in (
+        [("a", 40.0, 60.0), ("b", 0.0, 198.0)],      # far too narrow for a
+        [("a", -1e9, 1e9), ("b", -1e9, 1e9)],        # absurdly wide
+        [("a", 60.0, 40.0), ("b", 0.0, 198.0)],      # inverted (lo >= hi)
+        [("b", 10.0, 20.0)],                          # group a missing
+        [],                                            # empty hint
+    ):
+        got = {
+            (r["g"]): (r["p25"], r["p50"], r["p95"], r["n_items"])
+            for r in Q.exact_quantiles(
+                df, ["g"], "v", [0.25, 0.5, 0.95], bounds_rows=hint
+            ).collect()
+        }
+        assert got == expect, hint
+
+
+def test_probe_bounds_returns_memoized_rows(spark):
+    from de_polars_spark.operators import quantiles as Q
+
+    Q.clear_probe_memo()
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(200)], "g string, v double"
+    )
+    assert Q.probe_bounds(df, ["g"], "v", "k") is None  # not yet memoized
+    Q.exact_quantiles(df, ["g"], "v", [0.5], probe_memo_key="k")
+    rows = Q.probe_bounds(df, ["g"], "v", "k")
+    assert rows is not None and len(rows) == 1
+    r = rows[0]
+    assert r["g"] == "a" and r["__blo"] >= 0.0 and r["__bhi"] <= 199.0
+    Q.clear_probe_memo()
